@@ -1,0 +1,49 @@
+"""Table catalog over the driver testdata (SURVEY.md §2.1 S6).
+
+At 100 TB these reads become partitioned parquet/Delta directory scans; the
+access pattern is identical — ``spark.read.parquet`` with Catalyst doing
+predicate pushdown, column pruning, and partition pruning. Nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table (S6).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; with ``nanosAsLong`` it loads as long nanos,
+    which we convert to a proper timestamp by integer-dividing to micros
+    (exactly DuckDB's nanos->micros truncation, keeping the oracle exact).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F  # local import: keep module light
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so ``spark.sql`` queries
+    see the same names DuckDB's oracle uses."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

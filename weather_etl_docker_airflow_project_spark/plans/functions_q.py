@@ -1,0 +1,275 @@
+"""Scalar-function query surface (SURVEY.md §2.8 F5-F13): date/time,
+string, math, conditional, JSON, array, map, hash, cast suites.
+
+Cross-engine determinism notes baked into each query:
+- double→int casts differ (Spark truncates, DuckDB rounds) — use explicit
+  floor/round;
+- transcendental fns (ln, pow) may differ by 1 ulp between libm
+  implementations — rounded to 6 decimals;
+- timestamp→string goes through explicit format strings both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import query
+
+
+@query(
+    "f5_datetime_suite",
+    oracle="""
+    SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+           CAST(date_part('month', o_orderdate) AS INT) AS mth,
+           COUNT(*) AS n,
+           MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+           SUM(CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS BIGINT))
+               AS total_days_since_epoch0
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("F5",),
+)
+def f5_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month extraction, date formatting, datediff — all exact integer
+    or string ops, identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mth"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+            F.sum(
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("2000-01-01").cast("date")).cast(
+                    "bigint"
+                )
+            ).alias("total_days_since_epoch0"),
+        )
+    )
+
+
+@query(
+    "f6_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_brand) AS brand_lc,
+           upper(p_type) AS type_uc,
+           trim(p_name) AS name_trim,
+           substring(p_name, 1, 5) AS name_head,
+           length(p_name) AS name_len,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_') AS type_devoweled,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+    tags=("F6",),
+)
+def f6_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.lower("p_brand").alias("brand_lc"),
+        F.upper("p_type").alias("type_uc"),
+        F.trim("p_name").alias("name_trim"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "f7_math_suite",
+    oracle="""
+    SELECT s_suppkey,
+           round(s_acctbal, 1) AS bal_round,
+           abs(s_acctbal) AS bal_abs,
+           ceil(s_acctbal) AS bal_ceil,
+           floor(s_acctbal) AS bal_floor,
+           round(sqrt(abs(s_acctbal)), 6) AS bal_sqrt,
+           round(ln(abs(s_acctbal) + 1), 6) AS bal_ln,
+           round(power(s_acctbal, 2), 4) AS bal_sq,
+           CAST(s_suppkey % 7 AS BIGINT) AS key_mod
+    FROM supplier
+    """,
+    tags=("F7",),
+)
+def f7_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(bal, 1).alias("bal_round"),
+        F.abs(bal).alias("bal_abs"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.floor(bal).alias("bal_floor"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(bal, 2), 4).alias("bal_sq"),
+        (F.col("s_suppkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@query(
+    "f8_conditional_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           GREATEST(o_totalprice, 150000.0) AS floor_price,
+           LEAST(o_totalprice, 150000.0) AS cap_price
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("F8",),
+)
+def f8_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price > 300000, "big").when(price > 100000, "mid").otherwise("small").alias(
+            "size_class"
+        ),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(price, F.lit(150000.0)).alias("floor_price"),
+        F.least(price, F.lit(150000.0)).alias("cap_price"),
+    )
+
+
+@query(
+    "f9_json_suite",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("F9",),
+    doc="JSON field extraction — generalizes the reference's nested-JSON "
+    "consumption (weather_etl.py:105,119-128).",
+)
+def f9_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "f10_array_suite",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           string_split(text, ' ')[1] AS first_token,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+           array_to_string(list_sort(string_split(text, ' ')[1:4]), '-') AS head_sorted
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("F10", "P2"),
+)
+def f10_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops incl. higher-order filter — generalizes the reference's
+    array-element access (weather_etl.py:125, weather[0].description)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.array_join(F.sort_array(F.slice(toks, 1, 4)), "-").alias("head_sorted"),
+    )
+
+
+@query(
+    "f11_map_suite",
+    oracle="""
+    SELECT doc_id,
+           map_extract(map([lang], [n_chars]), lang)[1] AS chars_by_lang,
+           array_to_string(map_keys(map([lang, source], [1, 2])), ',') AS key_list
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("F11",),
+)
+def f11_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    m1 = F.create_map(F.col("lang"), F.col("n_chars"))
+    m2 = F.create_map(F.col("lang"), F.lit(1), F.col("source"), F.lit(2))
+    return d.select(
+        "doc_id",
+        F.element_at(m1, F.col("lang")).alias("chars_by_lang"),
+        F.array_join(F.map_keys(m2), ",").alias("key_list"),
+    )
+
+
+@query(
+    "f12_hash_suite",
+    oracle="""
+    SELECT n_nationkey,
+           md5(n_name) AS name_md5,
+           sha256(n_name) AS name_sha256,
+           md5(concat(n_name, '|', CAST(n_regionkey AS VARCHAR))) AS row_md5
+    FROM nation
+    """,
+    tags=("F12",),
+)
+def f12_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hashes only (md5/sha2) — xxhash64/hash are engine-specific
+    and never appear in oracle-checked output."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5("n_name").alias("name_md5"),
+        F.sha2(F.col("n_name"), 256).alias("name_sha256"),
+        F.md5(F.concat(F.col("n_name"), F.lit("|"), F.col("n_regionkey").cast("string"))).alias(
+            "row_md5"
+        ),
+    )
+
+
+@query(
+    "f13_cast_suite",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS line_big,
+           CAST(l_quantity AS INT) AS qty_int,            -- qty is integral-valued
+           CAST(CAST(l_partkey AS INT) AS DOUBLE) AS part_dbl,
+           strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    tags=("F13",),
+)
+def f13_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts with identical cross-engine semantics: integral-valued doubles
+    to int, explicit floor before double→bigint (Spark truncates, DuckDB
+    rounds — never cast fractional doubles to int directly)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line_big"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_partkey").cast("int").cast("double").alias("part_dbl"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+    )

@@ -1,0 +1,734 @@
+"""Relational query surface (SURVEY.md §2.2-§2.8): projections, filters,
+all join types, aggregations, windows, sorts, set ops, scalar functions.
+
+Every query here is pure built-in DataFrame API — Catalyst gets the whole
+plan (predicate pushdown, column pruning, broadcast selection, partial
+aggregation, whole-stage codegen). Oracle SQL strings are ANSI SQL that
+DuckDB executes on the same parquet; numeric aggregates follow the
+decimal-exact convention in ``registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.asof import asof_join
+from ..operators.topk import grouped_top_k
+from .registry import query
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _sum_money(col: str, alias: str):
+    """Exact decimal sum surfaced as double (bit-identical across engines)."""
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (M1): join + agg + top-k — S6, J1/J3, A2, O1/O2/O3
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+    tags=("J1", "J3", "A2", "O1", "O2"),
+)
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BUILDING-segment customers by discounted revenue.
+
+    customer is broadcast (small dim); orders x lineitem is the only
+    shuffle join; ORDER BY + LIMIT compiles to TakeOrderedAndProject
+    (per-partition top-k, no global sort)."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A6/F7: TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "A6", "P5", "O1"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem (TPC-H Q1 shape): single scan with the
+    shipdate predicate pushed to parquet, partial+final hash aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            _sum_money("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_discount", 3, 2)).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins J1-J9
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_inner_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J1", "A2"),
+)
+def j1_inner_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders x customer, grouped revenue per segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _sum_money("o_totalprice", "total_revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "j2_left_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("J2", "A2"),
+)
+def j2_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeps order-less customers with count 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "j2_full_outer_nation_presence",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt FROM customer GROUP BY 1
+    ), supp AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS supp_cnt FROM supplier
+        WHERE s_acctbal > 8000 GROUP BY 1
+    )
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey, cust.cust_cnt, supp.supp_cnt
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+    tags=("J2",),
+)
+def j2_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer counts vs (filtered) supplier
+    counts; nulls where one side is absent."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return cust.join(supp, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "cust_cnt", "supp_cnt"
+    )
+
+
+@query(
+    "j3_broadcast_nation_rollcall",
+    oracle="""
+    SELECT n.n_name, r.r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY n_name
+    """,
+    tags=("J3", "A2"),
+)
+def j3_broadcast_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two explicitly-broadcast dimension joins (nation, region are tiny —
+    the 100 TB plan broadcasts them to every executor, zero shuffle for the
+    join itself)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _sum_money("c_acctbal", "total_acctbal"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "j4_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    GROUP BY c.c_nationkey
+    """,
+    tags=("J4",),
+)
+def j4_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one open order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j5_anti_customers_without_big_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("J5",),
+    doc="Left-anti join — the Spark-native form of the reference's "
+    "dedup-before-insert probe (weather_etl.py:158-187).",
+)
+def j5_anti_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "j6_theta_nation_pairs",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("J6",),
+)
+def j6_theta_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (strict inequality on key): unordered same-region nation
+    pairs. Equality conjunct keeps it a hash join; the inequality is a
+    post-filter — Catalyst plans this, not us."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+@query(
+    "j7_range_value_buckets",
+    oracle="""
+    SELECT b.bucket, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 50.0), ('high', 50.0, 1e18))
+         AS b(bucket, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket
+    ORDER BY bucket
+    """,
+    tags=("J7",),
+)
+def j7_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval containment) against a tiny broadcast bucket
+    dim — at scale the small side is always broadcast so the range
+    predicate is evaluated map-side with zero shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 1e18)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(buckets), (e.value >= buckets.lo) & (e.value < buckets.hi))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_money("value", "total_value"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "j8_asof_error_after_click",
+    oracle="""
+    SELECT e.event_id, c.event_id AS click_id_matched
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    tags=("J8",),
+)
+def j8_asof_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the most recent prior (or
+    simultaneous) click by the same user. Custom operator — see
+    operators/asof.py for the single-shuffle formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").withColumnRenamed("event_id", "click_id")
+    return asof_join(
+        errors,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_payload=["click_id"],
+        suffix="_matched",
+    ).select("event_id", F.col("click_id_matched"))
+
+
+@query(
+    "j9_cross_region_segment_grid",
+    oracle="""
+    SELECT r.r_name, s.seg AS c_mktsegment
+    FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    """,
+    tags=("J9", "A3"),
+)
+def j9_cross_region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two small deduplicated sides (the only sane cross join
+    at scale is small x small, or small broadcast x big)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    segs = load_table(spark, sf_dir, "customer").select(F.col("c_mktsegment")).distinct()
+    return r.crossJoin(segs)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations A1-A7
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_count_with_predicate",
+    oracle="SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 45",
+    tags=("A1", "P5"),
+    doc="COUNT(*) existence-probe shape (reference weather_etl.py:158-166).",
+)
+def a1_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "a3_distinct_status_priority",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("A3",),
+)
+def a3_distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "a4_approx_count_distinct",
+    oracle=None,  # HLL++ sketch values are engine-specific -> rows-only check;
+    # the exactness property is pytest-verified against the true count.
+    tags=("A4",),
+)
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct partkeys (HLL++); sketch-based so no value
+    oracle, but must be within 5% of exact (tests/test_operators.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+
+
+@query(
+    "a5_rollup_lineitem_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A5",),
+)
+def a5_rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")
+    )
+
+
+@query(
+    "a5_cube_order_grid",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A5",),
+)
+def a5_cube_order_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a6_filtered_aggregate",
+    oracle="""
+    SELECT c_nationkey,
+           SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich,
+           SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_debt,
+           COUNT(*) AS n_total
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("A6", "F8"),
+)
+def a6_filtered_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("n_rich"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_debt"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "a7_collect_statuses",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A7", "F10"),
+)
+def a7_collect_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array, serialized to a string so the value hash is
+    representation-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows W1-W3
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_top3_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) t WHERE rn <= 3
+    """,
+    tags=("W1", "O3"),
+)
+def w1_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via the topk operator (row_number window + filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return grouped_top_k(
+        joined,
+        partition_by=["c_mktsegment"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "w2_lag_value_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    tags=("W2",),
+)
+def w2_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: per-user delta between consecutive event values
+    (identical double subtraction both engines — no rounding needed)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@query(
+    "w3_moving_avg_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_avg
+    FROM events
+    """,
+    tags=("W3",),
+)
+def w3_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec moving average (4-row trailing window), decimal-exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits O1-O4
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_top20_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+    tags=("O1", "O2"),
+)
+def o1_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject — no full sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "o4_max_by_customer_per_nation",
+    oracle="""
+    SELECT n_name, c_name AS top_customer, top_acctbal FROM (
+        SELECT n.n_name, c.c_name, c.c_acctbal AS top_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                  ORDER BY c.c_acctbal DESC, c.c_custkey DESC) AS rn
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) t WHERE rn = 1
+    """,
+    tags=("O4", "W1"),
+)
+def o4_max_by_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by semantics with a deterministic tie-break: max over a struct
+    whose field order (acctbal, custkey) is a total order — a single
+    hash-agg, cheaper than a window when only the argmax row is needed."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    best = F.max(F.struct(F.col("c_acctbal"), F.col("c_custkey"), F.col("c_name"))).alias("b")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(best)
+        .select("n_name", F.col("b.c_name").alias("top_customer"), F.col("b.c_acctbal").alias("top_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops U1-U3
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_active_parties",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    tags=("U1",),
+)
+def u1_union_active_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of nationkeys with rich customers or suppliers."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "u2_intersect_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("U2",),
+)
+def u2_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f_cust.intersect(o_cust)
+
+
+@query(
+    "u3_except_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("U3",),
+)
+def u3_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    all_cust = o.select(F.col("o_custkey").alias("custkey"))
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return all_cust.subtract(f_cust)  # EXCEPT (distinct semantics)
+
+
+# ---------------------------------------------------------------------------
+# Predicates P3/P5/P6
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p3_equality_conjunction",
+    oracle="""
+    SELECT event_id, ts, value FROM events
+    WHERE event_type = 'click' AND user_id = 7
+    """,
+    tags=("P3",),
+    doc="Equality-conjunction filter — the reference's dedup probe predicate "
+    "shape (weather_etl.py:158-165).",
+)
+def p3_equality_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "click") & (F.col("user_id") == 7)).select(
+        "event_id", "ts", "value"
+    )
+
+
+@query(
+    "p5_predicate_suite",
+    oracle="""
+    SELECT p_partkey, p_name, p_size FROM part
+    WHERE p_size BETWEEN 10 AND 20
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_name LIKE '%a%'
+      AND p_retailprice >= 500
+    """,
+    tags=("P5",),
+)
+def p5_predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 20)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_name").like("%a%")
+        & (F.col("p_retailprice") >= 500)
+    ).select("p_partkey", "p_name", "p_size")
+
+
+@query(
+    "p6_pruned_projection",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    tags=("P6",),
+)
+def p6_pruned_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column read of an 11-column table: ReadSchema in the physical
+    plan must show only l_returnflag + l_shipdate (pruning verified in
+    tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
