@@ -1,0 +1,90 @@
+"""REST/JSON source (SURVEY.md §2.1 S1/S2).
+
+The reference does one HTTP GET per run against OpenWeatherMap, fails fast
+on HTTP errors, and parses the body as nested JSON
+(``airflow/dags/weather_etl.py:90-110``: GET at :103, raise_for_status at
+:104, json() at :105). Natively: the fetch stays a *driver-side* call (one
+tiny record per tick — shipping it to executors would be pure overhead),
+and the record immediately becomes a DataFrame with an explicit schema so
+everything downstream is JVM-side.
+
+At scale this generalizes: many endpoints/cities per tick -> parallelize
+the fetch list with ``spark.createDataFrame(urls).mapInPandas(fetch)`` so
+executors fetch concurrently; the single-record path below is the
+reference-fidelity case.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import WEATHER_RAW_SCHEMA
+
+
+class ExtractError(RuntimeError):
+    """Fail-fast extract failure (reference AirflowFailException analogue,
+    weather_etl.py:99,110)."""
+
+
+def build_owm_url(api_key: str, city: str, country: str) -> str:
+    """URL construction as the reference does (weather_etl.py:103)."""
+    if not api_key or not city or not country:
+        # fail-fast env validation (weather_etl.py:98-99)
+        raise ExtractError("missing api_key/city/country configuration")
+    return (
+        "https://api.openweathermap.org/data/2.5/weather"
+        f"?q={city},{country}&appid={api_key}&units=metric"
+    )
+
+
+def fetch_json(url: str, timeout: float = 10.0) -> dict:
+    """One GET, fail-fast on HTTP errors (weather_etl.py:103-105)."""
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            if resp.status >= 400:
+                raise ExtractError(f"HTTP {resp.status} from {url}")
+            return json.loads(resp.read().decode("utf-8"))
+    except (urllib.error.URLError, OSError, ValueError) as exc:
+        raise ExtractError(f"extract failed: {exc}") from exc
+
+
+def records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
+    """Materialize raw JSON records with the explicit nested schema (S2,
+    replacing the reference's schema-on-read dict at weather_etl.py:105).
+    Unknown keys are dropped; missing keys become nulls."""
+
+    def _project(rec: dict) -> dict:
+        main = rec.get("main") or {}
+        wind = rec.get("wind") or {}
+        weather = rec.get("weather") or []
+        return {
+            "name": rec.get("name"),
+            "dt": rec.get("dt"),
+            "timezone": rec.get("timezone"),
+            "main": {
+                "temp": main.get("temp"),
+                "humidity": main.get("humidity"),
+                "pressure": main.get("pressure"),
+            },
+            "weather": [
+                {"description": w.get("description"), "main": w.get("main")} for w in weather
+            ],
+            "wind": {"speed": wind.get("speed")},
+        }
+
+    return spark.createDataFrame([_project(r) for r in records], WEATHER_RAW_SCHEMA)
+
+
+def extract(
+    spark: SparkSession,
+    fetch_fn: Callable[[], list[dict]],
+) -> DataFrame:
+    """S1 extract step: fetch via the injected callable (production: a
+    closure over fetch_json+build_owm_url; tests: canned records) and
+    return the raw typed DataFrame."""
+    return records_to_df(spark, fetch_fn())
