@@ -1,0 +1,130 @@
+"""Unit + property tests for the LLM-pipeline operators (SURVEY.md §2.11).
+
+The driver's oracle gate covers engine-vs-DuckDB agreement; these tests
+cover the *semantics* on crafted inputs: dedup correctness, LSH recall
+properties, fingerprint monotonicity, and the multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),      # near dup of 1
+    (4, "completely different words appear here entirely now"),
+    (5, "el rapido zorro marron salta sobre el perro"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["is_canonical"] and out[1]["group_size"] == 2
+    assert not out[2]["is_canonical"] and out[2]["canonical_id"] == 1
+    assert all(out[i]["is_canonical"] for i in (3, 4, 5))
+
+
+def test_minhash_identical_docs_always_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs          # identical shingle sets -> identical bands
+    assert (1, 4) not in pairs      # disjoint shingles share no bucket
+    assert (1, 5) not in pairs
+
+
+def test_simhash_identity_and_separation(spark, docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < 2**32
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(
+            spark.createDataFrame(
+                [(k, v) for k, v in sig.items()], ["doc_id", "simhash"]
+            ),
+            "doc_id",
+            max_hamming=3,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_values(docs):
+    rows = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold_pct=50).collect()
+    }
+    assert rows[(1, 2)][0] == rows[(1, 2)][1]           # identical: inter == union
+    # docs 1 & 3 differ in one word => 7 shingles each, 5 shared 3-grams
+    assert rows[(3, 1) if (3, 1) in rows else (1, 3)] == (5, 9)
+    assert not any({a, b} == {1, 4} for a, b in rows)
+
+
+def test_knn_self_is_top1(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7)
+    top = similarity.knn_bruteforce(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 7                        # self-similarity is max
+    dots = [r["dot_q"] for r in top]
+    assert dots == sorted(dots, reverse=True)
+    assert abs(dots[0] - similarity.QUANT**2) < 0.01 * similarity.QUANT**2
+
+
+def test_ann_results_are_exact_scores_from_query_bucket(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7)
+    ann = similarity.ann_lsh_bucketed(emb, q, k=10, n_planes=8, dim=64).collect()
+    brute = {r["vec_id"]: r["dot_q"] for r in similarity.knn_bruteforce(emb, q, k=10**6).collect()}
+    ids = [r["vec_id"] for r in ann]
+    assert 7 in ids                                     # query shares its own bucket
+    for r in ann:                                       # ANN never fabricates scores
+        assert brute[r["vec_id"]] == r["dot_q"]
+
+
+def test_fingerprint_append_monotone(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda mu nu xi omicron")], ["doc_id", "text"]
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df, "doc_id", "text").collect()}
+    # appending only adds windows: the min can only stay or decrease
+    assert fp[2] <= fp[1]
+
+
+def test_lang_id_real_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "le chat et les chiens pour la maison"),
+            (3, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df, "doc_id", "text").collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "und"
+
+
+def test_multimodal_features_and_stub(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "a b")], ["doc_id", "text"])
+    mm = multimodal.attach_payload(df, "doc_id", "text")
+    meta = {r["doc_id"]: r["meta"] for r in mm.collect()}
+    assert meta[1]["format"] == "text/utf-8" and meta[1]["byte_len"] == 3
+    feats = {r["doc_id"]: r for r in multimodal.byte_features(mm).collect()}
+    assert feats[1]["byte_len"] == 3
+    assert feats[1]["checksum"] == (97 + 98 + 99) % 997
+    assert feats[2]["first_byte"] == 97 and feats[2]["last_byte"] == 98
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x00", "image/png")

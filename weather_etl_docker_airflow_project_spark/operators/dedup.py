@@ -1,0 +1,223 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.11 L1/L2).
+
+Four dedup families, each pure DataFrame ops (no Python in the hot path),
+each with an exact DuckDB oracle twin in ``plans/llm_q.py``:
+
+- **exact**: md5 content hash, canonical = min id per hash. One shuffle on
+  the 128-bit hash (uniform keys — no skew by construction).
+- **MinHash + LSH**: word-shingles -> 16 universal-hash minima -> 4 bands
+  of 4; candidate pairs share >=1 band bucket. The band bucket-join is the
+  scale path: cost is per-bucket pairs, never the O(n^2) cross join.
+- **SimHash**: 32-bit sign-aggregated token-hash signature; near-dup pairs
+  via 4x8-bit band blocking — by pigeonhole, hamming distance <= 3 implies
+  at least one of the 4 bands matches exactly, so blocking loses nothing.
+- **n-gram Jaccard**: exact set overlap via shingle equi-join; integer
+  (intersection, union) output with the threshold as an integer inequality
+  so the oracle hash is exact.
+
+Scale notes (100 TB): shingle explode is linear in corpus tokens; all
+joins are equi-joins on hash-uniform keys (shuffle-friendly, AQE-skew
+safe). Band width trades recall for bucket size — at 100 TB raise bands or
+add a second-stage exact-Jaccard verify on candidates (the verify is this
+module's ``ngram_jaccard_pairs`` restricted to candidate pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.xhash import MINHASH_A, h32, minhash_perm
+
+SHINGLE_K = 3          # word n-gram width for shingles
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4       # 4 bands x 4 rows = 16 permutations
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4      # 4 x 8-bit bands => exact-recall blocking for d<=3
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """L1: content-hash dedup. Returns every row with its hash, the
+    canonical (minimum) id for that hash, and an ``is_canonical`` flag —
+    callers keep ``is_canonical`` rows to dedup, or inspect groups."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_canonical", (F.col(id_col) == F.col("canonical_id")))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-gram shingles per document, exploded to
+    (id, shingle) rows. Documents shorter than k tokens contribute their
+    whole token sequence as one shingle."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i.cast("int"), k)
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
+    """16 minhash values per document from exploded shingles: one hash
+    aggregation (map-side partial min, single shuffle on id)."""
+    h = h32(F.col("shingle"))
+    mins = [
+        F.min(minhash_perm(h, k)).alias(f"mh{k}") for k in range(len(MINHASH_A))
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: bucket key = concatenated band values; candidate pairs
+    are distinct (a < b) sharing any band bucket. The self-join is per
+    (band, bucket) — never a global cross join."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{b * MINHASH_ROWS + r}")
+                        for r in range(MINHASH_ROWS)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col(f"r.band"))
+            & (F.col(f"l.bucket") == F.col(f"r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """L2 end-to-end: shingle -> minhash -> band -> candidate pairs."""
+    return lsh_candidate_pairs(
+        minhash_signatures(shingles(df, id_col, text_col), id_col), id_col
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens: per (doc, bit) sum the +/-1
+    contributions of each token hash's bit, then fold sign bits into the
+    signature. Two hash aggregations; rows exploded = tokens x 32."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    ).withColumn("th", h32(F.col("token")))
+    contrib = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.col("th"),
+    ).withColumn(
+        # python F.shiftright needs an int literal; SQL shiftright takes exprs
+        "c",
+        F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("c").alias("s"))
+    return bitsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    sig: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
+    4x8-bit bands (exact recall for max_hamming <= SIMHASH_BANDS - 1)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(0xFF).alias("bucket"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 60,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard: equi-join on shared shingles counts the
+    intersection; per-doc shingle counts give the union. The threshold is
+    the integer inequality 100*inter >= pct*union — no float in the output.
+
+    At 100 TB this full-corpus variant becomes the *verify* stage run only
+    on LSH candidate pairs; the join shape is identical."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
+        .select("id_a", "id_b", "inter", "uni")
+    )

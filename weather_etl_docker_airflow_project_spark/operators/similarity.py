@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 L3).
+
+The ``embeddings`` table carries L2-normalized ``array<float>`` vectors, so
+cosine similarity == dot product. Two determinism decisions drive the
+design:
+
+1. **Integer-quantized dot products.** Float summation order differs
+   between engines, so every *declared* score is the exact int64
+   ``sum(round(a_i*1e6) * round(b_i*1e6))`` — bit-identical in Spark and
+   DuckDB (max |q| ~ 1e6, dim 64 => well inside int64). A display-only
+   double cosine is derived FROM the integer, identically in both engines.
+2. **Deterministic LSH planes.** Random-hyperplane ANN uses planes whose
+   components derive from md5 (``functions.xhash.h32``), so the bucketing
+   is reproducible across engines, sessions, and tests — no RNG state.
+
+Scale notes (100 TB): brute-force top-k is a map-side scan + per-partition
+top-k (TakeOrderedAndProject — no full sort, no shuffle of the corpus) and
+is the recall=1 baseline. The LSH path buckets the corpus once (one narrow
+shuffle on bucket id), then probes only matching buckets; recall/cost is
+tuned by ``n_planes``. For batched multi-query search the query set is the
+broadcast side of the bucket equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.xhash import plane_components
+
+QUANT = 1_000_000  # 1e6 quantization: float32 precision ~1e-7 at |x|<1
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> -> array<long> of round(x * 1e6). The float32 is cast
+    to double BEFORE multiplying so both engines round the identical
+    double value (float32->double is exact; float32 arithmetic is not)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT, 0).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by exact quantized dot product against a 1-row query
+    DataFrame. The query side is broadcast (one row); ordering ties break
+    on id. ``orderBy().limit()`` compiles to TakeOrderedAndProject:
+    per-partition heap top-k, then a k-row merge on the driver — the
+    right plan at any corpus size."""
+    q = F.broadcast(query.select(quantize(F.col(vec_col)).alias("qvec")))
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot_q"),
+    )
+    return scored.orderBy(F.col("dot_q").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2 embedding-cosine near-dup: all (a < b) pairs with quantized
+    cosine >= threshold. This is the exact O(n^2) verify kernel — at scale
+    run it only on LSH-bucketed candidates (``ann_lsh_bucketed`` shares
+    the bucketing)."""
+    qdf = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    )
+    l, r = qdf.alias("l"), qdf.alias("r")
+    thr = int(threshold * QUANT * QUANT)
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            int_dot(F.col("l.qv"), F.col("r.qv")).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= thr)
+    )
+
+
+def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
+    """LSH bucket id: sign bits of dot products with n_planes deterministic
+    pseudo-random hyperplanes (md5-derived literal components via
+    ``xhash.plane_components`` — reproducible in any engine, and the plan
+    carries plain constants)."""
+    qv = quantize(vec)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(v).cast("long") for v in plane_components(j, dim)])
+        d = F.aggregate(
+            F.zip_with(qv, plane, lambda x, p: x * p),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(0)
+    return bucket
+
+
+def ann_lsh_bucketed(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane-LSH bucket. Sub-linear probe cost; recall measured against
+    ``knn_bruteforce`` in tests (multi-probe = widen with neighboring
+    buckets at 1 hamming bit if the bucket underfills — left to callers)."""
+    corpus = embeddings.withColumn(
+        "bucket", hyperplane_signs(F.col(vec_col), n_planes, dim)
+    )
+    qb = F.broadcast(
+        query.select(
+            quantize(F.col(vec_col)).alias("qvec"),
+            hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
+    )
+    return (
+        corpus.join(qb, "bucket")
+        .select(
+            F.col(id_col),
+            int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col(id_col))
+        .limit(k)
+    )

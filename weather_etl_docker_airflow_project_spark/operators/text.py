@@ -1,0 +1,168 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.11 L4).
+
+All pure column expressions (whole-stage codegen, zero Python in the hot
+path): token/character statistics, a quality score, n-gram-overlap language
+ID, and a winnowing-style rolling-hash document fingerprint. Each has an
+exact DuckDB-SQL twin in ``plans/llm_q.py`` for the driver's hash gate —
+outputs are integers or fixed-literal strings wherever possible so the
+comparison is exact, not float-tolerant.
+
+Scale notes (100 TB posture): everything here is embarrassingly parallel
+per document — no shuffle at all until a later aggregation; the only
+explode is bounded by tokens-per-doc. The language-ID stopword tables are
+tiny fixed literals (broadcast by construction, they live inside the
+expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.xhash import h16
+
+# Tiny per-language stopword lists for the n-gram-heuristic language ID.
+# Deliberately small fixed literals: the operator is the heuristic itself,
+# not a model. Order matters only via the deterministic argmax tie-break.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "que", "pour"),
+}
+
+FINGERPRINT_WINDOW = 8       # tokens per rolling window
+FINGERPRINT_BASE = 31        # polynomial base; 31^7 * 2^16 * 8 < 2^63
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token cleanup.
+
+    ``split`` on one-or-more whitespace plus a filter keeps parity with SQL
+    engines that drop empties differently; on already-clean single-space
+    text it is the identity split."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics — all integers, all exact.
+
+    ``n_tokens_bpe`` approximates BPE token count: whitespace tokens plus
+    one extra split per letter<->digit transition, counted with a
+    lookaround-free pattern so RE2-based engines (the DuckDB oracle)
+    compute the identical value."""
+    toks = tokens(F.col(text_col))
+    transitions = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit("[a-z][0-9]|[0-9][a-z]"), F.lit(0)
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(toks) + transitions).cast("long").alias("n_tokens_bpe"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_token_len"),
+    )
+
+
+def term_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus term statistics: per-token document frequency + collection
+    frequency. One explode + one hash aggregation (map-side partial agg
+    combines within partitions before the single shuffle)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.countDistinct(id_col).alias("doc_freq"),
+        F.count("*").alias("coll_freq"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: length band + type-token ratio band +
+    English-stopword presence, summed to an integer 0-100 score.
+
+    Integer bands (not float ratios) keep the oracle hash exact."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    en = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en))
+    length_pts = (
+        F.when(n >= 64, 40).when(n >= 32, 30).when(n >= 16, 20).otherwise(5)
+    )
+    # type-token ratio in integer percent; floor (not cast) so the oracle
+    # can mirror it exactly — DuckDB's double->int cast rounds, Spark's
+    # truncates, floor agrees everywhere
+    ttr_pct = F.floor(F.lit(100) * n_distinct / n).cast("long")
+    diversity_pts = (
+        F.when(ttr_pct >= 60, 40).when(ttr_pct >= 30, 25).otherwise(10)
+    )
+    stop_pts = F.when(n_stop >= 2, 20).when(n_stop >= 1, 10).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ttr_pct.alias("ttr_pct"),
+        n_stop.alias("n_en_stopwords"),
+        (length_pts + diversity_pts + stop_pts).cast("long").alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram-heuristic language ID: count distinct-token overlap with each
+    language's stopword list; argmax with deterministic (count desc, lang
+    asc) tie-break; 'und' when nothing matches."""
+    distinct_toks = F.array_distinct(tokens(F.col(text_col)))
+    overlaps = [
+        F.size(
+            F.array_intersect(distinct_toks, F.array([F.lit(w) for w in ws]))
+        ).alias(f"ov_{lang}")
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), *overlaps)
+    # argmax via struct max: (count, -rank) so ties resolve to the
+    # lexicographically SMALLEST language (rank = position in sorted order)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"ov_{lang}").alias("cnt"),
+                F.lit(-rank).alias("neg_rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for rank, lang in enumerate(sorted(LANG_STOPWORDS))
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: cnt first, then neg_rank
+    return scored.select(
+        F.col(id_col),
+        F.when(best["cnt"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["cnt"].cast("long").alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    every FINGERPRINT_WINDOW-token window (16-bit token hashes keep the
+    polynomial inside int64), fingerprint = min window hash. Robust to
+    appends far from the matching region, unlike a whole-doc hash."""
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: h16(t))
+    w = FINGERPRINT_WINDOW
+    n = F.size(th)
+    win = F.least(F.lit(w), n)
+    # window start positions 1..n-win+1 (1-based element_at)
+    starts = F.sequence(F.lit(1), n - win + 1)
+    window_hash = lambda s: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), win - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * FINGERPRINT_BASE + F.element_at(th, (s + i).cast("int")),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.array_min(F.transform(starts, window_hash)).alias("fingerprint"),
+    )

@@ -1,0 +1,442 @@
+"""LLM data-pipeline query surface (SURVEY.md §2.11 L1-L5): dedup,
+similarity search, text analysis, multimodal columns — over the driver's
+``documents`` and ``embeddings`` tables.
+
+Oracle strategy: every declared output is integers / fixed strings /
+booleans — no floats — so the driver's value-hash comparison is exact.
+Hashes are md5-derived (``functions.xhash``), the one hash family both
+Spark and DuckDB compute identically. The oracle SQL re-implements each
+algorithm in DuckDB (list comprehensions mirror Spark's higher-order
+functions) — an independent second implementation, not a shared shortcut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.xhash import (
+    MINHASH_A,
+    h16_sql,
+    h32_sql,
+    minhash_perm_sql,
+    plane_components,
+)
+from ..io import load_table
+from ..operators import dedup, multimodal, similarity, text
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# word 3-gram shingles, distinct, exploded — twin of operators.dedup.shingles
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, greatest(len(toks) - 2, 1))])) AS shingle
+  FROM tok)
+"""
+
+_QUANT_VEC = (
+    "[CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding]"
+)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min({minhash_perm_sql('h', k)}) AS mh{k}" for k in range(len(MINHASH_A))
+    )
+    return f"""
+hashes AS (SELECT doc_id, {h32_sql('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id)
+"""
+
+
+def _minhash_bands_sql() -> str:
+    selects = []
+    for b in range(dedup.MINHASH_BANDS):
+        cols = [f"mh{b * dedup.MINHASH_ROWS + r}" for r in range(dedup.MINHASH_ROWS)]
+        bucket = " || '-' || ".join(cols)
+        selects.append(f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           min(doc_id) OVER w AS canonical_id,
+           count(*)   OVER w AS group_size,
+           doc_id = min(doc_id) OVER w AS is_canonical
+    FROM documents
+    WINDOW w AS (PARTITION BY md5(text))
+    """,
+    tags=("L1",),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup with canonical-id assignment (scale-out J5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# L2 — near-dup: MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l2_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()}
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """,
+    tags=("L2",),
+)
+def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4) candidate near-dup pairs on word 3-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+@query(
+    "l2_simhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    th AS (SELECT doc_id, {h32_sql('token')} AS th FROM tok),
+    contrib AS (
+      SELECT doc_id, bit,
+             CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+      FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) bits),
+    bitsum AS (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+    tags=("L2",),
+)
+def l2_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, "doc_id", "text")
+
+
+_SIMHASH_SIG_CTE = """
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+th AS (SELECT doc_id, {h} AS th FROM tok),
+contrib AS (
+  SELECT doc_id, bit, CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) bits),
+bitsum AS (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY doc_id)
+""".format(h=h32_sql("token"))
+
+
+@query(
+    "l2_simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE},
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bucket
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                      l.simhash AS sh_a, r.simhash AS sh_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    tags=("L2",),
+)
+def l2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) with exact-recall 4x8-bit
+    band blocking (pigeonhole: <=3 differing bits leave >=1 band equal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(docs, "doc_id", "text")
+    return dedup.simhash_neardup_pairs(sig, "doc_id", max_hamming=3)
+
+
+@query(
+    "l2_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 100 * inter >= 60 * (sa.n_sh + sb.n_sh - inter)
+    """,
+    tags=("L2",),
+)
+def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.60 pairs (integer threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold_pct=60)
+
+
+@query(
+    "l2_embedding_neardup_pairs",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           CAST(list_dot_product(l.qv::DOUBLE[], r.qv::DOUBLE[]) AS BIGINT) AS dot_q
+    FROM q l JOIN q r ON l.vec_id < r.vec_id
+    WHERE CAST(list_dot_product(l.qv::DOUBLE[], r.qv::DOUBLE[]) AS BIGINT)
+          >= {int(0.40 * similarity.QUANT * similarity.QUANT)}
+    """,
+    tags=("L2", "L3"),
+)
+def l2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (quantized dot >= 0.40; the synthetic
+    corpus tops out ~0.51). Integer dot products are exact in both engines
+    (products sum to < 2^53, so even DuckDB's double path is exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.40)
+
+
+# ---------------------------------------------------------------------------
+# L3 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l3_knn_bruteforce",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    q AS (SELECT qv FROM c WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CAST(list_dot_product(c.qv::DOUBLE[], q.qv::DOUBLE[]) AS BIGINT) AS dot_q
+    FROM c, q
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3",),
+)
+def l3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 nearest neighbors of vec_id=0 by quantized cosine;
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.knn_bruteforce(emb, q, k=20)
+
+
+def _planes_sql(n_planes: int, dim: int) -> str:
+    """Literal plane arrays as one DuckDB VALUES list: (plane_j, comps)."""
+    rows = ", ".join(
+        f"({j}, {plane_components(j, dim)})" for j in range(n_planes)
+    )
+    return f"(VALUES {rows}) planes(pj, comps)"
+
+
+@query(
+    "l3_ann_lsh_bucketed",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    buck AS (
+      SELECT vec_id, qv,
+             sum(CASE WHEN list_dot_product(qv::DOUBLE[], comps::DOUBLE[]) > 0
+                      THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS bucket
+      FROM c, {_planes_sql(8, 64)}
+      GROUP BY vec_id, qv),
+    q AS (SELECT qv, bucket FROM buck WHERE vec_id = 0)
+    SELECT b.vec_id,
+           CAST(list_dot_product(b.qv::DOUBLE[], q.qv::DOUBLE[]) AS BIGINT) AS dot_q
+    FROM buck b, q WHERE b.bucket = q.bucket
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3",),
+)
+def l3_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 via 8-plane hyperplane-LSH bucketing: score only
+    the query's bucket. Recall vs brute force is measured in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_lsh_bucketed(emb, q, k=20, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# L4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l4_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           len(toks) + len(regexp_extract_all(text, '[a-z][0-9]|[0-9][a-z]'))
+               AS n_tokens_bpe,
+           CAST(list_sum([len(tk) for tk in toks]) AS BIGINT) AS sum_token_len
+    FROM t
+    """,
+    tags=("L4",),
+)
+def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (all-integer output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id", "text")
+
+
+@query(
+    "l4_term_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS coll_freq
+    FROM tok GROUP BY token
+    """,
+    tags=("L4",),
+)
+def l4_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: document + collection frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.term_stats(docs, "doc_id", "text")
+
+
+_EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
+
+
+@query(
+    "l4_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(list_distinct(toks)) AS nd,
+             len(list_intersect(list_distinct(toks), [{_EN}])) AS nstop
+      FROM t)
+    SELECT doc_id,
+           n AS n_tokens,
+           CAST(floor(100.0 * nd / n) AS BIGINT) AS ttr_pct,
+           CAST(nstop AS BIGINT) AS n_en_stopwords,
+           CAST((CASE WHEN n >= 64 THEN 40 WHEN n >= 32 THEN 30
+                      WHEN n >= 16 THEN 20 ELSE 5 END)
+              + (CASE WHEN floor(100.0 * nd / n) >= 60 THEN 40
+                      WHEN floor(100.0 * nd / n) >= 30 THEN 25 ELSE 10 END)
+              + (CASE WHEN nstop >= 2 THEN 20 WHEN nstop >= 1 THEN 10
+                      ELSE 0 END) AS BIGINT) AS quality
+    FROM m
+    """,
+    tags=("L4",),
+)
+def l4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-banded heuristic quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+def _langs_overlap_sql() -> str:
+    cols = []
+    for lang, ws in sorted(text.LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        cols.append(
+            f"len(list_intersect(list_distinct(toks), [{lst}])) AS ov_{lang}"
+        )
+    return ", ".join(cols)
+
+
+@query(
+    "l4_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ov AS (SELECT doc_id, {_langs_overlap_sql()} FROM t),
+    g AS (SELECT *, greatest(ov_de, ov_en, ov_es, ov_fr) AS best FROM ov)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN ov_de = best THEN 'de'
+                WHEN ov_en = best THEN 'en'
+                WHEN ov_es = best THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           CAST(best AS BIGINT) AS lang_score
+    FROM g
+    """,
+    tags=("L4",),
+)
+def l4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID with deterministic lang-asc tie-break
+    (the SQL CASE tests languages in ascending order, matching the Spark
+    argmax's neg-rank tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text")
+
+
+@query(
+    "l4_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    h AS (SELECT doc_id, len(toks) AS n,
+                 [{h16_sql('tk')} for tk in toks] AS hs,
+                 least(8, len(toks)) AS win
+          FROM t)
+    SELECT doc_id,
+           n AS n_tokens,
+           list_min([
+             CAST(list_sum([hs[s + i] * CAST(power(31, win - 1 - i) AS BIGINT)
+                            for i in generate_series(0, win - 1)]) AS BIGINT)
+             for s in generate_series(1, n - win + 1)]) AS fingerprint
+    FROM h
+    """,
+    tags=("L4",),
+)
+def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min 8-token window
+    polynomial hash, 16-bit token hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# L5 — multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l5_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(list_sum([ascii(substr(text, i, 1))
+                          for i in generate_series(1, strlen(text))]) % 997
+               AS BIGINT) AS checksum,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(ascii(substr(text, strlen(text), 1)) AS BIGINT) AS last_byte
+    FROM documents
+    """,
+    tags=("L5",),
+)
+def l5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (Arrow batches); payload = UTF-8 bytes of ascii text, so the
+    oracle recomputes the byte stats from the source column."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.byte_features(mm, "doc_id")
