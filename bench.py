@@ -1,0 +1,80 @@
+"""Benchmark harness (BASELINE.md §b targets; driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Per-query time = wall time of plan + execute + collect on a warm session
+(session startup excluded — it is measured separately as "startup" inside
+the queries map). The headline set spans every operator family: relational
+join/agg/window, as-of join, streaming-shaped upsert, and the LLM
+dedup/similarity/text/multimodal surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather_etl_docker_airflow_project_spark.plans import catalog  # noqa: E402
+from weather_etl_docker_airflow_project_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship",
+    "q1_pricing_summary",
+    "j1_inner_segment_revenue",
+    "j5_anti_customers_without_big_orders",
+    "j8_asof_error_after_click",
+    "w1_top3_orders_per_segment",
+    "a5_rollup_lineitem_status",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l2_simhash_neardup_pairs",
+    "l3_knn_bruteforce",
+    "l3_ann_lsh_bucketed",
+    "l4_token_stats",
+    "l4_fingerprint",
+    "l5_multimodal_features",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    t0 = time.time()
+    spark = build_session(app_name="weather-etl-spark-bench")
+    timings: dict[str, float] = {"startup": round(time.time() - t0, 3)}
+
+    total = 0.0
+    for name in HEADLINE:
+        spec = catalog.REGISTRY[name]
+        t0 = time.time()
+        n = spec.fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
