@@ -6,6 +6,7 @@ from __future__ import annotations
 from . import relational  # noqa: F401
 from . import functions_q  # noqa: F401
 from . import ref_weather  # noqa: F401
+from . import streaming_q  # noqa: F401
 
 try:  # populated in later milestones; keep catalog importable throughout
     from . import llm_q  # noqa: F401

@@ -1,0 +1,172 @@
+"""Streaming query surface (SURVEY.md §2.9 T1-T8) for the driver contract.
+
+Each query runs a REAL Structured Streaming job (file source -> watermark
+-> stateful op -> memory sink, availableNow) and returns the drained
+result. The DuckDB oracles reproduce both the aggregation AND the
+watermark emission rule (windows whose end <= max(ts) - delay) — see
+``streaming/windows.py`` for the validated semantics.
+
+The weather micro-batch pipeline (T1-T3) is exercised as a rows-only
+query: its landing-dir/sink/checkpoint are throwaway temp dirs, which the
+oracle cannot see, but determinism (3 rows, fixed values) is asserted by
+tests/test_weather_fidelity.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import CANNED_WEATHER
+from ..streaming import pipeline, windows
+from .registry import query
+
+_DELAY_SQL = "INTERVAL '1 hour'"
+
+
+@query(
+    "t5_tumbling_window_counts",
+    oracle=f"""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2, 3)
+    SELECT agg.* FROM agg, m WHERE window_end <= mx - {_DELAY_SQL}
+    """,
+    tags=("T4", "T5"),
+)
+def t5_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-day tumbling windows per event_type, run as a real
+    stream; append mode emits only watermark-finalized windows."""
+    ev = windows.stream_events(spark, sf_dir)
+    return windows.run_available_now(windows.tumbling_counts(ev))
+
+
+@query(
+    "t5_sliding_window_counts",
+    oracle=f"""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    starts AS (
+      SELECT event_type, ts,
+             time_bucket(INTERVAL '12 hours', ts) - (k * INTERVAL '12 hours')
+                 AS window_start
+      FROM events, (SELECT unnest([0, 1]) AS k) ks),
+    agg AS (
+      SELECT window_start, window_start + INTERVAL '1 day' AS window_end,
+             event_type, count(*) AS n_events
+      FROM starts GROUP BY 1, 2, 3)
+    SELECT agg.* FROM agg, m WHERE window_end <= mx - {_DELAY_SQL}
+    """,
+    tags=("T5",),
+)
+def t5_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 12h: each event belongs to exactly two
+    windows (window = 2 x slide); oracle enumerates both starts."""
+    ev = windows.stream_events(spark, sf_dir)
+    return windows.run_available_now(windows.sliding_counts(ev))
+
+
+@query(
+    "t6_session_windows",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 30),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '2 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    agg AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '2 hours' AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    m AS (SELECT max(ts) AS mx FROM events WHERE user_id < 30)
+    SELECT agg.* FROM agg, m WHERE session_end <= mx - {_DELAY_SQL}
+    """,
+    tags=("T6",),
+)
+def t6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (2h gap) per user for user_id < 30; the
+    oracle is the classic gaps-and-islands rewrite plus the emission rule."""
+    ev = windows.stream_events(spark, sf_dir).filter(F.col("user_id") < 30)
+    return windows.run_available_now(windows.session_windows(ev))
+
+
+@query(
+    "t7_stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE user_id < 10
+    """,
+    tags=("T7",),
+)
+def t7_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful dedup: the same events land twice as two files
+    processed as two micro-batches (maxFilesPerTrigger=1);
+    dropDuplicatesWithinWatermark's key state removes the second copy, so
+    the stream's output equals the plain distinct relation."""
+    from ..io import load_table
+
+    landing = tempfile.mkdtemp(prefix="dedup_land_")
+    batch = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    windows.land_events_json(batch, landing, copies=2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    deduped = windows.dedup_within_watermark(stream, ["event_id"])
+    out = windows.run_available_now(deduped)
+    return out.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "t8_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    tags=("T8",),
+)
+def t8_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op (applyInPandasWithState): per-user running
+    (count, max) in explicit group state; a single availableNow batch makes
+    the emitted running totals equal the batch aggregate."""
+    ev = windows.stream_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    return windows.run_available_now(
+        windows.stateful_user_stats(ev), output_mode="update"
+    )
+
+
+@query("t2_weather_stream_upsert", oracle=None, tags=("T1", "T2", "T3"))
+def t2_weather_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T3 rows-only check: land canned observations twice, drain the
+    micro-batch file stream, return the sink — idempotence means exactly
+    one copy per (city, utc) regardless of redelivery."""
+    base = tempfile.mkdtemp(prefix="weather_stream_")
+    landing = os.path.join(base, "landing")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    pipeline.land_records(lambda: CANNED_WEATHER, landing)
+    pipeline.land_records(lambda: CANNED_WEATHER, landing)
+    q = pipeline.start_stream(spark, landing, sink, ckpt, available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)

@@ -1,0 +1,213 @@
+"""Event-time streaming operators (SURVEY.md §2.9 T4-T8).
+
+Every operator here runs as a real Structured Streaming query — file
+source, event-time watermark, stateful operator, memory sink — driven to
+completion with ``trigger(availableNow=True)`` so results are
+deterministic and batch-comparable.
+
+Determinism contract (validated empirically): with availableNow + append
+mode, the final watermark is ``max(event_time) - delay``, and exactly the
+windows/sessions whose END is <= that watermark are emitted. The DuckDB
+oracles in ``plans/streaming_q.py`` mirror that emission rule with a
+``HAVING end <= max(ts) - delay`` clause — the watermark semantics are
+part of what the oracle checks, not noise to be worked around.
+
+Scale notes (100 TB): state size is bounded by the watermark (Spark evicts
+windows/sessions/dedup keys older than it); the shuffle is on the group
+keys; ``maxFilesPerTrigger`` bounds per-batch input. These are the same
+knobs a production cluster tunes — nothing below is test-only shape.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. Nanos -> micros with the
+    same integer truncation as the batch reader (io.load_table), so batch
+    oracle and stream agree to the microsecond."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_available_now(stream: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame to a memory sink with availableNow and
+    return the result as a batch DataFrame. Checkpoint + sink name are
+    throwaway uniques (each call is an independent query)."""
+    name = f"msink_{uuid.uuid4().hex}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = stream.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """T4+T5: watermarked tumbling-window counts per event_type. Append
+    mode => only watermark-finalized windows are emitted."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    slide: str = "12 hours",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """T5: sliding-window variant — every event lands in window/slide
+    overlapping windows."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "2 hours",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """T6: session windows per user (gap-based; session end = last event +
+    gap). Emitted when the watermark passes the session end."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], delay: str = "1 hour"
+) -> DataFrame:
+    """T7: stateful streaming dedup with watermark-bounded state (keys
+    older than the watermark are evicted — the TTL that makes dedup state
+    finite on an unbounded stream)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+
+def land_events_json(events: DataFrame, landing_dir: str, copies: int = 2) -> None:
+    """Write the same event rows as N separate JSON files (driver-side
+    collect of a small subset) — a deterministic redelivery fixture for the
+    cross-batch dedup path (with maxFilesPerTrigger=1 each file is its own
+    micro-batch)."""
+    os.makedirs(landing_dir, exist_ok=True)
+    rows = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+    ).collect()
+    import json
+
+    for c in range(copies):
+        tmp = os.path.join(landing_dir, f".copy{c}.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r.asDict()) + "\n")
+        os.rename(tmp, os.path.join(landing_dir, f"copy{c}.json"))
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """T8: arbitrary stateful processing via applyInPandasWithState — a
+    per-user running (count, max) kept in explicit state and emitted every
+    batch. Arrow-batched; state is a plain tuple."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
