@@ -46,11 +46,24 @@ HEADLINE = [
 ]
 
 
+def _warmup(spark) -> None:
+    """Warm the JVM (codegen paths) and the Python worker pool (Arrow/
+    mapInPandas) so per-query timings measure the queries, not one-time
+    process startup — BASELINE.md's targets are 'warm session'."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+    df.groupBy().count().collect()
+    df.mapInPandas(lambda it: (pdf for pdf in it), "id long, h string").count()
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     t0 = time.time()
     spark = build_session(app_name="weather-etl-spark-bench")
-    timings: dict[str, float] = {"startup": round(time.time() - t0, 3)}
+    _warmup(spark)
+    timings: dict[str, float] = {"startup_and_warmup": round(time.time() - t0, 3)}
 
     total = 0.0
     for name in HEADLINE:

@@ -52,7 +52,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
     """Distinct word k-gram shingles per document, exploded to
     (id, shingle) rows. Documents shorter than k tokens contribute their
-    whole token sequence as one shingle."""
+    whole token sequence as one shingle.
+
+    The input is repartitioned BEFORE the explode: a document scan often
+    arrives in file-granularity partitions (one small file = one task),
+    which would serialize the ~100x shingle fan-out onto one core — and at
+    100 TB, repartitioning the pre-explode (small) side moves 100x fewer
+    bytes than shuffling exploded shingles."""
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     grams = F.transform(
@@ -61,19 +68,25 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> D
             " ", F.slice(toks, i.cast("int"), k)
         ),
     )
-    return df.select(
+    return spread.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
 def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
     """16 minhash values per document from exploded shingles: one hash
-    aggregation (map-side partial min, single shuffle on id)."""
-    h = h32(F.col("shingle"))
+    aggregation (map-side partial min, single shuffle on id).
+
+    The md5-derived hash is materialized as a projection column FIRST, so
+    each of the 16 aggregate expressions is plain (a*h+b)%p arithmetic —
+    inlining the md5 subtree 16x made the generated aggregate class large
+    enough that Janino compilation dominated query time."""
+    hashed = sh.select(F.col(id_col), h32(F.col("shingle")).alias("h"))
     mins = [
-        F.min(minhash_perm(h, k)).alias(f"mh{k}") for k in range(len(MINHASH_A))
+        F.min(minhash_perm(F.col("h"), k)).alias(f"mh{k}")
+        for k in range(len(MINHASH_A))
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
@@ -98,6 +111,11 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     buckets = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # Materialize before the self-join: otherwise BOTH join sides recompute
+    # (and re-codegen) the whole shingle->minhash pipeline. At 100 TB this
+    # is a persisted signature table; here MEMORY_AND_DISK.
+    buckets = buckets.persist()
+    buckets.count()
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -125,7 +143,10 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash over distinct tokens: per (doc, bit) sum the +/-1
     contributions of each token hash's bit, then fold sign bits into the
     signature. Two hash aggregations; rows exploded = tokens x 32."""
-    tok = df.select(
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )  # parallelize the tokens x 32-bit fan-out (see shingles())
+    tok = spread.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     ).withColumn("th", h32(F.col("token")))
@@ -163,8 +184,17 @@ def simhash_neardup_pairs(
     buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bb")).select(
         id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    buckets = buckets.persist()  # see lsh_candidate_pairs: one compute, two join sides
+    buckets.count()
     l, r = buckets.alias("l"), buckets.alias("r")
-    pairs = (
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    ).cast("long")
+    # hamming filter BEFORE distinct: candidate volume is bucket-quadratic
+    # (skewed corpora produce huge buckets), and the filter is a cheap
+    # map-side expression — the distinct shuffle then sees only true
+    # near-dups instead of every candidate.
+    return (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -174,15 +204,11 @@ def simhash_neardup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select(
-        "id_a", "id_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
