@@ -1,0 +1,105 @@
+"""Sources/sinks coverage (SURVEY.md §2.1): CSV/JSON schema scans (S7),
+partitioned parquet sink with partition pruning (S8), catalog DDL (S4/S5),
+and the T1 processingTime trigger of the weather stream."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weather_etl_docker_airflow_project_spark.fixtures import CANNED_WEATHER
+from weather_etl_docker_airflow_project_spark.io import (
+    read_csv,
+    read_json,
+    write_partitioned_parquet,
+)
+from weather_etl_docker_airflow_project_spark.sources.jdbc import catalog_ddl
+from weather_etl_docker_airflow_project_spark.streaming.pipeline import (
+    land_records,
+    start_stream,
+)
+
+ROWS = [("Tunis", 22.5, "clear"), ("Sfax", 25.0, "cloudy"), ("Gabes", 28.5, "clear")]
+SCHEMA = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("temp", T.DoubleType()),
+        T.StructField("sky", T.StringType()),
+    ]
+)
+
+
+def test_csv_scan_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "w.csv")
+    df.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, SCHEMA)
+    assert back.schema == SCHEMA
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_json_scan_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "w.json")
+    df.write.json(path)
+    back = read_json(spark, path, SCHEMA)
+    assert back.schema == SCHEMA
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "part")
+    write_partitioned_parquet(df, path, ["sky"])
+    assert os.path.isdir(os.path.join(path, "sky=clear"))
+    pruned = spark.read.parquet(path).filter(F.col("sky") == "clear")
+    assert pruned.count() == 2
+    # the filter must become a partition filter, not a data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sky" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_catalog_ddl_idempotent(spark):
+    catalog_ddl(spark, database="weather_test_db", table="weather")
+    catalog_ddl(spark, database="weather_test_db", table="weather")  # IF NOT EXISTS
+    cols = spark.table("weather_test_db.weather").columns
+    assert cols == [
+        "city", "temperature", "weather", "humidity", "pressure",
+        "wind_speed", "lt", "utc",
+    ]
+    spark.sql("DROP TABLE weather_test_db.weather")
+    spark.sql("DROP DATABASE weather_test_db")
+
+
+def test_stream_processing_time_trigger(spark, tmp_path):
+    """T1: the 2-minute-cadence trigger shape, at 1s for the test; rows
+    landed while the stream runs are picked up by a later micro-batch."""
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    land_records(lambda: CANNED_WEATHER[:2], landing)
+    q = start_stream(
+        spark, landing, sink, ckpt, trigger_interval="1 second"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() == 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert spark.read.parquet(sink).count() == 2
+        land_records(lambda: CANNED_WEATHER, landing)  # 1 new + 2 dups
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.read.parquet(sink).count() == 3:
+                break
+            time.sleep(1)
+        assert spark.read.parquet(sink).count() == 3
+    finally:
+        q.stop()

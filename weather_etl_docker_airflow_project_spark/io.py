@@ -37,6 +37,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    """S7: CSV scan with an explicit schema — never inference in production
+    paths (inference double-reads the data and guesses types)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S7: JSON-lines scan with an explicit schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """S8: hive-layout partitioned parquet sink. Readers filtering on the
+    partition columns scan only matching directories (partition pruning);
+    choose low-cardinality columns (date, source) — at 100 TB, thousands of
+    partitions is healthy, millions of tiny files is not."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All testdata tables as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
