@@ -7,14 +7,7 @@ from . import relational  # noqa: F401
 from . import functions_q  # noqa: F401
 from . import ref_weather  # noqa: F401
 from . import streaming_q  # noqa: F401
-
-try:  # populated in later milestones; keep catalog importable throughout
-    from . import llm_q  # noqa: F401
-except ImportError:
-    pass
-try:
-    from . import streaming_q  # noqa: F401
-except ImportError:
-    pass
+from . import llm_q  # noqa: F401
+from . import io_q  # noqa: F401
 
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402

@@ -68,7 +68,7 @@ def f5_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     WHERE p_partkey <= 200
     """,
-    tags=("F6",),
+    tags=("F4", "F6"),
 )
 def f6_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)

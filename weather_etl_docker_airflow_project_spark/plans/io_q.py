@@ -1,0 +1,140 @@
+"""Source/sink query surface (SURVEY.md §2.1 S3-S9, §2.2 P4) for the
+driver contract: catalog DDL + append round-trip, CSV scan with explicit
+schema, partitioned parquet sink with partition-pruned read-back, and the
+null-predicate guard.
+
+The JDBC writer itself (sources/jdbc.py, S3) cannot execute here — no
+MySQL in this environment — so the catalog round-trip exercises the same
+``mode('append')`` write path against the session catalog; swapping the
+format string is the only difference at the call site.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fixtures import CANNED_WEATHER, EXPECTED_WEATHER_ROWS
+from ..functions.weather import transform_weather
+from ..io import load_table, read_csv, write_partitioned_parquet
+from ..sources.jdbc import catalog_ddl
+from ..sources.rest import records_to_df
+from .registry import query
+
+
+def _values_sql() -> str:
+    rows = ", ".join(
+        "('{}', CAST({} AS FLOAT), '{}', {}, {}, CAST({} AS FLOAT), '{}', '{}')".format(*r)
+        for r in EXPECTED_WEATHER_ROWS
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(city, temperature, weather, "
+        "humidity, pressure, wind_speed, lt, utc)"
+    )
+
+
+@query(
+    "s5_catalog_weather_roundtrip",
+    oracle=_values_sql(),
+    tags=("S3", "S4", "S5", "S9"),
+)
+def s5_catalog_weather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL bootstrap + append + read-back on the session catalog: the
+    reference's create-database/create-table/insert chain
+    (weather_etl.py:35-87,170-184) as idempotent catalog operations. The
+    oracle is the literal golden rows — FLOAT-cast exactly like the sink
+    schema (MySQL FLOAT parity, weather_etl.py:70,74)."""
+    import os
+    import shutil
+
+    # a managed-table location can survive a previous session whose catalog
+    # (in-memory derby) is gone; IF NOT EXISTS then trips on the stale dir
+    spark.sql("DROP TABLE IF EXISTS weather_db.weather")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(
+        warehouse.removeprefix("file:"), "weather_db.db", "weather"
+    )
+    shutil.rmtree(stale, ignore_errors=True)
+
+    catalog_ddl(spark, database="weather_db", table="weather")
+    flat = transform_weather(records_to_df(spark, CANNED_WEATHER))
+    flat.write.insertInto("weather_db.weather", overwrite=True)
+    return spark.table("weather_db.weather")
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@query(
+    "s7_csv_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tags=("S7",),
+)
+def s7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-first scan round-trip of the documents table —
+    no inference, types pinned by the explicit StructType."""
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    return read_csv(spark, out, _DOCS_SCHEMA)
+
+
+@query(
+    "s8_partitioned_scan",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+    tags=("S8",),
+)
+def s8_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned read-back: events written
+    hive-layout by event_type; the equality filter prunes to one of five
+    partition directories before any data is read."""
+    out = tempfile.mkdtemp(prefix="part_scan_")
+    events = load_table(spark, sf_dir, "events")
+    write_partitioned_parquet(events, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    return back.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "p4_null_guard",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    WHERE o.o_orderkey IS NULL
+    """,
+    tags=("P4", "J2"),
+)
+def p4_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null predicate over the outer side of a conditional left join:
+    customers with no >400k order, detected via IS NULL on the unmatched
+    side (the data-plane analogue of the reference's fail-fast
+    missing-value guard, weather_etl.py:98-99; same relation as J5's
+    anti-join, proving the two formulations agree)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_totalprice > 400000),
+        "left",
+    )
+    return joined.filter(F.col("o_orderkey").isNull()).select("c_custkey", "c_name")

@@ -49,7 +49,7 @@ def _sum_money(col: str, alias: str):
     ORDER BY revenue DESC, c_custkey ASC
     LIMIT 10
     """,
-    tags=("J1", "J3", "A2", "O1", "O2"),
+    tags=("S6", "J1", "J3", "A2", "O1", "O2"),
 )
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 BUILDING-segment customers by discounted revenue.
