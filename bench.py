@@ -75,6 +75,32 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
+    # Batch-upsert throughput (BASELINE.md: >= 10^4 rows/s vs the
+    # reference's 1 row per 2-minute run): fresh load of the events table
+    # into an empty sink, then full redelivery (anti-join drops all rows).
+    import tempfile
+
+    from weather_etl_docker_airflow_project_spark.io import load_table
+    from weather_etl_docker_airflow_project_spark.operators.upsert import upsert_parquet
+
+    sink = os.path.join(tempfile.mkdtemp(prefix="bench_upsert_"), "sink")
+    events = load_table(spark, SF_DIR, "events")
+    n_rows = events.count()
+    t0 = time.time()
+    appended = upsert_parquet(spark, events, sink, ["event_id"])
+    dt = time.time() - t0
+    timings["upsert_fresh"] = round(dt, 3)
+    timings["upsert_rows_per_sec"] = round(appended / dt, 1)
+    t0 = time.time()
+    upsert_parquet(spark, events, sink, ["event_id"])  # all dups -> 0 appended
+    timings["upsert_redeliver"] = round(time.time() - t0, 3)
+    total += timings["upsert_fresh"] + timings["upsert_redeliver"]
+    print(
+        f"# upsert: {appended}/{n_rows} rows in {dt:.2f}s"
+        f" ({appended / dt:.0f} rows/s)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

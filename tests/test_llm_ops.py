@@ -94,6 +94,23 @@ def test_ann_results_are_exact_scores_from_query_bucket(spark):
         assert brute[r["vec_id"]] == r["dot_q"]
 
 
+def test_ann_multiprobe_improves_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7)
+    brute = [r["vec_id"] for r in similarity.knn_bruteforce(emb, q, k=20).collect()]
+    single = {r["vec_id"] for r in similarity.ann_lsh_bucketed(emb, q, k=20).collect()}
+    multi = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_bucketed(emb, q, k=20, multiprobe=8).collect()
+    }
+    assert single <= multi                      # probes only add candidates
+    recall_s = len(single & set(brute)) / 20
+    recall_m = len(multi & set(brute)) / 20
+    assert recall_m >= recall_s                 # more probes never hurt
+    assert 7 in multi                           # self always retrieved
+    assert recall_m > 0
+
+
 def test_fingerprint_append_monotone(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     df = spark.createDataFrame(

@@ -121,18 +121,28 @@ def ann_lsh_bucketed(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane-LSH bucket. Sub-linear probe cost; recall measured against
-    ``knn_bruteforce`` in tests (multi-probe = widen with neighboring
-    buckets at 1 hamming bit if the bucket underfills — left to callers)."""
+    ``knn_bruteforce`` in tests.
+
+    ``multiprobe=m`` additionally probes every bucket within hamming
+    distance 1 obtained by flipping one of the first m sign bits — the
+    standard recall/cost dial: vectors near a hyperplane fall on either
+    side, so flipping the least-confident bits recovers them. m=n_planes
+    probes 1+n_planes buckets; m=0 is single-bucket."""
     corpus = embeddings.withColumn(
         "bucket", hyperplane_signs(F.col(vec_col), n_planes, dim)
+    )
+    qbucket = hyperplane_signs(F.col(vec_col), n_planes, dim)
+    probes = F.array(
+        qbucket, *[qbucket.bitwiseXOR(F.lit(1 << j)) for j in range(multiprobe)]
     )
     qb = F.broadcast(
         query.select(
             quantize(F.col(vec_col)).alias("qvec"),
-            hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+            F.explode(probes).alias("bucket"),
         )
     )
     return (

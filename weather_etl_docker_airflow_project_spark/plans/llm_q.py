@@ -278,6 +278,41 @@ def l3_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_bucketed(emb, q, k=20, n_planes=8, dim=64)
 
 
+_PROBE_LIST = "[bucket, " + ", ".join(f"xor(bucket, {1 << j})" for j in range(8)) + "]"
+
+
+@query(
+    "l3_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    buck AS (
+      SELECT vec_id, qv,
+             sum(CASE WHEN list_dot_product(qv::DOUBLE[], comps::DOUBLE[]) > 0
+                      THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS bucket
+      FROM c, {_planes_sql(8, 64)}
+      GROUP BY vec_id, qv),
+    q AS (SELECT qv, bucket FROM buck WHERE vec_id = 0),
+    probes AS (SELECT qv, unnest({_PROBE_LIST}) AS bucket FROM q)
+    SELECT b.vec_id,
+           CAST(list_dot_product(b.qv::DOUBLE[], p.qv::DOUBLE[]) AS BIGINT) AS dot_q
+    FROM buck b JOIN probes p ON b.bucket = p.bucket
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3",),
+)
+def l3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: the query's bucket plus all 8 hamming-1 neighbors
+    (one sign bit flipped) — the recall/cost dial for vectors that fall
+    near a separating hyperplane. Each corpus vector lives in exactly one
+    bucket, so probes never duplicate candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_lsh_bucketed(
+        emb, q, k=20, n_planes=8, dim=64, multiprobe=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # L4 — text analysis
 # ---------------------------------------------------------------------------
