@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the perf-critical plan properties the
+engine relies on at scale (pushdown, pruning, broadcast selection, top-k
+without global sort, cached LSH buckets) asserted on the executed plans so
+they can't silently regress."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from weather_etl_docker_airflow_project_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = catalog.REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_plan(spark):
+    plan = _formatted_plan(spark, "flagship")
+    # the dimension filter must be pushed into the customer parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # customer joins as the broadcast side
+    assert "BroadcastHashJoin" in plan
+    # ORDER BY + LIMIT compiles to per-partition top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pruned_projection_reaches_scan(spark):
+    plan = _formatted_plan(spark, "p6_pruned_projection")
+    scan = plan.split("Scan parquet", 1)[1]
+    read_schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    # 2 of lineitem's 16 columns survive to the scan
+    assert "l_returnflag" in read_schema and "l_shipdate" in read_schema
+    assert read_schema.count(":") == 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_knn_is_topk_with_broadcast(spark):
+    plan = _formatted_plan(spark, "l3_knn_bruteforce")
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan
+
+
+def test_anti_join_reads_only_keys(spark, tmp_path):
+    """The upsert's sink-side scan must be pruned to the key columns."""
+    from weather_etl_docker_airflow_project_spark.fixtures import CANNED_WEATHER
+    from weather_etl_docker_airflow_project_spark.streaming.pipeline import run_cycle
+
+    sink = str(tmp_path / "sink")
+    run_cycle(spark, lambda: CANNED_WEATHER, sink)
+
+    from weather_etl_docker_airflow_project_spark.functions.weather import (
+        transform_weather,
+    )
+    from weather_etl_docker_airflow_project_spark.operators.upsert import (
+        dedup_new_rows,
+    )
+    from weather_etl_docker_airflow_project_spark.sources.rest import records_to_df
+
+    incoming = transform_weather(records_to_df(spark, CANNED_WEATHER))
+    existing = spark.read.parquet(sink).select("city", "utc")
+    new_rows = dedup_new_rows(incoming, existing, ["city", "utc"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        new_rows.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan
+    sink_scan = [
+        part
+        for part in plan.split("Scan parquet")
+        if "ReadSchema:" in part and "city" in part.split("ReadSchema:", 1)[1].splitlines()[0]
+    ]
+    assert any(
+        part.split("ReadSchema:", 1)[1].splitlines()[0].count(":") == 2
+        for part in sink_scan
+    ), "sink scan must read only (city, utc)"

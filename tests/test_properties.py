@@ -1,0 +1,108 @@
+"""Property-based tests (SURVEY.md §5.3): upsert idempotence, dedup-key
+uniqueness, and timestamp round-trip over hypothesis-generated inputs.
+
+Spark actions are expensive, so properties run BATCHED: hypothesis
+generates whole record lists, one Spark job verifies the property for the
+entire list (max_examples kept small, deadline disabled)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from weather_etl_docker_airflow_project_spark.functions.weather import transform_weather
+from weather_etl_docker_airflow_project_spark.operators.upsert import dedup_new_rows
+from weather_etl_docker_airflow_project_spark.sources.rest import records_to_df
+
+CITIES = ["Tunis", "Sfax", "Mumbai", "Lima", "Oslo"]
+
+records = st.lists(
+    st.fixed_dictionaries(
+        {
+            "name": st.sampled_from(CITIES),
+            "dt": st.integers(min_value=0, max_value=2_000_000_000),
+            "timezone": st.integers(min_value=-50400, max_value=50400),
+            "main": st.fixed_dictionaries(
+                {
+                    "temp": st.floats(-90, 60, allow_nan=False, width=32),
+                    "humidity": st.integers(0, 100),
+                    "pressure": st.integers(850, 1100),
+                }
+            ),
+            "weather": st.lists(
+                st.fixed_dictionaries(
+                    {"description": st.sampled_from(["clear", "rain", "mist"]),
+                     "main": st.just("X")}
+                ),
+                min_size=1,
+                max_size=2,
+            ),
+            "wind": st.fixed_dictionaries(
+                {"speed": st.floats(0, 120, allow_nan=False, width=32)}
+            ),
+        }
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(recs=records)
+@SLOW
+def test_transform_total_and_key_complete(spark, recs):
+    """transform never drops rows, and every output row has a complete
+    (city, utc) dedup key."""
+    flat = transform_weather(records_to_df(spark, recs)).collect()
+    assert len(flat) == len(recs)
+    assert all(r["city"] is not None and r["utc"] is not None for r in flat)
+
+
+@given(recs=records)
+@SLOW
+def test_dedup_against_self_is_empty(spark, recs):
+    """load . load == load: a batch anti-joined against its own key set
+    yields nothing (the idempotence that makes redelivery safe)."""
+    flat = transform_weather(records_to_df(spark, recs))
+    again = dedup_new_rows(flat, flat.select("city", "utc"), ["city", "utc"])
+    assert again.count() == 0
+
+
+@given(recs=records)
+@SLOW
+def test_dedup_key_unique_after_batch_dedup(spark, recs):
+    """dedup_new_rows against an empty sink never emits two rows with the
+    same (city, utc) — intra-batch duplicates collapse."""
+    flat = transform_weather(records_to_df(spark, recs))
+    empty = flat.select("city", "utc").limit(0)
+    out = dedup_new_rows(flat, empty, ["city", "utc"])
+    assert out.count() == out.select("city", "utc").distinct().count()
+
+
+@given(dts=st.lists(st.integers(0, 2_000_000_000), min_size=1, max_size=16))
+@SLOW
+def test_timestamp_roundtrip(spark, dts):
+    """The stored 'yyyy-MM-dd HH:mm:ss' string renders the exact UTC
+    instant: parsing it back yields the original epoch (F1/F3 inverse,
+    weather_etl.py:119,130)."""
+    recs = [
+        {"name": "X", "dt": d, "timezone": 0,
+         "main": {"temp": 1.0, "humidity": 1, "pressure": 1000},
+         "weather": [{"description": "clear", "main": "C"}],
+         "wind": {"speed": 1.0}}
+        for d in set(dts)
+    ]
+    flat = transform_weather(records_to_df(spark, recs)).collect()
+    back = {
+        int(datetime.strptime(r["utc"], "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=timezone.utc).timestamp())
+        for r in flat
+    }
+    assert back == set(dts)

@@ -63,7 +63,11 @@ def asof_join(
 
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col(_TAG).asc())
+        # payload columns as final sort keys: two right rows at the same
+        # (by, ts) would otherwise carry whichever sorted last — fine for
+        # unique event streams, nondeterministic (and oracle-hash-breaking)
+        # for duplicated ones
+        .orderBy(F.col(on).asc(), F.col(_TAG).asc(), *[F.col(p).asc_nulls_first() for p in payload])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_side.unionByName(r_side).select(

@@ -217,6 +217,59 @@ def l2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.40)
 
 
+@query(
+    "l2_neardup_pipeline",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    sets AS (SELECT doc_id, list(shingle) AS ls, count(*) AS n_sh
+             FROM sh GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.ls, b.ls)) AS inter,
+           a.n_sh + b.n_sh - len(list_intersect(a.ls, b.ls)) AS uni
+    FROM cand c
+    JOIN sets a ON a.doc_id = c.id_a
+    JOIN sets b ON b.doc_id = c.id_b
+    WHERE 100 * len(list_intersect(a.ls, b.ls))
+          >= 60 * (a.n_sh + b.n_sh - len(list_intersect(a.ls, b.ls)))
+    """,
+    tags=("L2",),
+)
+def l2_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape end-to-end: MinHash-LSH generates
+    candidates (sub-quadratic), then exact Jaccard verifies ONLY the
+    candidate pairs via per-doc shingle sets — work proportional to
+    candidates, never to n^2. This is the composition the full-corpus
+    ``l2_ngram_jaccard_pairs`` stands in for at small scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    sh = dedup.shingles(docs, "doc_id", "text")
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("ls"), F.count("*").alias("n_sh")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("ls").alias("ls_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("ls").alias("ls_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ls_a"), F.col("ls_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            (F.col("n_a") + F.col("n_b") - inter).alias("uni"),
+        )
+        .filter(F.lit(100) * F.col("inter") >= F.lit(60) * F.col("uni"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # L3 — similarity search
 # ---------------------------------------------------------------------------
@@ -447,6 +500,49 @@ def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial hash, 16-bit token hashes)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.fingerprint(docs, "doc_id", "text")
+
+
+@query(
+    "l4_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.doc_freq ASC,
+                                         tf.token ASC) AS rn
+      FROM tf JOIN df ON tf.token = df.token)
+    SELECT doc_id, token, tf, doc_freq, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("L4",),
+)
+def l4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped top terms: per-doc term frequency joined to the
+    (tiny, broadcast) document-frequency table, top-3 per doc ranked by
+    (tf desc, rarity asc, token asc) — integer ranking, no float idf, so
+    the oracle hash is exact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    ranked = tf.join(F.broadcast(df_), "token").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("tf").desc(), F.col("doc_freq").asc(), F.col("token").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 3).select(
+        "doc_id", "token", "tf", "doc_freq", "rn"
+    )
 
 
 # ---------------------------------------------------------------------------
