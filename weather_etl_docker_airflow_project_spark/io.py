@@ -58,6 +58,26 @@ def write_partitioned_parquet(
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (hash-partitioned files + metadata): two
+    tables bucketed the same way on the join key sort-merge-join with NO
+    exchange on either side — the shuffle is paid once at write time, then
+    every subsequent join of any two co-bucketed tables is shuffle-free.
+    This is the batch answer to repeated large-fact joins at 100 TB
+    (n_buckets ~ cluster cores; same bucketing spec on both tables)."""
+    writer = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).format("parquet").saveAsTable(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All testdata tables as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
