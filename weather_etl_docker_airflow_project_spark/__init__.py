@@ -16,3 +16,24 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Curated top-level API: a reference user's day-one surface.
+from .session import build_session  # noqa: E402,F401
+from .io import load_table, load_tables, register_views  # noqa: E402,F401
+from .functions.weather import transform_weather  # noqa: E402,F401
+from .operators.upsert import upsert_parquet  # noqa: E402,F401
+from .operators.asof import asof_join  # noqa: E402,F401
+from .streaming.pipeline import land_records, run_cycle, start_stream  # noqa: E402,F401
+
+__all__ = [
+    "build_session",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "transform_weather",
+    "upsert_parquet",
+    "asof_join",
+    "land_records",
+    "run_cycle",
+    "start_stream",
+]

@@ -326,6 +326,41 @@ def j7_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVALS = [(k, k * 7.5, k * 7.5 + 15.0) for k in range(13)]
+
+
+@query(
+    "j7_bucketed_interval_join",
+    oracle=f"""
+    SELECT i.interval_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES {", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in _INTERVALS)})
+         AS i(interval_id, lo, hi)
+      ON e.value >= i.lo AND e.value < i.hi
+    GROUP BY i.interval_id
+    """,
+    tags=("J7",),
+)
+def j7_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-x-big range join via bucket decomposition (operators/rangejoin):
+    13 overlapping [k*7.5, k*7.5+15) intervals over event values, matched
+    through a hash-shuffle equi-join on fixed-width buckets + exact refine
+    — the oracle is the plain theta join, proving the rewrite exact."""
+    from ..operators.rangejoin import bucketed_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    intervals = spark.createDataFrame(
+        _INTERVALS, "interval_id int, lo double, hi double"
+    )
+    joined = bucketed_interval_join(
+        e, intervals, point_col="value", lo_col="lo", hi_col="hi", bucket_width=7.5
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"), _sum_money("value", "total_value")
+    )
+
+
 @query(
     "j8_asof_error_after_click",
     oracle="""
