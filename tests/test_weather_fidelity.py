@@ -95,4 +95,10 @@ def test_stream_cycle_available_now(spark, tmp_path):
 def test_extract_fail_fast():
     """Missing config raises (weather_etl.py:98-99 fail-fast guard)."""
     with pytest.raises(ExtractError):
-        build_owm_url("", "Tunis", "TN")
+        build_owm_url("", "Tunis", "fr", "metric")
+    url = build_owm_url("KEY", "Marseille", "fr", "metric")
+    # exact reference URL shape (weather_etl.py:103)
+    assert url == (
+        "http://api.openweathermap.org/data/2.5/weather"
+        "?q=Marseille&lang=fr&appid=KEY&units=metric"
+    )

@@ -31,15 +31,32 @@ class ExtractError(RuntimeError):
     weather_etl.py:99,110)."""
 
 
-def build_owm_url(api_key: str, city: str, country: str) -> str:
-    """URL construction as the reference does (weather_etl.py:103)."""
-    if not api_key or not city or not country:
+def build_owm_url(api_key: str, city: str, lang: str, units: str) -> str:
+    """URL construction exactly as the reference does (weather_etl.py:103:
+    ``q={city}&lang={lang}&appid={api_key}&units={units}``), with the same
+    fail-fast guard over the same four env-sourced values (:93-99)."""
+    if not api_key or not city or not lang or not units:
         # fail-fast env validation (weather_etl.py:98-99)
-        raise ExtractError("missing api_key/city/country configuration")
+        raise ExtractError("missing api_key/city/lang/units configuration")
     return (
-        "https://api.openweathermap.org/data/2.5/weather"
-        f"?q={city},{country}&appid={api_key}&units=metric"
+        "http://api.openweathermap.org/data/2.5/weather"
+        f"?q={city}&lang={lang}&appid={api_key}&units={units}"
     )
+
+
+def fetch_from_env() -> list[dict]:
+    """Production fetch closure honoring the reference's .env contract
+    (README.md:66-72: WEATHER_API_KEY / WEATHER_CITY / WEATHER_LANG /
+    WEATHER_UNITS)."""
+    import os
+
+    url = build_owm_url(
+        os.getenv("WEATHER_API_KEY", ""),
+        os.getenv("WEATHER_CITY", ""),
+        os.getenv("WEATHER_LANG", ""),
+        os.getenv("WEATHER_UNITS", ""),
+    )
+    return [fetch_json(url)]
 
 
 def fetch_json(url: str, timeout: float = 10.0) -> dict:
