@@ -94,6 +94,23 @@ def test_ann_results_are_exact_scores_from_query_bucket(spark):
         assert brute[r["vec_id"]] == r["dot_q"]
 
 
+def test_hot_bucket_cap_bounds_pair_volume(spark):
+    """max_bucket_size drops over-popular buckets: identical docs in a
+    small group still pair, while a hot 20-doc bucket is excluded."""
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(20)]
+        + [(100, "rare unique document pair alpha"), (101, "rare unique document pair alpha")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(dedup.shingles(docs, "doc_id", "text"), "doc_id")
+    capped = dedup.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 20 and b < 20 for a, b in pairs)
+    uncapped = dedup.lsh_candidate_pairs(sig, "doc_id")
+    assert len({(r["id_a"], r["id_b"]) for r in uncapped.collect()}) == 190 + 1
+
+
 def test_ann_multiprobe_improves_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 7)

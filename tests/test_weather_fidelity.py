@@ -92,6 +92,18 @@ def test_stream_cycle_available_now(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 3
 
 
+def test_load_error_swallow_parity(spark, tmp_path):
+    """Reference parity: the load task swallows sink errors (log-only
+    except, weather_etl.py:190-191) so a failed load doesn't fail the run;
+    strict mode (our default) propagates instead."""
+    not_a_dir = tmp_path / "file_in_the_way"
+    not_a_dir.write_text("occupied")
+    sink = str(not_a_dir / "weather")  # parent is a file -> write fails
+    assert run_cycle(spark, lambda: CANNED_WEATHER, sink, strict_load=False) == 0
+    with pytest.raises(Exception):
+        run_cycle(spark, lambda: CANNED_WEATHER, sink, strict_load=True)
+
+
 def test_extract_fail_fast():
     """Missing config raises (weather_etl.py:98-99 fail-fast guard)."""
     with pytest.raises(ExtractError):

@@ -36,6 +36,17 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4      # 4 x 8-bit bands => exact-recall blocking for d<=3
 
 
+def _spread_for_explode(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism before a fan-out explode
+    — but never shrink an input that is already well-partitioned (a 100 TB
+    scan arrives with thousands of partitions; collapsing it to core count
+    would be the opposite bug)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(id_col))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """L1: content-hash dedup. Returns every row with its hash, the
     canonical (minimum) id for that hash, and an ``is_canonical`` flag —
@@ -54,12 +65,12 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> D
     (id, shingle) rows. Documents shorter than k tokens contribute their
     whole token sequence as one shingle.
 
-    The input is repartitioned BEFORE the explode: a document scan often
-    arrives in file-granularity partitions (one small file = one task),
-    which would serialize the ~100x shingle fan-out onto one core — and at
+    The input is spread BEFORE the explode: a document scan often arrives
+    in file-granularity partitions (one small file = one task), which
+    would serialize the ~100x shingle fan-out onto one core — and at
     100 TB, repartitioning the pre-explode (small) side moves 100x fewer
     bytes than shuffling exploded shingles."""
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    spread = _spread_for_explode(df, id_col)
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     grams = F.transform(
@@ -89,7 +100,24 @@ def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
     return hashed.groupBy(id_col).agg(*mins)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+def _drop_hot_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Optionally exclude buckets above a population cap before the
+    pair-generating self-join: pair volume is quadratic per bucket, so one
+    pathological bucket (boilerplate, empty docs, a common template)
+    dominates the whole job. Dropping "too common to be a useful
+    similarity signal" buckets is the standard production tradeoff —
+    recall loss is confined to pairs whose ONLY collision is the hot
+    bucket."""
+    if max_bucket_size is None:
+        return buckets
+    counts = buckets.groupBy("band", "bucket").count()
+    keep = counts.filter(F.col("count") <= max_bucket_size).drop("count")
+    return buckets.join(keep, ["band", "bucket"], "left_semi")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """LSH banding: bucket key = concatenated band values; candidate pairs
     are distinct (a < b) sharing any band bucket. The self-join is per
     (band, bucket) — never a global cross join."""
@@ -114,7 +142,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     # Materialize before the self-join: otherwise BOTH join sides recompute
     # (and re-codegen) the whole shingle->minhash pipeline. At 100 TB this
     # is a persisted signature table; here MEMORY_AND_DISK.
-    buckets = buckets.persist()
+    buckets = _drop_hot_buckets(buckets, max_bucket_size).persist()
     buckets.count()
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -143,9 +171,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash over distinct tokens: per (doc, bit) sum the +/-1
     contributions of each token hash's bit, then fold sign bits into the
     signature. Two hash aggregations; rows exploded = tokens x 32."""
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )  # parallelize the tokens x 32-bit fan-out (see shingles())
+    spread = _spread_for_explode(df, id_col)  # parallelize the tokens x 32 fan-out
     tok = spread.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
@@ -168,7 +194,10 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    sig: DataFrame, id_col: str, max_hamming: int = 3
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
     4x8-bit bands (exact recall for max_hamming <= SIMHASH_BANDS - 1)."""
@@ -184,7 +213,8 @@ def simhash_neardup_pairs(
     buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bb")).select(
         id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    buckets = buckets.persist()  # see lsh_candidate_pairs: one compute, two join sides
+    # hot-bucket cap + persist: see lsh_candidate_pairs
+    buckets = _drop_hot_buckets(buckets, max_bucket_size).persist()
     buckets.count()
     l, r = buckets.alias("l"), buckets.alias("r")
     hamming = F.bit_count(
