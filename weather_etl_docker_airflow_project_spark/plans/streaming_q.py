@@ -156,6 +156,54 @@ def t8_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t9_stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '1 hour'
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+      AND e.user_id < 50
+    """,
+    tags=("T4", "T5"),
+)
+def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner self-join with event-time range condition:
+    every (click, error-within-1h) pair per user. Watermarks on both
+    sides + the time constraint bound the join state Spark must buffer —
+    the condition that makes stream-stream joins feasible on unbounded
+    input. availableNow drains in one batch, so the buffered join equals
+    the batch theta join the oracle runs."""
+    clicks = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("user_id") < 50))
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("error_id", "click_id", "user_id")
+    return windows.run_available_now(joined)
+
+
 @query("t2_weather_stream_upsert", oracle=None, tags=("T1", "T2", "T3"))
 def t2_weather_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T3 rows-only check: land canned observations twice, drain the
