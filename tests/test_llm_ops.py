@@ -128,6 +128,26 @@ def test_ann_multiprobe_improves_recall(spark):
     assert recall_m > 0
 
 
+def test_ivf_cells_partition_corpus_and_search_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = similarity.ivf_cells(emb, seed_modulus=125)
+    n = emb.count()
+    assert cells.count() == n                       # total partition, no loss
+    assert cells.select("vec_id").distinct().count() == n
+    seeds = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    assert seeds <= {r["vec_id"] for r in emb.filter(F.col("vec_id") % 125 == 0).collect()}
+    # every seed assigns to its own cell (self-dot is max)
+    own = cells.filter(F.col("vec_id") % 125 == 0)
+    assert all(r["vec_id"] == r["cell"] for r in own.collect())
+
+    q = emb.filter(F.col("vec_id") == 7)
+    found = similarity.ivf_search(emb, q, k=10, n_probe=2, seed_modulus=125)
+    rows = found.collect()
+    assert rows[0]["vec_id"] == 7                   # query in its own cell
+    brute = {r["vec_id"]: r["dot_q"] for r in similarity.knn_bruteforce(emb, q, k=10**6).collect()}
+    assert all(brute[r["vec_id"]] == r["dot_q"] for r in rows)  # exact scores
+
+
 def test_fingerprint_append_monotone(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     df = spark.createDataFrame(

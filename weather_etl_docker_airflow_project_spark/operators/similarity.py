@@ -95,6 +95,85 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_cells(
+    embeddings: DataFrame,
+    seed_modulus: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer with deterministic seed centroids: every
+    vector whose id % seed_modulus == 0 is a centroid; each corpus vector
+    assigns to its max-dot centroid (exact integer dots, ties to the
+    smallest seed id). Returns (id, qv, cell).
+
+    Seeds-as-data keeps the index reproducible across engines and
+    sessions — the trade against learned k-means centroids (better cell
+    balance, RNG + iteration order dependence) is deliberate: a learned
+    quantizer can't be hash-checked by an SQL oracle. Swap in Spark ML
+    KMeans behind the same (id, cell) contract when approximate oracles
+    are acceptable."""
+    from pyspark.sql import Window
+
+    qdf = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    )
+    seeds = qdf.filter(F.col(id_col) % seed_modulus == 0).select(
+        F.col(id_col).alias("sid"), F.col("qv").alias("sv")
+    )
+    scored = qdf.crossJoin(F.broadcast(seeds)).select(
+        id_col, "qv", "sid", int_dot(F.col("qv"), F.col("sv")).alias("sdot")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sdot").desc(), F.col("sid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "qv", F.col("sid").alias("cell"))
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    n_probe: int = 2,
+    seed_modulus: int = 125,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only corpus vectors in the query's n_probe nearest
+    cells. At scale the celled corpus is written partitioned by cell
+    (partition pruning does the probe); recall dials with n_probe."""
+    from pyspark.sql import Window
+
+    cells = ivf_cells(embeddings, seed_modulus, id_col, vec_col)
+    # ranking the query's seed dots picks the probe cells
+    qv = query.select(quantize(F.col(vec_col)).alias("query_qv"))
+    seed_vecs = (
+        embeddings.filter(F.col(id_col) % seed_modulus == 0)
+        .select(F.col(id_col).alias("sid"), quantize(F.col(vec_col)).alias("sv"))
+    )
+    qcells = (
+        qv.crossJoin(F.broadcast(seed_vecs))
+        .select("query_qv", "sid", int_dot(F.col("query_qv"), F.col("sv")).alias("sdot"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("sdot").desc(), F.col("sid").asc())
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_qv", F.col("sid").alias("cell"))
+    )
+    return (
+        cells.join(F.broadcast(qcells), "cell")
+        .select(
+            F.col(id_col), int_dot(F.col("qv"), F.col("query_qv")).alias("dot_q")
+        )
+        .orderBy(F.col("dot_q").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
     """LSH bucket id: sign bits of dot products with n_planes deterministic
     pseudo-random hyperplanes (md5-derived literal components via

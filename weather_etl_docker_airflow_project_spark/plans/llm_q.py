@@ -366,6 +366,45 @@ def l3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOT = "CAST(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
+
+
+@query(
+    "l3_ivf_search",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM c WHERE vec_id % 125 = 0),
+    assign AS (
+      SELECT c.vec_id, c.qv, s.sid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_DOT.format(a="c.qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM c, seeds s),
+    cells AS (SELECT vec_id, qv, sid AS cell FROM assign WHERE rn = 1),
+    q AS (SELECT qv AS query_qv FROM c WHERE vec_id = 0),
+    qrank AS (
+      SELECT s.sid AS cell, q.query_qv,
+             row_number() OVER (
+               ORDER BY {_DOT.format(a="q.query_qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM q, seeds s),
+    probe AS (SELECT cell, query_qv FROM qrank WHERE rn <= 2)
+    SELECT cl.vec_id, {_DOT.format(a="cl.qv", b="p.query_qv")} AS dot_q
+    FROM cells cl JOIN probe p ON cl.cell = p.cell
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3",),
+)
+def l3_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity search: deterministic seed centroids (vec_id % 125),
+    corpus assigned to max-dot cells, query probes its 2 nearest cells.
+    At scale the celled corpus is a partitioned table and the probe is
+    partition pruning; here the whole index build + probe is one plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_search(emb, q, k=20, n_probe=2, seed_modulus=125)
+
+
 # ---------------------------------------------------------------------------
 # L4 — text analysis
 # ---------------------------------------------------------------------------
