@@ -326,6 +326,60 @@ def j7_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a8_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A2", "A6"),
+)
+def a8_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority spread across status columns.
+    Explicit pivot values keep the output schema static (no extra
+    distinct-scan job, and a stable contract at any scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@query(
+    "a9_unpivot_status_counts",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'F' AS status, n_f AS n FROM p
+    UNION ALL SELECT o_orderpriority, 'O', n_o FROM p
+    UNION ALL SELECT o_orderpriority, 'P', n_p FROM p
+    """,
+    tags=("A2", "U1"),
+)
+def a9_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): the pivoted table melted back to long form —
+    round-trips the a8 pivot."""
+    wide = a8_pivot_status_by_priority(spark, sf_dir)
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)",
+    )
+
+
 _INTERVALS = [(k, k * 7.5, k * 7.5 + 15.0) for k in range(13)]
 
 
@@ -358,6 +412,68 @@ def j7_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("interval_id").agg(
         F.count(F.lit(1)).alias("n_events"), _sum_money("value", "total_value")
+    )
+
+
+@query(
+    "scd2_customer_segment",
+    oracle="""
+    WITH dim0 AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer),
+    changes AS (
+      SELECT o_custkey AS c_custkey, 'WHALE' AS c_mktsegment,
+             min(o_orderdate) AS change_ts
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey),
+    closed AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+             ch.change_ts AS valid_to, FALSE AS is_current
+      FROM dim0 d JOIN changes ch ON d.c_custkey = ch.c_custkey),
+    opened AS (
+      SELECT c_custkey, c_mktsegment, change_ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM changes),
+    untouched AS (
+      SELECT d.* FROM dim0 d ANTI JOIN changes ch ON d.c_custkey = ch.c_custkey)
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+    """,
+    tags=("J5", "U1", "A2"),
+)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension update (operators/scd2): customers gaining a >400k
+    order become segment 'WHALE' versioned at their first such order date
+    — old version closed, new opened, unaffected rows untouched. The
+    MERGE-less emulation the guide's CDC/SCD2 pattern describes; every
+    change here is a genuine attribute change (segment never = 'WHALE'
+    initially), so the oracle skips the no-op filter."""
+    from ..operators.scd2 import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.min("o_orderdate").alias("change_ts"))
+        .withColumn("c_mktsegment", F.lit("WHALE"))
+    )
+    return scd2_apply(
+        dim0,
+        changes,
+        key="c_custkey",
+        tracked=["c_mktsegment"],
+        ts_col="change_ts",
     )
 
 

@@ -70,31 +70,52 @@ def fetch_json(url: str, timeout: float = 10.0) -> dict:
         raise ExtractError(f"extract failed: {exc}") from exc
 
 
+def project_raw(rec: dict) -> dict:
+    """Project an arbitrary OWM-shaped dict onto WEATHER_RAW_SCHEMA's key
+    paths: unknown keys dropped, missing keys null (schema-on-read dict
+    of weather_etl.py:105 replaced by an explicit contract)."""
+    main = rec.get("main") or {}
+    wind = rec.get("wind") or {}
+    weather = rec.get("weather") or []
+    return {
+        "name": rec.get("name"),
+        "dt": rec.get("dt"),
+        "timezone": rec.get("timezone"),
+        "main": {
+            "temp": main.get("temp"),
+            "humidity": main.get("humidity"),
+            "pressure": main.get("pressure"),
+        },
+        "weather": [
+            {"description": w.get("description"), "main": w.get("main")} for w in weather
+        ],
+        "wind": {"speed": wind.get("speed")},
+    }
+
+
 def records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
-    """Materialize raw JSON records with the explicit nested schema (S2,
-    replacing the reference's schema-on-read dict at weather_etl.py:105).
-    Unknown keys are dropped; missing keys become nulls."""
+    """Materialize raw JSON records with the explicit nested schema (S2)."""
+    return spark.createDataFrame([project_raw(r) for r in records], WEATHER_RAW_SCHEMA)
 
-    def _project(rec: dict) -> dict:
-        main = rec.get("main") or {}
-        wind = rec.get("wind") or {}
-        weather = rec.get("weather") or []
-        return {
-            "name": rec.get("name"),
-            "dt": rec.get("dt"),
-            "timezone": rec.get("timezone"),
-            "main": {
-                "temp": main.get("temp"),
-                "humidity": main.get("humidity"),
-                "pressure": main.get("pressure"),
-            },
-            "weather": [
-                {"description": w.get("description"), "main": w.get("main")} for w in weather
-            ],
-            "wind": {"speed": wind.get("speed")},
-        }
 
-    return spark.createDataFrame([_project(r) for r in records], WEATHER_RAW_SCHEMA)
+def fetch_many(
+    urls: DataFrame,
+    fetch_fn: Callable[[str], dict] = fetch_json,
+    url_col: str = "url",
+) -> DataFrame:
+    """Executor-parallel fan-out: fetch every URL of a (possibly huge) URL
+    table from the executors via mapInPandas — the scale path when one
+    tick polls thousands of endpoints instead of the reference's one
+    (weather_etl.py:103). Each partition's worker fetches its slice;
+    repartition the URL table to control concurrency. Failures follow the
+    reference's fail-fast extract semantics (the task raises)."""
+    import pandas as pd
+
+    def _fetch(batches):
+        for pdf in batches:
+            yield pd.DataFrame([project_raw(fetch_fn(u)) for u in pdf[url_col]])
+
+    return urls.mapInPandas(_fetch, WEATHER_RAW_SCHEMA)
 
 
 def extract(
