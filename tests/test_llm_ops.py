@@ -94,6 +94,33 @@ def test_ann_results_are_exact_scores_from_query_bucket(spark):
         assert brute[r["vec_id"]] == r["dot_q"]
 
 
+def test_connected_components_multihop_chain(spark):
+    """A 5-node chain (10-11-12-13-14) plus a separate pair and an
+    isolated star: labels propagate across hops to the component min."""
+    from weather_etl_docker_airflow_project_spark.operators.components import (
+        canonical_members,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (13, 12), (13, 14),   # chain, shuffled edges
+         (2, 7),                                    # separate pair
+         (20, 21), (20, 22), (20, 23)],             # star
+        ["id_a", "id_b"],
+    )
+    cc = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert {cc[n] for n in (10, 11, 12, 13, 14)} == {10}
+    assert cc[2] == cc[7] == 2
+    assert {cc[n] for n in (20, 21, 22, 23)} == {20}
+    canon = {
+        r["doc_id"]
+        for r in canonical_members(connected_components(pairs))
+        .filter(F.col("is_canonical"))
+        .collect()
+    }
+    assert canon == {10, 2, 20}
+
+
 def test_hot_bucket_cap_bounds_pair_volume(spark):
     """max_bucket_size drops over-popular buckets: identical docs in a
     small group still pair, while a hot 20-doc bucket is excluded."""

@@ -366,6 +366,45 @@ def l3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l2_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    sets AS (SELECT doc_id, list(shingle) AS ls, count(*) AS n_sh
+             FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sets a ON a.doc_id = c.id_a
+                  JOIN sets b ON b.doc_id = c.id_b
+      WHERE 100 * len(list_intersect(a.ls, b.ls))
+            >= 60 * (a.n_sh + b.n_sh - len(list_intersect(a.ls, b.ls)))),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+    cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM cc
+    """,
+    tags=("L2",),
+)
+def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup chain: LSH candidates -> exact-Jaccard verify ->
+    connected components -> canonical-per-cluster. Iterative min-label
+    propagation on Spark (operators/components.py); the oracle computes
+    the same fixpoint with a recursive CTE."""
+    from ..operators.components import canonical_members, connected_components
+
+    verified = l2_neardup_pipeline(spark, sf_dir).select("id_a", "id_b")
+    return canonical_members(connected_components(verified))
+
+
 _DOT = "CAST(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
 
 
