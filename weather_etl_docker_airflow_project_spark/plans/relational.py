@@ -867,6 +867,62 @@ def w3_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w3_range_frame_hourly_load",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS n_last_hour
+    FROM events
+    """,
+    tags=("W3",),
+)
+def w3_range_frame_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (vs w3's ROWS frame): events per user in
+    the trailing hour — the frame is defined by the timestamp value, so
+    ties and gaps behave correctly where a row-count frame would not."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@query(
+    "p7_decorrelated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > (
+      SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    tags=("P5", "A2", "J1"),
+)
+def p7_decorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's average
+    balance), written as SQL so Catalyst's decorrelation rewrites it into
+    the aggregate + join — the optimizer path hand-written joins skip.
+    The threshold average runs in DECIMAL (summation-order-proof) per the
+    registry's money convention."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer_v c
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > (
+          SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits O1-O4
 # ---------------------------------------------------------------------------
