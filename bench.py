@@ -89,21 +89,26 @@ def main() -> None:
     from weather_etl_docker_airflow_project_spark.io import load_table
     from weather_etl_docker_airflow_project_spark.operators.upsert import upsert_parquet
 
-    sink = os.path.join(tempfile.mkdtemp(prefix="bench_upsert_"), "sink")
     events = load_table(spark, SF_DIR, "events")
     n_rows = events.count()
-    t0 = time.time()
-    appended = upsert_parquet(spark, events, sink, ["event_id"])
-    dt = time.time() - t0
-    timings["upsert_fresh"] = round(dt, 3)
-    timings["upsert_rows_per_sec"] = round(appended / dt, 1)
-    t0 = time.time()
-    upsert_parquet(spark, events, sink, ["event_id"])  # all dups -> 0 appended
-    timings["upsert_redeliver"] = round(time.time() - t0, 3)
+    fresh, redeliver, appended = None, None, 0
+    for _ in range(RUNS_PER_QUERY):  # min-of-N, fresh sink per trial
+        sink = os.path.join(tempfile.mkdtemp(prefix="bench_upsert_"), "sink")
+        t0 = time.time()
+        appended = upsert_parquet(spark, events, sink, ["event_id"])
+        dt = time.time() - t0
+        fresh = dt if fresh is None else min(fresh, dt)
+        t0 = time.time()
+        upsert_parquet(spark, events, sink, ["event_id"])  # all dups -> 0
+        dt2 = time.time() - t0
+        redeliver = dt2 if redeliver is None else min(redeliver, dt2)
+    timings["upsert_fresh"] = round(fresh, 3)
+    timings["upsert_rows_per_sec"] = round(appended / fresh, 1)
+    timings["upsert_redeliver"] = round(redeliver, 3)
     total += timings["upsert_fresh"] + timings["upsert_redeliver"]
     print(
-        f"# upsert: {appended}/{n_rows} rows in {dt:.2f}s"
-        f" ({appended / dt:.0f} rows/s)",
+        f"# upsert: {appended}/{n_rows} rows in {fresh:.2f}s"
+        f" ({appended / fresh:.0f} rows/s)",
         file=sys.stderr,
     )
 

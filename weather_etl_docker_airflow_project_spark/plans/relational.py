@@ -327,6 +327,29 @@ def j7_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a5_grouping_sets_order_mix",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("A5",),
+)
+def a5_grouping_sets_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping form beside a5's rollup
+    and cube): per-status totals, per-priority totals, and the grand
+    total in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
     "a8_pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
