@@ -198,6 +198,29 @@ def test_lang_id_real_stopwords(spark):
     assert out[1] == "en" and out[2] == "fr" and out[3] == "und"
 
 
+def test_split_stable_partitioned_and_proportional(spark):
+    from weather_etl_docker_airflow_project_spark.operators.sampling import (
+        stratified_sample,
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = train_val_test_split(docs, "doc_id")
+    s2 = train_val_test_split(docs.repartition(7), "doc_id")  # layout-proof
+    a = {(r["doc_id"], r["split"]) for r in s1.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in s2.select("doc_id", "split").collect()}
+    assert a == b                                   # identical on any layout
+    counts = {r["split"]: r["count"] for r in s1.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert 0.7 < counts["train"] / n < 0.9          # ~80/10/10
+    assert counts["val"] + counts["test"] == n - counts["train"]
+
+    samp = stratified_sample(docs, "doc_id", {"en": 100}, "lang")
+    assert samp.count() == docs.filter(F.col("lang") == "en").count()  # pct=100 keeps all
+    assert stratified_sample(docs, "doc_id", {}, "lang").count() == 0
+
+
 def test_multimodal_features_and_stub(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "a b")], ["doc_id", "text"])
     mm = multimodal.attach_payload(df, "doc_id", "text")

@@ -1,0 +1,66 @@
+"""Deterministic sampling and dataset splitting for training pipelines
+(SURVEY.md §2.11 extensions — the selection stage between dedup and
+training).
+
+Everything here derives selection decisions from md5-based hashes of the
+row's own key (``functions.xhash.h32``), never from RNG state: the same
+row lands in the same split on any cluster, any engine, any day — the
+property that makes splits reproducible, joinable, and oracle-checkable.
+``df.sample``/``sampleBy`` trade that stability for statistical
+randomness; use them when reproducibility-by-key doesn't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.xhash import h32
+
+SPLIT_BUCKETS = 100
+
+
+def split_bucket(key: Column, salt: str = "split") -> Column:
+    """Stable bucket in [0, 100) from the key (salted so different splits
+    of the same table decorrelate)."""
+    return h32(F.concat(F.lit(salt + ":"), key.cast("string"))) % SPLIT_BUCKETS
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic 'train'/'val'/'test' label by key
+    hash: bucket < train_pct -> train, < train_pct+val_pct -> val, else
+    test. Percentages are integers so the thresholds are exact."""
+    b = split_bucket(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, int],
+    strata_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls below its stratum's integer percentage. Rows in strata absent
+    from ``fractions`` are dropped. Unlike ``df.sampleBy`` the selection
+    is a pure function of (key, stratum), so reruns and backfills pick
+    the identical sample."""
+    b = split_bucket(F.col(key_col), salt)
+    pct = None
+    for stratum, p in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        pct = F.when(cond, F.lit(p)) if pct is None else pct.when(cond, F.lit(p))
+    pct = F.lit(0) if pct is None else pct.otherwise(F.lit(0))
+    return df.filter(b < pct)

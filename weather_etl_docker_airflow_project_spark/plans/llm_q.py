@@ -623,6 +623,54 @@ def l4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_SQL = "(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@query(
+    "l6_train_val_test_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_BUCKET_SQL.format(salt="split")} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL.format(salt="split")} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("L4", "L1"),
+)
+def l6_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by key hash (operators/sampling):
+    the same document lands in the same split on any engine or rerun —
+    reproducible, joinable, leakage-auditable."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return train_val_test_split(docs, "doc_id", train_pct=80, val_pct=10)
+
+
+@query(
+    "l6_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET_SQL.format(salt="sample")} <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 20
+                    WHEN 'es' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END
+    """,
+    tags=("L4", "L1"),
+)
+def l6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 50% of English docs, 20% of
+    each other language — selection a pure function of (doc, stratum),
+    so backfills reproduce the identical sample."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id",
+        fractions={"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 20},
+        strata_col="lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 # L5 — multimodal columns
 # ---------------------------------------------------------------------------
