@@ -45,6 +45,34 @@ def train_val_test_split(
     )
 
 
+def sequence_packing_bins(
+    df: DataFrame,
+    key_col: str,
+    length_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: order documents by key, then cut
+    the running token total into capacity-sized bins (bin_id =
+    floor((cumsum - len) / capacity) — the bin the document STARTS in).
+    Deterministic and one window pass; documents longer than the capacity
+    occupy their starting bin and spill (callers chunk those upstream).
+
+    Contiguous fill is the distributed-friendly packing: true first-fit
+    bin packing is inherently sequential, while this is one cumsum window
+    — at 100 TB, partition by shard key first and pack within shards."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col(length_col)).over(w)
+    return df.select(
+        F.col(key_col),
+        F.col(length_col),
+        F.floor((cum - F.col(length_col)) / capacity).cast("long").alias("bin_id"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

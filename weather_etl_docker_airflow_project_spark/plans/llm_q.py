@@ -671,6 +671,78 @@ def l6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l6_decontaminate_against_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    eval_sh AS (
+      SELECT DISTINCT s.shingle FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id WHERE d.source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s
+      JOIN eval_sh e ON s.shingle = e.shingle
+      JOIN documents d ON d.doc_id = s.doc_id WHERE d.source <> 'src0')
+    SELECT d.doc_id, d.source,
+           d.doc_id IN (SELECT doc_id FROM contaminated) AS is_contaminated
+    FROM documents d WHERE d.source <> 'src0'
+    """,
+    tags=("L2", "L4"),
+)
+def l6_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents (source !=
+    'src0') sharing any word 3-gram with the eval set (source == 'src0').
+    The eval shingle set is the broadcast side of a semi-join against the
+    training shingles — at 100 TB the training side streams through it
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text")
+    eval_ids = docs.filter(F.col("source") == "src0").select("doc_id")
+    train = docs.filter(F.col("source") != "src0")
+    eval_sh = sh.join(eval_ids, "doc_id", "left_semi").select("shingle").distinct()
+    contaminated = (
+        sh.join(train.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+        )
+    )
+
+
+@query(
+    "l6_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                AS BIGINT) AS bin_id
+    FROM t
+    """,
+    tags=("L4",),
+)
+def l6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 2048-token training bins by contiguous fill
+    (operators/sampling.sequence_packing_bins): one cumsum window, fully
+    deterministic — the distributed stand-in for sequential first-fit."""
+    from ..operators.sampling import sequence_packing_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return sequence_packing_bins(sized, "doc_id", "n_tokens", capacity=2048)
+
+
 # ---------------------------------------------------------------------------
 # L5 — multimodal columns
 # ---------------------------------------------------------------------------
