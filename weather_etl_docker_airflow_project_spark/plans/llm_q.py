@@ -743,6 +743,111 @@ def l6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing_bins(sized, "doc_id", "n_tokens", capacity=2048)
 
 
+@query(
+    "l7_training_corpus_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+    -- stage 1: quality gate (>= 16 tokens)
+    quality AS (
+      SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) >= 16),
+    -- stage 2: exact dedup (keep min doc_id per content hash)
+    exact_kept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM documents) WHERE doc_id = canon),
+    -- stage 3: near-dup clusters -> keep canonical members only
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    sets AS (SELECT doc_id, list(shingle) AS ls, count(*) AS n_sh
+             FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sets a ON a.doc_id = c.id_a
+                  JOIN sets b ON b.doc_id = c.id_b
+      WHERE 100 * len(list_intersect(a.ls, b.ls))
+            >= 60 * (a.n_sh + b.n_sh - len(list_intersect(a.ls, b.ls)))),
+    edg AS (SELECT id_a AS src, id_b AS dst FROM verified
+            UNION SELECT id_b, id_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edg
+      UNION SELECT e.dst, r.lbl FROM reach r JOIN edg e ON r.node = e.src),
+    noncanon AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING node <> min(lbl)),
+    -- stage 4: decontamination against the eval split (source = 'src0')
+    eval_sh AS (
+      SELECT DISTINCT s.shingle FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id WHERE d.source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN eval_sh e ON s.shingle = e.shingle),
+    -- stage 5: surviving training docs get the deterministic split
+    survivors AS (
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.source <> 'src0'
+        AND d.doc_id IN (SELECT doc_id FROM quality)
+        AND d.doc_id IN (SELECT doc_id FROM exact_kept)
+        AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT doc_id, lang,
+           CASE WHEN {_BUCKET_SQL.format(salt="split")} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL.format(salt="split")} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM survivors
+    """,
+    tags=("L1", "L2", "L4"),
+)
+def l7_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline composed end-to-end: quality gate
+    -> exact dedup -> near-dup clustering (keep canonical) -> benchmark
+    decontamination -> deterministic split. Each stage is the operator
+    already verified in isolation; this query proves they compose (the
+    oracle recomputes all five stages in one SQL statement)."""
+    from ..operators.components import connected_components
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text.quality_score(docs, "doc_id", "text").filter(
+        F.col("n_tokens") >= 16
+    ).select("doc_id")
+    exact_kept = (
+        dedup.exact_dedup(docs, "doc_id", "text")
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    verified = l2_neardup_pipeline(spark, sf_dir).select("id_a", "id_b")
+    noncanon = (
+        connected_components(verified)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    sh = dedup.shingles(docs, "doc_id", "text")
+    eval_sh = (
+        sh.join(
+            docs.filter(F.col("source") == "src0").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = (
+        docs.filter(F.col("source") != "src0")
+        .join(quality, "doc_id", "left_semi")
+        .join(exact_kept, "doc_id", "left_semi")
+        .join(noncanon, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+    return train_val_test_split(survivors, "doc_id", train_pct=80, val_pct=10)
+
+
 # ---------------------------------------------------------------------------
 # L5 — multimodal columns
 # ---------------------------------------------------------------------------
