@@ -566,6 +566,48 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a11_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("A2",),
+)
+def a11_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (profiling primitive): one
+    map-side bucket expression + hash aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 5.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "a12_mode_event_type_per_user",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+    tags=("A2", "W1", "O4"),
+)
+def a12_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent event type) per user: count-aggregate then a
+    deterministic argmax window (ties to the alphabetically first type)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@query(
     "a10_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
