@@ -49,6 +49,24 @@ def test_knn_is_topk_with_broadcast(spark):
     assert "Broadcast" in plan
 
 
+def test_approx_count_distinct_error_bound(spark):
+    """a4 has no value oracle (HLL sketches are engine-specific); its
+    accuracy contract is checked here: within 5% of the exact count."""
+    from pyspark.sql import functions as F
+
+    from weather_etl_docker_airflow_project_spark.io import load_table
+
+    approx = catalog.REGISTRY["a4_approx_count_distinct"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]["approx_parts"]
+    exact = (
+        load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_anti_join_reads_only_keys(spark, tmp_path):
     """The upsert's sink-side scan must be pruned to the key columns."""
     from weather_etl_docker_airflow_project_spark.fixtures import CANNED_WEATHER

@@ -771,7 +771,8 @@ def a3_distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct partkeys (HLL++); sketch-based so no value
-    oracle, but must be within 5% of exact (tests/test_operators.py)."""
+    oracle, but must be within 5% of exact (tests/test_plan_shapes.py::
+    test_approx_count_distinct_error_bound)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
 
