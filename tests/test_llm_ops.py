@@ -175,6 +175,73 @@ def test_ivf_cells_partition_corpus_and_search_recall(spark):
     assert all(brute[r["vec_id"]] == r["dot_q"] for r in rows)  # exact scores
 
 
+def test_embedding_bucketed_neardup_subset_and_recall(spark):
+    """The declared banded-LSH near-dup never fabricates pairs (subset of
+    the exact kernel, identical dots) and holds recall at the declared
+    threshold; the plan is band-bucketed — no cartesian product."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["dot_q"]
+        for r in similarity.embedding_neardup_pairs(emb, threshold=0.40).collect()
+    }
+    bucketed_df = similarity.embedding_neardup_pairs_bucketed(emb, threshold=0.40)
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    bucketed = {(r["id_a"], r["id_b"]): r["dot_q"] for r in bucketed_df.collect()}
+    assert set(bucketed) <= set(exact)              # verify stage: no false pairs
+    for k, v in bucketed.items():
+        assert exact[k] == v                        # identical exact dots
+    assert len(bucketed) / len(exact) >= 0.6        # 8x4 banding recall floor
+
+
+def test_simhash_declared_cap_drops_only_hot_buckets(spark, docs):
+    """With a cap far above every bucket's population, capped == uncapped."""
+    sig = dedup.simhash_signatures(docs, "doc_id", "text")
+    uncapped = {(r["id_a"], r["id_b"]) for r in dedup.simhash_neardup_pairs(sig, "doc_id").collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_neardup_pairs(sig, "doc_id", max_bucket_size=1000).collect()
+    }
+    assert capped == uncapped
+
+
+def test_ann_recall_gates(spark):
+    """Numeric recall@20 floors vs brute force at sf0.01, averaged over
+    queries. IVF is the strong path on this corpus (directional clusters
+    align with cells; measured 0.55-1.0 per query) and gates at 0.5.
+    Hyperplane-LSH multiprobe is structurally recall-limited here — top-20
+    neighbors sit at cos ~0.5, i.e. per-plane collision ~0.67 vs 0.5
+    background, weak contrast — so its gate is the measured floor (~0.10-
+    0.20), asserting the dial works, not that LSH fits this geometry."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ivf_recalls, multi_recalls = [], []
+    for qid in (0, 7, 42):
+        q = emb.filter(F.col("vec_id") == qid)
+        brute = {r["vec_id"] for r in similarity.knn_bruteforce(emb, q, k=20).collect()}
+        ivf = {
+            r["vec_id"]
+            for r in similarity.ivf_search(emb, q, k=20, n_probe=2, seed_modulus=125).collect()
+        }
+        multi = {
+            r["vec_id"]
+            for r in similarity.ann_lsh_bucketed(emb, q, k=20, multiprobe=8).collect()
+        }
+        ivf_recalls.append(len(ivf & brute) / 20)
+        multi_recalls.append(len(multi & brute) / 20)
+    assert sum(ivf_recalls) / len(ivf_recalls) >= 0.5
+    assert sum(multi_recalls) / len(multi_recalls) >= 0.10
+
+
+def test_fingerprint_empty_doc_is_null_not_error(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two three")], ["doc_id", "text"]
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] is None and fp[2] is None
+    assert fp[3] is not None
+
+
 def test_fingerprint_append_monotone(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     df = spark.createDataFrame(

@@ -37,13 +37,20 @@ SIMHASH_BANDS = 4      # 4 x 8-bit bands => exact-recall blocking for d<=3
 
 
 def _spread_for_explode(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition up to the cluster's parallelism before a fan-out explode
-    — but never shrink an input that is already well-partitioned (a 100 TB
-    scan arrives with thousands of partitions; collapsing it to core count
-    would be the opposite bug)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    """Hash-repartition the compact pre-explode input to the session's
+    shuffle width so the ~100x shingle/token fan-out runs on every core,
+    not on however few file-granularity partitions the scan produced.
+
+    Deliberately unconditional: probing the current partition count needs
+    ``df.rdd`` (forcing an RDD-lineage materialization of the plan — the
+    one ``.rdd`` this engine used to have), while repartitioning the
+    pre-explode side is one narrow shuffle of the SMALL representation —
+    at 100 TB that moves ~100x fewer bytes than shuffling exploded
+    shingles, and AQE re-coalesces if the width overshoots."""
+    target = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
     return df.repartition(target, F.col(id_col))
 
 

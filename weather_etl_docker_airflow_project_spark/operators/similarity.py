@@ -95,6 +95,91 @@ def embedding_neardup_pairs(
     )
 
 
+EMB_BANDS = 8      # OR-of-ANDs banding for embedding near-dup
+EMB_BAND_BITS = 4  # 8 bands x 4 planes = 32 planes total; at the declared
+#                    0.40 cosine threshold (p_plane ~= 0.63) this yields
+#                    ~0.75 boundary recall vs the exact kernel, rising with
+#                    similarity — measured in tests/test_llm_ops.py
+
+
+def embedding_band_buckets(
+    embeddings: DataFrame,
+    n_bands: int = EMB_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded hyperplane-LSH buckets: (id, qv, band, bucket), one row per
+    band. Plane j of band b is ``plane_components(b*band_bits + j)``;
+    bucket = the band's sign bits. OR-of-ANDs banding: a pair with angular
+    collision probability p per plane shares >=1 band bucket with
+    probability 1 - (1 - p^band_bits)^n_bands — the recall/cost dial."""
+    qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    bands = []
+    for b in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(band_bits):
+            plane = F.array(
+                *[
+                    F.lit(v).cast("long")
+                    for v in plane_components(b * band_bits + i, dim)
+                ]
+            )
+            d = F.aggregate(
+                F.zip_with(F.col("qv"), plane, lambda x, p: x * p),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
+        bands.append(
+            F.struct(F.lit(b).cast("long").alias("band"), bucket.alias("bucket"))
+        )
+    return qdf.select(
+        F.col(id_col), F.col("qv"), F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        id_col, "qv", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def embedding_neardup_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    n_bands: int = EMB_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded-LSH candidate generation +
+    exact integer-dot verify, never the O(n^2) kernel. Work is per-(band,
+    bucket) pairs; the verify dot is computed map-side in the join
+    projection and filtered BEFORE the distinct shuffle, so the shuffle
+    sees only true near-dups. ``embedding_neardup_pairs`` (the exact
+    kernel) remains the recall oracle in tests."""
+    buckets = embedding_band_buckets(
+        embeddings, n_bands, band_bits, dim, id_col, vec_col
+    ).persist()
+    buckets.count()  # materialize once; both self-join sides reuse it
+    l, r = buckets.alias("l"), buckets.alias("r")
+    thr = int(threshold * QUANT * QUANT)
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            int_dot(F.col("l.qv"), F.col("r.qv")).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= thr)
+        .distinct()
+    )
+
+
 def ivf_cells(
     embeddings: DataFrame,
     seed_modulus: int,

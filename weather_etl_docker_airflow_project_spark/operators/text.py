@@ -59,9 +59,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         (F.size(toks) + transitions).cast("long").alias("n_tokens_bpe"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
@@ -105,9 +105,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_pts = F.when(n_stop >= 2, 20).when(n_stop >= 1, 10).otherwise(0)
     return df.select(
         F.col(id_col),
-        n.alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         ttr_pct.alias("ttr_pct"),
-        n_stop.alias("n_en_stopwords"),
+        n_stop.cast("long").alias("n_en_stopwords"),
         (length_pts + diversity_pts + stop_pts).cast("long").alias("quality"),
     )
 
@@ -161,8 +161,11 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, i: acc * FINGERPRINT_BASE + F.element_at(th, (s + i).cast("int")),
     )
+    # guard: zero-token docs make win=0, so sequence(0, win-1) would be the
+    # descending [0,-1] and element_at(th, 0) raises — emit NULL instead
+    fp = F.array_min(F.transform(starts, window_hash))
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.array_min(F.transform(starts, window_hash)).alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(n > 0, fp).alias("fingerprint"),
     )

@@ -27,4 +27,8 @@ def grouped_top_k(
     """Top-k rows per group, deterministically ordered (callers must make
     ``order_by`` a total order, e.g. by appending a unique key)."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    # rank as long: SQL engines (and the DuckDB oracle) type row_number()
+    # as 64-bit, Spark as 32-bit — align so declared outputs hash identically
+    return df.withColumn(rank_col, F.row_number().over(w).cast("long")).filter(
+        F.col(rank_col) <= k
+    )

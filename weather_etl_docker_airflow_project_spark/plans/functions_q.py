@@ -25,7 +25,7 @@ from .registry import query
            CAST(date_part('month', o_orderdate) AS INT) AS mth,
            COUNT(*) AS n,
            MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
-           SUM(CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS BIGINT))
+           CAST(SUM(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE))) AS BIGINT)
                AS total_days_since_epoch0
     FROM orders
     GROUP BY 1, 2
@@ -78,7 +78,7 @@ def f6_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_type").alias("type_uc"),
         F.trim("p_name").alias("name_trim"),
         F.substring("p_name", 1, 5).alias("name_head"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
         F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
@@ -91,8 +91,8 @@ def f6_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey,
            round(s_acctbal, 1) AS bal_round,
            abs(s_acctbal) AS bal_abs,
-           ceil(s_acctbal) AS bal_ceil,
-           floor(s_acctbal) AS bal_floor,
+           CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+           CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
            round(sqrt(abs(s_acctbal)), 6) AS bal_sqrt,
            round(ln(abs(s_acctbal) + 1), 6) AS bal_ln,
            round(power(s_acctbal, 2), 4) AS bal_sq,
@@ -152,7 +152,7 @@ def f8_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events
@@ -193,10 +193,10 @@ def f10_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.element_at(toks, 1).alias("first_token"),
-        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long_tokens"),
         F.array_join(F.sort_array(F.slice(toks, 1, 4)), "-").alias("head_sorted"),
     )
 

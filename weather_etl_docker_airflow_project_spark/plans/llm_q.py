@@ -45,6 +45,14 @@ _QUANT_VEC = (
 )
 
 
+def _planes_sql(n_planes: int, dim: int) -> str:
+    """Literal plane arrays as one DuckDB VALUES list: (plane_j, comps)."""
+    rows = ", ".join(
+        f"({j}, {plane_components(j, dim)})" for j in range(n_planes)
+    )
+    return f"(VALUES {rows}) planes(pj, comps)"
+
+
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
         f"min({minhash_perm_sql('h', k)}) AS mh{k}" for k in range(len(MINHASH_A))
@@ -122,7 +130,8 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) bits),
     bitsum AS (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY 1, 2)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bitsum GROUP BY doc_id
     """,
     tags=("L2",),
@@ -149,6 +158,14 @@ sig AS (
 """.format(h=h32_sql("token"))
 
 
+SIMHASH_BUCKET_CAP = 100  # hot-bucket cap for the declared query: a band
+#                           bucket shared by >100 docs is boilerplate, not a
+#                           similarity signal; per-bucket pair volume is
+#                           quadratic, so the cap bounds worst-case work
+#                           (sf0.01: 94k -> 15k candidate pairs, 267/270
+#                           buckets kept). Mirrored in the oracle SQL.
+
+
 @query(
     "l2_simhash_neardup_pairs",
     oracle=f"""
@@ -156,10 +173,16 @@ sig AS (
     bands AS (
       SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bucket
       FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+    keep AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING count(*) <= {SIMHASH_BUCKET_CAP}),
+    kept AS (
+      SELECT b.doc_id, b.simhash, b.band, b.bucket
+      FROM bands b JOIN keep k ON b.band = k.band AND b.bucket = k.bucket),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                       l.simhash AS sh_a, r.simhash AS sh_b
-      FROM bands l JOIN bands r
+      FROM kept l JOIN kept r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
     SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
@@ -167,11 +190,16 @@ sig AS (
     tags=("L2",),
 )
 def l2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3) with exact-recall 4x8-bit
-    band blocking (pigeonhole: <=3 differing bits leave >=1 band equal)."""
+    """SimHash near-dup pairs (hamming <= 3) with 4x8-bit band blocking
+    (pigeonhole: <=3 differing bits leave >=1 band equal — exact recall
+    among surviving buckets) and the hot-bucket cap that bounds the
+    per-bucket quadratic pair volume on skewed corpora. Pairs whose ONLY
+    collision is a dropped hot bucket are the (documented) recall cost."""
     docs = load_table(spark, sf_dir, "documents")
     sig = dedup.simhash_signatures(docs, "doc_id", "text")
-    return dedup.simhash_neardup_pairs(sig, "doc_id", max_hamming=3)
+    return dedup.simhash_neardup_pairs(
+        sig, "doc_id", max_hamming=3, max_bucket_size=SIMHASH_BUCKET_CAP
+    )
 
 
 @query(
@@ -200,21 +228,32 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l2_embedding_neardup_pairs",
     oracle=f"""
-    WITH q AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings)
-    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    buck AS (
+      SELECT vec_id, qv, pj // {similarity.EMB_BAND_BITS} AS band,
+             CAST(sum(CASE WHEN list_dot_product(qv::DOUBLE[], comps::DOUBLE[]) > 0
+                      THEN (CAST(1 AS BIGINT) << (pj % {similarity.EMB_BAND_BITS}))
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM c, {_planes_sql(similarity.EMB_BANDS * similarity.EMB_BAND_BITS, 64)}
+      GROUP BY vec_id, qv, pj // {similarity.EMB_BAND_BITS})
+    SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
            CAST(list_dot_product(l.qv::DOUBLE[], r.qv::DOUBLE[]) AS BIGINT) AS dot_q
-    FROM q l JOIN q r ON l.vec_id < r.vec_id
+    FROM buck l JOIN buck r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
     WHERE CAST(list_dot_product(l.qv::DOUBLE[], r.qv::DOUBLE[]) AS BIGINT)
           >= {int(0.40 * similarity.QUANT * similarity.QUANT)}
     """,
     tags=("L2", "L3"),
 )
 def l2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (quantized dot >= 0.40; the synthetic
-    corpus tops out ~0.51). Integer dot products are exact in both engines
-    (products sum to < 2^53, so even DuckDB's double path is exact)."""
+    """Embedding-cosine near-dup (quantized dot >= 0.40) via banded
+    hyperplane-LSH candidates + exact integer-dot verify — the 100 TB
+    shape: work is per-(band, bucket), never the O(n^2) all-pairs kernel
+    (which survives as the recall oracle in tests/test_llm_ops.py).
+    Integer dot products are exact in both engines (products sum to
+    < 2^53, so even DuckDB's double path is exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.40)
+    return similarity.embedding_neardup_pairs_bucketed(emb, threshold=0.40)
 
 
 @query(
@@ -256,7 +295,7 @@ def l2_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sets.select(
         F.col("doc_id").alias("id_b"), F.col("ls").alias("ls_b"), F.col("n_sh").alias("n_b")
     )
-    inter = F.size(F.array_intersect(F.col("ls_a"), F.col("ls_b")))
+    inter = F.size(F.array_intersect(F.col("ls_a"), F.col("ls_b"))).cast("long")
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -294,14 +333,6 @@ def l3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return similarity.knn_bruteforce(emb, q, k=20)
-
-
-def _planes_sql(n_planes: int, dim: int) -> str:
-    """Literal plane arrays as one DuckDB VALUES list: (plane_j, comps)."""
-    rows = ", ".join(
-        f"({j}, {plane_components(j, dim)})" for j in range(n_planes)
-    )
-    return f"(VALUES {rows}) planes(pj, comps)"
 
 
 @query(
@@ -612,11 +643,13 @@ def l4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
     ranked = tf.join(F.broadcast(df_), "token").withColumn(
         "rn",
-        F.row_number().over(
+        F.row_number()
+        .over(
             Window.partitionBy("doc_id").orderBy(
                 F.col("tf").desc(), F.col("doc_freq").asc(), F.col("token").asc()
             )
-        ),
+        )
+        .cast("long"),
     )
     return ranked.filter(F.col("rn") <= 3).select(
         "doc_id", "token", "tf", "doc_freq", "rn"
@@ -738,7 +771,7 @@ def l6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
     return sequence_packing_bins(sized, "doc_id", "n_tokens", capacity=2048)
 

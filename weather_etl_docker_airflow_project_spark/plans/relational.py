@@ -815,8 +815,8 @@ def a5_cube_order_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_filtered_aggregate",
     oracle="""
     SELECT c_nationkey,
-           SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich,
-           SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_debt,
+           CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_debt,
            COUNT(*) AS n_total
     FROM customer
     GROUP BY c_nationkey
