@@ -16,7 +16,13 @@ from weather_etl_docker_airflow_project_spark.io import (
     read_json,
     write_partitioned_parquet,
 )
-from weather_etl_docker_airflow_project_spark.sources.jdbc import catalog_ddl
+from weather_etl_docker_airflow_project_spark.sources.jdbc import (
+    DERBY_EMBEDDED_DRIVER,
+    catalog_ddl,
+    derby_url,
+    jdbc_append,
+    jdbc_read,
+)
 from weather_etl_docker_airflow_project_spark.streaming.pipeline import (
     land_records,
     start_stream,
@@ -72,6 +78,42 @@ def test_catalog_ddl_idempotent(spark):
     ]
     spark.sql("DROP TABLE weather_test_db.weather")
     spark.sql("DROP DATABASE weather_test_db")
+
+
+def test_jdbc_executed_roundtrip_with_dedup_upsert(spark, tmp_path):
+    """S3 executed end-to-end against embedded Derby (in Spark's own
+    jars): append through the JDBC sink, read back through the JDBC
+    source, then replay the reference's dedup-before-insert
+    (weather_etl.py:158-187) — the second load inserts only the new row.
+    MySQL is the same code with a different URL/driver."""
+    from weather_etl_docker_airflow_project_spark.functions.weather import (
+        transform_weather,
+    )
+    from weather_etl_docker_airflow_project_spark.operators.upsert import (
+        dedup_new_rows,
+    )
+    from weather_etl_docker_airflow_project_spark.sources.rest import records_to_df
+
+    url = derby_url(str(tmp_path / "weatherdb"))
+    batch1 = transform_weather(records_to_df(spark, CANNED_WEATHER[:2]))
+    jdbc_append(batch1, url, "weather", driver=DERBY_EMBEDDED_DRIVER)
+
+    existing = jdbc_read(spark, url, "weather", driver=DERBY_EMBEDDED_DRIVER)
+    assert existing.count() == 2
+    assert set(existing.columns) == set(batch1.columns)
+
+    # second cycle: 2 duplicates + 1 new record -> only the new one lands
+    batch2 = transform_weather(records_to_df(spark, CANNED_WEATHER))
+    fresh = dedup_new_rows(
+        batch2,
+        jdbc_read(spark, url, "weather", driver=DERBY_EMBEDDED_DRIVER).select("city", "utc"),
+        ["city", "utc"],
+    )
+    assert fresh.count() == 1
+    jdbc_append(fresh, url, "weather", driver=DERBY_EMBEDDED_DRIVER)
+    final = jdbc_read(spark, url, "weather", driver=DERBY_EMBEDDED_DRIVER)
+    assert final.count() == 3
+    assert final.select("city", "utc").distinct().count() == 3
 
 
 def test_stream_processing_time_trigger(spark, tmp_path):

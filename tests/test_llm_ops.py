@@ -121,6 +121,26 @@ def test_connected_components_multihop_chain(spark):
     assert canon == {10, 2, 20}
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """A label needs one round per hop to reach the component minimum; a
+    budget smaller than the chain diameter must raise, never return
+    silently-split clusters."""
+    from weather_etl_docker_airflow_project_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 18)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    ok = {
+        r["cluster_id"]
+        for r in connected_components(chain, max_iterations=20).collect()
+    }
+    assert ok == {10}
+
+
 def test_hot_bucket_cap_bounds_pair_volume(spark):
     """max_bucket_size drops over-popular buckets: identical docs in a
     small group still pair, while a hot 20-doc bucket is excluded."""
@@ -297,5 +317,32 @@ def test_multimodal_features_and_stub(spark):
     assert feats[1]["byte_len"] == 3
     assert feats[1]["checksum"] == (97 + 98 + 99) % 997
     assert feats[2]["first_byte"] == 97 and feats[2]["last_byte"] == 98
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"\x00")                 # no known container
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x00", "image/png")
+        multimodal.decode_media(b"\x00", fmt="pixels")   # full decode: stub
+
+
+def test_media_header_roundtrip_local():
+    """Encoder and parser agree for every container, including dimension
+    values whose bytes would betray an endianness mix-up (258 = 0x0102)."""
+    for enc, fmt in [
+        (multimodal.encode_png_header, "image/png"),
+        (multimodal.encode_jpeg_header, "image/jpeg"),
+        (multimodal.encode_gif_header, "image/gif"),
+    ]:
+        out = multimodal.decode_media(enc(258, 513))
+        assert out == {"format": fmt, "width": 258, "height": 513}, fmt
+
+
+def test_media_decode_dataflow(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "ab cd"), (2, "x" * 700)], ["doc_id", "text"]
+    )
+    media = multimodal.synthesize_media(df, "doc_id", "text")
+    dims = {r["doc_id"]: r for r in multimodal.media_dimensions(media).collect()}
+    assert dims[0]["media_format"] == "image/png"
+    assert dims[1]["media_format"] == "image/jpeg"
+    assert dims[2]["media_format"] == "image/gif"
+    assert dims[0]["width"] == 5 % 640 + 16 and dims[0]["height"] == 3 % 480 + 16
+    assert dims[2]["width"] == 700 % 640 + 16 and dims[2]["height"] == 1 % 480 + 16

@@ -49,6 +49,21 @@ def test_knn_is_topk_with_broadcast(spark):
     assert "Broadcast" in plan
 
 
+def test_ann_persisted_probe_prunes_partitions(spark):
+    """The persisted-index probe must hit only the query's bucket
+    directory: the index scan carries a dynamic-pruning partition filter
+    on the bucket join, and the banded near-dup pair join is bucketed —
+    no cartesian anywhere in the L2/L3 surface."""
+    df = catalog.REGISTRY["l3_ann_persisted_probe"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert "CartesianProduct" not in plan
+    neardup = catalog.REGISTRY["l2_embedding_neardup_pairs"].fn(spark, SF)
+    nplan = neardup._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in nplan
+    assert "BroadcastNestedLoopJoin" not in nplan
+
+
 def test_approx_count_distinct_error_bound(spark):
     """a4 has no value oracle (HLL sketches are engine-specific); its
     accuracy contract is checked here: within 5% of the exact count."""

@@ -37,11 +37,19 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    ).persist()
-    labels.count()
+    # Iterative plans MUST truncate lineage each round: persist() caches
+    # data but the logical plan still accretes one join+agg per iteration,
+    # and re-analysis of the growing tree blows driver memory long before
+    # the data does. localCheckpoint materializes AND cuts the lineage
+    # (at production scale: checkpoint() to reliable storage instead).
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
 
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -56,7 +64,7 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -64,11 +72,20 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Exiting with unconverged labels would silently split clusters
+        # (labels propagate one hop per round — a chain longer than
+        # max_iterations never reaches its component minimum).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — component "
+            "diameter exceeds the round budget; raise max_iterations or "
+            "switch to the large-star/small-star variant"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

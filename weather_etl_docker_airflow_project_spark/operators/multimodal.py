@@ -6,12 +6,13 @@ metadata struct (format tag, byte length). All Python work runs through
 row-at-a-time — and projects the payload away as early as possible so big
 blobs never ride a shuffle.
 
-The actual image/audio decode libraries are NOT in this container, so
-``decode_media`` is a clearly-marked stub (NotImplementedError). The
-featurizer below uses a deterministic byte-level feature set instead, so
-the Spark-side plumbing — schema, batch shape, partitioning — is fully real
-and oracle-checkable (byte stats of a UTF-8 payload are recomputable in
-SQL from the source text).
+``decode_media`` parses real container headers (PNG IHDR, JPEG SOF
+markers, GIF logical screen descriptor) in pure Python — no codec
+libraries needed for dimensions/format sniffing. FULL pixel/sample decode
+still requires codec libraries absent from this container and raises
+``NotImplementedError`` (clearly-marked stub). The byte featurizer uses a
+deterministic byte-level feature set, so the Spark-side plumbing — schema,
+batch shape, partitioning — is fully real and oracle-checkable.
 
 Scale notes (100 TB): payload columns dominate scan bytes — the plans keep
 them in their own projection, filter on metadata FIRST (predicate pushdown
@@ -21,6 +22,7 @@ parquet binary columns both fit this shape.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,13 +57,133 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, fmt: str) -> object:
-    """STUB — real decode (PIL/librosa/av) is unavailable in this
-    environment. The Arrow plumbing around it is real; swap this function
-    body when the codec libraries exist."""
-    raise NotImplementedError(
-        f"media decode for {fmt!r} requires codec libraries not present here"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (SOF0..SOF15 minus
+# DHT/JPG/DAC which share the 0xC0 nibble but are not frames)
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def encode_png_header(width: int, height: int) -> bytes:
+    """Minimal structurally-valid PNG prefix: signature + IHDR chunk
+    (8-bit RGB). CRC is zeroed — header sniffers don't verify it."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return _PNG_SIG + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """Minimal JPEG prefix: SOI, an APP0/JFIF segment (so the parser must
+    actually walk segments), then a baseline SOF0 with the dimensions."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
     )
+
+
+def encode_gif_header(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor (little-endian dims)."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def decode_media(payload: bytes, fmt: str | None = None) -> dict:
+    """Sniff a media payload's container format and dimensions from its
+    header bytes — pure Python, no codec libraries. Returns
+    ``{"format", "width", "height"}``.
+
+    PNG: IHDR big-endian dims at a fixed offset. JPEG: walk marker
+    segments to the first SOF frame. GIF: little-endian dims in the
+    logical screen descriptor. Raises ``ValueError`` on bytes matching no
+    known container, and ``NotImplementedError`` when full pixel decode
+    (``fmt='pixels'``) is requested — that genuinely needs codec
+    libraries this environment lacks."""
+    if fmt == "pixels":
+        raise NotImplementedError(
+            "full pixel decode requires codec libraries not present here"
+        )
+    if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"format": "image/png", "width": w, "height": h}
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker, seg_len = payload[pos + 1], struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return {"format": "image/jpeg", "width": w, "height": h}
+            pos += 2 + seg_len
+        raise ValueError("JPEG with no SOF frame marker")
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "image/gif", "width": w, "height": h}
+    raise ValueError(f"unrecognized media container (fmt hint: {fmt!r})")
+
+
+MEDIA_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def media_dimensions(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Header-decode every payload to (format, width, height) via
+    mapInPandas — the real decode dataflow: Arrow batches in, the payload
+    projected away in the same stage, only scalar metadata shuffled on."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_media(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_format": [d["format"] for d in decoded],
+                    "width": pd.Series([d["width"] for d in decoded], dtype="int64"),
+                    "height": pd.Series([d["height"] for d in decoded], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, MEDIA_DIMS_SCHEMA)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic media fixture: per document, build a real PNG / JPEG /
+    GIF header (format = id % 3) whose dimensions derive from the text
+    (width = n_chars % 640 + 16, height = n_tokens % 480 + 16). Encoder
+    (struct.pack writers above) and decoder (marker parsers) are
+    independent code paths, and the oracle recomputes the dimensions
+    arithmetically from the text — a wrong endianness or offset on either
+    side fails the round-trip."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoders = [encode_png_header, encode_jpeg_header, encode_gif_header]
+        for pdf in batches:
+            widths = pdf[text_col].str.len() % 640 + 16
+            heights = pdf[text_col].str.split(" ").map(len) % 480 + 16
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        encoders[i % 3](w, h)
+                        for i, w, h in zip(pdf[id_col], widths, heights)
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_synth, schema)
 
 
 def byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -42,7 +42,17 @@ def salted_join(
     times, and the join key becomes (keys..., salt) — the hot key's rows
     now land on n reducers instead of one. Right-side cost: n-fold
     replication, so use for small-to-medium right sides only (a huge right
-    side wants AQE skew-join instead)."""
+    side wants AQE skew-join instead).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: the
+    n-fold right replication emits every UNMATCHED right row n times under
+    ``right``/``full``/``cross``, silently corrupting those semantics."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: the right side "
+            "is replicated per salt bucket, so unmatched right rows would be "
+            "emitted once per bucket — use AQE skew-join for right/full joins"
+        )
     l = with_salt(left, salt_cols, n)
     r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
     return l.join(r, [*keys, "_salt"], how).drop("_salt")

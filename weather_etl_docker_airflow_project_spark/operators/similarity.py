@@ -259,6 +259,76 @@ def ivf_search(
     )
 
 
+def ann_index_path(sf_dir: str, n_planes: int = 8) -> str:
+    """Deterministic on-disk location for the persisted LSH index of one
+    dataset. The path encodes the bucketing config (plane count, quant
+    scale) so a config change can never silently reuse a stale index."""
+    import os
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    return f"spark-warehouse/ann_index_{sfname}_p{n_planes}_q{QUANT}"
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Bucket the corpus once and write it partitioned BY BUCKET: the
+    expensive part of LSH search (hyperplane dots over the whole corpus)
+    happens once per corpus, not once per query, and the physical layout
+    makes every later probe a partition-pruned scan. At 100 TB this is the
+    difference between an index and a full re-scan per query."""
+    (
+        embeddings.select(
+            F.col(id_col),
+            quantize(F.col(vec_col)).alias("qv"),
+            hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_probe_persisted(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    k: int = 20,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted LSH index: join on the PARTITION column with the
+    1-row query broadcast, so dynamic partition pruning reads only the
+    query's bucket directory — the probe cost is one bucket, not the
+    corpus (plan-asserted in tests/test_plan_shapes.py)."""
+    index = spark.read.parquet(index_path)
+    qb = F.broadcast(
+        query.select(
+            quantize(F.col(vec_col)).alias("qvec"),
+            # partition-column values are directory names; Spark infers
+            # them as int — match that type so pruning sees a plain
+            # equi-join on the partition attribute, no inserted casts
+            hyperplane_signs(F.col(vec_col), n_planes, dim)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    return (
+        index.join(qb, "bucket")
+        .select(F.col(id_col), int_dot(F.col("qv"), F.col("qvec")).alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
     """LSH bucket id: sign bits of dot products with n_planes deterministic
     pseudo-random hyperplanes (md5-derived literal components via

@@ -398,6 +398,42 @@ def l3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ann_persisted_probe",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    buck AS (
+      SELECT vec_id, qv,
+             sum(CASE WHEN list_dot_product(qv::DOUBLE[], comps::DOUBLE[]) > 0
+                      THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS bucket
+      FROM c, {_planes_sql(8, 64)}
+      GROUP BY vec_id, qv),
+    q AS (SELECT qv, bucket FROM buck WHERE vec_id = 0)
+    SELECT b.vec_id,
+           CAST(list_dot_product(b.qv::DOUBLE[], q.qv::DOUBLE[]) AS BIGINT) AS dot_q
+    FROM buck b, q WHERE b.bucket = q.bucket
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3", "S8"),
+)
+def l3_ann_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape: the LSH index (bucketed corpus) is BUILT
+    ONCE and written partitioned by bucket; the search reads the index and
+    dynamic partition pruning confines the scan to the query's bucket
+    directory. Same results as ``l3_ann_lsh_bucketed`` (identical planes),
+    but probe cost is one bucket instead of re-bucketing the corpus per
+    query — the index build amortizes across every later search."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = similarity.ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.build_ann_index(emb, path)
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_probe_persisted(spark, path, q, k=20)
+
+
+@query(
     "l2_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
@@ -907,3 +943,33 @@ def l5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mm = multimodal.attach_payload(docs, "doc_id", "text")
     return multimodal.byte_features(mm, "doc_id")
+
+
+@query(
+    "l5_media_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, strlen(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/jpeg'
+                           ELSE 'image/gif' END AS media_format,
+           CAST(n_chars % 640 + 16 AS BIGINT) AS width,
+           CAST(n_tokens % 480 + 16 AS BIGINT) AS height
+    FROM t
+    """,
+    tags=("L5",),
+)
+def l5_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media header decode end-to-end: synthesize structurally valid
+    PNG/JPEG/GIF payloads (dimensions derived from the text), then parse
+    format + width + height back out of the raw bytes with the pure-Python
+    header parsers (operators/multimodal.decode_media) inside mapInPandas.
+    Encoder and parser are independent code paths and the oracle predicts
+    the dimensions arithmetically, so a wrong endianness, marker walk, or
+    offset on either side hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.media_dimensions(media, "doc_id")

@@ -1,20 +1,22 @@
-"""JDBC sink + DDL parity (SURVEY.md §2.1 S3-S5).
+"""JDBC source/sink + DDL parity (SURVEY.md §2.1 S3-S5).
 
 The reference's load path is mysql-connector DDL + parameterized INSERTs
 (``airflow/dags/weather_etl.py:35-87,138-194``). Spark-native: ``df.write
 .jdbc(mode='append')`` batches whole partitions per connection instead of
-one INSERT per record, and table creation rides ``createTableOptions``.
+one INSERT per record, and table creation rides ``createTableColumnTypes``.
 Database/user/grant DDL (weather_etl.py:45-48) has no Spark data-plane
 equivalent — it stays an ops-side bootstrap (documented, not emulated).
 
-No MySQL exists in this environment, so these helpers are exercised only
-for plan construction in tests; the parquet sink (operators/upsert.py) is
-the tested upsert path with identical semantics.
+No MySQL server exists in this environment, but the write path is EXECUTED
+end-to-end against embedded Apache Derby (shipped in Spark's own jars):
+tests/test_io_sources.py appends through this module, reads back through
+``jdbc_read``, and replays the reference's dedup-before-insert. Pointing at
+MySQL is a URL + driver-class swap — no code change.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 WEATHER_DDL_COLUMNS = (
     # mirrors weather_etl.py:67-77 minus AUTO_INCREMENT id (FIXTURES.md §A2)
@@ -22,30 +24,63 @@ WEATHER_DDL_COLUMNS = (
     "humidity INT, pressure INT, wind_speed FLOAT, lt VARCHAR(255), utc VARCHAR(255)"
 )
 
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str) -> str:
+    """Embedded-Derby connection URL (creates the database on first use).
+    Derby runs inside the Spark JVM — the test/CI stand-in for a MySQL
+    service, with the identical DataFrameWriter/Reader code path."""
+    return f"jdbc:derby:{db_dir};create=true"
+
 
 def jdbc_append(
     df: DataFrame,
     url: str,
     table: str,
-    user: str,
-    password: str,
+    user: str | None = None,
+    password: str | None = None,
     batchsize: int = 10_000,
     create_table_column_types: str | None = WEATHER_DDL_COLUMNS,
+    driver: str | None = None,
 ) -> None:
     """S3 append sink. ``batchsize`` controls rows per INSERT batch — the
-    scale-out replacement for the reference's 1 row / 2 round trips."""
+    scale-out replacement for the reference's 1 row / 2 round trips
+    (weather_etl.py:158-184)."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
         .option("batchsize", str(batchsize))
         .mode("append")
     )
+    if user is not None:
+        writer = writer.option("user", user).option("password", password or "")
+    if driver:
+        writer = writer.option("driver", driver)
     if create_table_column_types:
         writer = writer.option("createTableColumnTypes", create_table_column_types)
     writer.save()
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+) -> DataFrame:
+    """JDBC source for the sink-probe side of the dedup upsert: filters and
+    projections on the result push down to the database (the reference's
+    server-side ``SELECT COUNT(*) WHERE city=%s AND utc=%s`` probe,
+    weather_etl.py:158-166, generalized)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if user is not None:
+        reader = reader.option("user", user).option("password", password or "")
+    if driver:
+        reader = reader.option("driver", driver)
+    return reader.load()
 
 
 def catalog_ddl(spark, database: str = "weather_db", table: str = "weather") -> None:
