@@ -39,11 +39,15 @@ HEADLINE = [
     "l2_minhash_lsh_pairs",
     "l2_neardup_pipeline",
     "l2_simhash_neardup_pairs",
+    "l2_embedding_neardup_pairs",
     "l3_knn_bruteforce",
     "l3_ann_lsh_bucketed",
+    "l3_ann_persisted_probe",  # min-of-2: run 1 builds the index, run 2 is probe-only
+    "l3_ivf_search",
     "l4_token_stats",
     "l4_fingerprint",
     "l5_multimodal_features",
+    "l5_media_decode",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

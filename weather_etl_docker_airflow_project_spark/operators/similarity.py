@@ -259,6 +259,82 @@ def ivf_search(
     )
 
 
+def ivf_kmeans_search(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    fit_sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a LEARNED coarse quantizer (Spark ML KMeans) behind the
+    same contract as :func:`ivf_search`: corpus assigned to cells, query
+    probes its ``n_probe`` nearest centroids, exact integer dots inside.
+
+    Trade vs the seed-centroid variant (``ivf_cells`` docstring): KMeans
+    gives far better cell balance (cells follow the data's actual modes),
+    but the fit is iterative and RNG-seeded, so there is no SQL oracle —
+    the declared query is rows-only checked and the recall gate lives in
+    tests (vs brute force). At 100 TB: fit on the deterministic sample
+    (``id % fit_sample_mod == 0``), broadcast the k centroid literals
+    exactly as here, and persist the celled corpus partitioned by cell."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_df = embeddings
+    if fit_sample_mod > 1:
+        fit_df = embeddings.filter(F.col(id_col) % fit_sample_mod == 0)
+    fit_vecs = fit_df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(fit_vecs)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    # centroids as quantized literal arrays: assignment + probe selection
+    # are plain integer-dot argmax expressions (broadcast by construction)
+    def _qcenter(c: list[float]) -> Column:
+        return F.array(*[F.lit(int(round(x * QUANT))) for x in c])
+
+    qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    cell_expr = None
+    best_dot = None
+    for ci, c in enumerate(centers):
+        d = int_dot(F.col("qv"), _qcenter(c))
+        if cell_expr is None:
+            cell_expr, best_dot = F.lit(ci), d
+        else:
+            cond = d > best_dot
+            cell_expr = F.when(cond, F.lit(ci)).otherwise(cell_expr)
+            best_dot = F.greatest(best_dot, d)
+    cells = qdf.withColumn("cell", cell_expr)
+
+    qv_row = query.select(quantize(F.col(vec_col)).alias("query_qv"))
+    probe_struct = F.array(
+        *[
+            F.struct(
+                int_dot(F.col("query_qv"), _qcenter(c)).alias("dot"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, c in enumerate(centers)
+        ]
+    )
+    probes = qv_row.select(
+        "query_qv",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(probe_struct)), 1, n_probe)
+        ).alias("p"),
+    ).select("query_qv", F.col("p.cell").alias("cell"))
+    return (
+        cells.join(F.broadcast(probes), "cell")
+        .select(F.col(id_col), int_dot(F.col("qv"), F.col("query_qv")).alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_index_path(sf_dir: str, n_planes: int = 8) -> str:
     """Deterministic on-disk location for the persisted LSH index of one
     dataset. The path encodes the bucketing config (plane count, quant

@@ -43,6 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     "l3_ann_lsh_multiprobe",
     "l3_ivf_search",
     "l3_ann_persisted_probe",
+    "l3_ivf_kmeans_search",
     # -- LLM pipeline: text analysis
     "l4_token_stats",
     "l4_term_stats",

@@ -398,6 +398,24 @@ def l3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ivf_kmeans_search",
+    oracle=None,  # learned quantizer: KMeans fit is iterative + RNG-seeded,
+    #               not SQL-expressible — rows-only check by design; the
+    #               recall gate vs brute force lives in tests/test_llm_ops.py
+    tags=("L3",),
+)
+def l3_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a learned (Spark ML KMeans) coarse quantizer —
+    better cell balance than the seed-centroid ``l3_ivf_search`` at the
+    cost of oracle-checkability. Same probe contract: top-20 by exact
+    quantized dot inside the query's 3 nearest cells (measured recall@20
+    ~0.67 at a 3-of-8-cell scan on sf0.01)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_kmeans_search(emb, q, k=20, n_cells=8, n_probe=3)
+
+
+@query(
     "l3_ann_persisted_probe",
     oracle=f"""
     WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
