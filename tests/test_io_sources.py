@@ -116,6 +116,39 @@ def test_jdbc_executed_roundtrip_with_dedup_upsert(spark, tmp_path):
     assert final.select("city", "utc").distinct().count() == 3
 
 
+def test_stream_to_jdbc_effectively_once(spark, tmp_path):
+    """The full reference topology executed: landing-file stream ->
+    transform -> dedup against the JDBC sink -> append, against embedded
+    Derby. Redelivering every record plus one new one inserts exactly the
+    new one (effectively-once, weather_etl.py:158-187 semantics)."""
+    from weather_etl_docker_airflow_project_spark.streaming.pipeline import (
+        land_records,
+        start_stream_jdbc,
+    )
+
+    landing = str(tmp_path / "landing")
+    url = derby_url(str(tmp_path / "weatherdb"))
+
+    land_records(lambda: CANNED_WEATHER[:2], landing)
+    q = start_stream_jdbc(
+        spark, landing, url, "weather", str(tmp_path / "ck1"),
+        jdbc_driver=DERBY_EMBEDDED_DRIVER, available_now=True,
+    )
+    q.awaitTermination(120)
+    assert jdbc_read(spark, url, "weather", driver=DERBY_EMBEDDED_DRIVER).count() == 2
+
+    # second drain: 2 duplicates + 1 new record -> exactly 3 rows total
+    land_records(lambda: CANNED_WEATHER, landing)
+    q = start_stream_jdbc(
+        spark, landing, url, "weather", str(tmp_path / "ck1"),
+        jdbc_driver=DERBY_EMBEDDED_DRIVER, available_now=True,
+    )
+    q.awaitTermination(120)
+    final = jdbc_read(spark, url, "weather", driver=DERBY_EMBEDDED_DRIVER)
+    assert final.count() == 3
+    assert final.select("city", "utc").distinct().count() == 3
+
+
 def test_stream_processing_time_trigger(spark, tmp_path):
     """T1: the 2-minute-cadence trigger shape, at 1s for the test; rows
     landed while the stream runs are picked up by a later micro-batch."""

@@ -393,12 +393,19 @@ def ivf_kmeans_search(
 
 def ann_index_path(sf_dir: str, n_planes: int = 8) -> str:
     """Deterministic on-disk location for the persisted LSH index of one
-    dataset. The path encodes the bucketing config (plane count, quant
-    scale) so a config change can never silently reuse a stale index."""
+    dataset, anchored to the repo root (NOT the process CWD — the round
+    driver may launch from elsewhere). The path encodes the bucketing
+    config (plane count, quant scale) so a config change can never
+    silently reuse a stale index."""
     import os
 
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
     sfname = os.path.basename(os.path.normpath(sf_dir))
-    return f"spark-warehouse/ann_index_{sfname}_p{n_planes}_q{QUANT}"
+    return os.path.join(
+        repo_root, "spark-warehouse", f"ann_index_{sfname}_p{n_planes}_q{QUANT}"
+    )
 
 
 def build_ann_index(

@@ -124,3 +124,50 @@ def start_stream(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def start_stream_jdbc(
+    spark: SparkSession,
+    landing_dir: str,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    jdbc_driver: str | None = None,
+    trigger_interval: str = "2 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The reference's load topology end-to-end: micro-batch stream ->
+    dedup probe against the DATABASE -> JDBC append of only-new rows
+    (weather_etl.py:158-187, scaled from 1 row/2 round-trips to whole
+    batches). Effectively-once into a relational sink: checkpointing
+    replays undelivered batches, the natural-key anti-join makes the
+    replay idempotent. Executed in tests against embedded Derby; MySQL is
+    a URL/driver swap."""
+    from ..operators.upsert import dedup_new_rows
+    from ..sources.jdbc import jdbc_append, jdbc_read
+
+    os.makedirs(landing_dir, exist_ok=True)
+    raw = spark.readStream.schema(WEATHER_RAW_SCHEMA).json(landing_dir)
+
+    def _on_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        require_utc_session(batch_df)
+        flat = transform_weather(batch_df)
+        try:
+            existing = jdbc_read(spark, url, table, driver=jdbc_driver).select(
+                *DEDUP_KEYS
+            )
+            fresh = dedup_new_rows(flat, existing, DEDUP_KEYS)
+        except Exception:
+            fresh = flat  # first batch: table does not exist yet
+        jdbc_append(fresh, url, table, driver=jdbc_driver)
+
+    writer = raw.writeStream.foreachBatch(_on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
