@@ -343,6 +343,26 @@ def test_multimodal_features_and_stub(spark):
         multimodal.decode_media(b"\x00", fmt="pixels")   # full decode: stub
 
 
+def test_video_container_roundtrip_and_frame_sample(spark):
+    payload = multimodal.encode_video([10, 20, 30, 40, 50])
+    frames = multimodal.decode_video_frames(payload)
+    assert len(frames) == 5
+    assert frames[2] == bytes([30]) * multimodal.VID_FRAME_LEN
+    with pytest.raises(ValueError):
+        multimodal.decode_video_frames(b"nope")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(payload, 32, 32)
+
+    df = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
+    video = multimodal.synthesize_video(df, "doc_id", "text")
+    sampled = multimodal.frame_sample(video, every_n=2).collect()
+    # 6 frames, stride 2 -> indices 0, 2, 4 with checksum 64*byte % 997
+    got = {(r["frame_idx"], r["frame_checksum"]) for r in sampled}
+    assert got == {
+        (i, (multimodal.VID_FRAME_LEN * ord("abcdef"[i])) % 997) for i in (0, 2, 4)
+    }
+
+
 def test_media_header_roundtrip_local():
     """Encoder and parser agree for every container, including dimension
     values whose bytes would betray an endianness mix-up (258 = 0x0102)."""

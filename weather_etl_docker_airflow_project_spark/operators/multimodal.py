@@ -153,6 +153,107 @@ def media_dimensions(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     return df.select(id_col, payload_col).mapInPandas(_decode, MEDIA_DIMS_SCHEMA)
 
 
+_VID_MAGIC = b"VID0"
+VID_FRAME_LEN = 64
+VID_MAX_FRAMES = 16
+
+
+def encode_video(frame_bytes: list[int], frame_len: int = VID_FRAME_LEN) -> bytes:
+    """Deterministic fake video container (real codecs are absent from
+    this environment — the brief's sanctioned stand-in): magic, frame
+    count, frame length, then each frame as one byte value repeated
+    ``frame_len`` times. The *container walk* (header parse, per-frame
+    offset arithmetic) is the real logic under test."""
+    out = _VID_MAGIC + struct.pack(">HH", len(frame_bytes), frame_len)
+    for b in frame_bytes:
+        out += bytes([b]) * frame_len
+    return out
+
+
+def decode_video_frames(payload: bytes) -> list[bytes]:
+    """Walk the container and return raw frame payloads."""
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    n_frames, frame_len = struct.unpack(">HH", payload[4:8])
+    return [
+        payload[8 + i * frame_len : 8 + (i + 1) * frame_len]
+        for i in range(n_frames)
+    ]
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),  # sum(bytes) % 997
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video payload and emit a
+    per-frame feature row (checksum stands in for the absent pixel
+    featurizer). One mapInPandas stage: payloads stay inside the Arrow
+    batch, only (id, idx, checksum) scalars come out — at 100 TB the video
+    bytes never ride a shuffle."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, frame in enumerate(decode_video_frames(payload)):
+                    if i % every_n == 0:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        sums.append(sum(frame) % 997)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — real raster resize needs codec libraries this environment
+    lacks; kept as the documented extension point beside the implemented
+    header decode + frame sampling."""
+    raise NotImplementedError("image resize requires codec libraries not present here")
+
+
+def synthesize_video(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic video fixture: one frame per character of the text
+    (capped at VID_MAX_FRAMES), frame i filled with that character's byte —
+    so the oracle can predict every sampled frame checksum arithmetically
+    from the source column."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_video([ord(c) for c in text[:VID_MAX_FRAMES]])
+                for text in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_synth, schema)
+
+
 def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic media fixture: per document, build a real PNG / JPEG /
     GIF header (format = id % 3) whose dimensions derive from the text

@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- LLM pipeline: multimodal + corpus ops
     "l5_multimodal_features",
     "l5_media_decode",
+    "l5_frame_sample",
     "l6_train_val_test_split",
     "l6_stratified_sample",
     "l6_decontaminate_against_eval",

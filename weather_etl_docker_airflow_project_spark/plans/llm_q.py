@@ -963,6 +963,35 @@ def l5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_features(mm, "doc_id")
 
 
+def _l5_frame_sample_oracle() -> str:
+    fl = multimodal.VID_FRAME_LEN
+    mf = multimodal.VID_MAX_FRAMES
+    return f"""
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS frame_idx,
+           CAST(({fl} * ascii(substr(text, i, 1))) % 997 AS BIGINT) AS frame_checksum
+    FROM documents, generate_series(1, {mf}) t(i)
+    WHERE i <= least(strlen(text), {mf}) AND (i - 1) % 4 = 0
+    """
+
+
+@query(
+    "l5_frame_sample",
+    oracle=_l5_frame_sample_oracle(),
+    tags=("L5",),
+)
+def l5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real mapInPandas plumbing: walk a
+    frame container (deterministic fake — real codecs absent, see
+    operators/multimodal.encode_video), keep every 4th frame, emit
+    per-frame checksums. The oracle predicts each sampled checksum
+    arithmetically from the text the fixture frames were built from, so a
+    wrong frame offset or stride hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    video = multimodal.synthesize_video(docs, "doc_id", "text")
+    return multimodal.frame_sample(video, every_n=4)
+
+
 @query(
     "l5_media_decode",
     oracle="""
