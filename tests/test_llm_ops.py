@@ -292,6 +292,39 @@ def test_fingerprint_append_monotone(spark):
     assert fp[2] <= fp[1]
 
 
+def test_boilerplate_shingles_per_group(spark):
+    """A 3-gram repeated across docs of the same source is flagged; the
+    same 3-gram split across different sources is not."""
+    df = spark.createDataFrame(
+        [
+            (1, "srcA", "all rights reserved unique alpha words here"),
+            (2, "srcA", "all rights reserved other beta content words"),
+            (3, "srcB", "all rights reserved but only one doc here"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    flagged = {
+        (r["source"], r["shingle"]): r["n_docs"]
+        for r in text.boilerplate_shingles(df, "doc_id", "text", "source").collect()
+    }
+    assert flagged[("srcA", "all rights reserved")] == 2
+    assert not any(src == "srcB" for src, _ in flagged)
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@test.com or c@x.org now"),
+            (2, "no addresses at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.redact_pii(df, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["redacted"] == "mail me at [EMAIL] or [EMAIL] now"
+    assert out[2]["n_emails"] == 0 and out[2]["redacted"] == "no addresses at all"
+
+
 def test_lang_id_real_stopwords(spark):
     df = spark.createDataFrame(
         [

@@ -144,6 +144,50 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def boilerplate_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate detection: word 3-gram shingles appearing in
+    >= min_docs documents of the SAME group (source/site) are template
+    chrome, not content — the standard pre-dedup cleanup in web-corpus
+    pipelines (site navigation, footers, legal banners repeat within a
+    site, not across sites).
+
+    One explode + one (group, shingle) hash aggregation; map-side partial
+    counts combine before the single shuffle. Callers anti-join a doc's
+    shingles against this table to strip boilerplate."""
+    from ..operators.dedup import shingles
+
+    sh = shingles(df.select(id_col, text_col), id_col, text_col)
+    with_group = sh.join(df.select(id_col, group_col), id_col)
+    return (
+        with_group.groupBy(group_col, "shingle")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mask email addresses (the representative PII class — same pattern
+    extends to phones/SSNs) and report the redaction count per document.
+    Pure column expressions; the regex is RE2-compatible so the DuckDB
+    oracle computes the identical result."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "[EMAIL]").alias("redacted"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Winnowing-style document fingerprint: polynomial rolling hash over
     every FINGERPRINT_WINDOW-token window (16-bit token hashes keep the

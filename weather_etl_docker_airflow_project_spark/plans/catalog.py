@@ -51,6 +51,8 @@ _PRIORITY: tuple[str, ...] = (
     "l4_lang_id",
     "l4_fingerprint",
     "l4_tfidf_top_terms",
+    "l4_boilerplate_shingles",
+    "l4_redact_pii",
     # -- LLM pipeline: multimodal + corpus ops
     "l5_multimodal_features",
     "l5_media_decode",

@@ -963,6 +963,66 @@ def l5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_features(mm, "doc_id")
 
 
+@query(
+    "l4_boilerplate_shingles",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    with_group AS (
+      SELECT s.doc_id, s.shingle, d.source
+      FROM sh s JOIN documents d ON d.doc_id = s.doc_id)
+    SELECT source, shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM with_group
+    GROUP BY source, shingle
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("L4", "L2"),
+)
+def l4_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection: word 3-grams repeated across >=2
+    documents of the same source are template chrome (site navigation,
+    footers) — the standard web-corpus cleanup stage before dedup. One
+    explode + one hash aggregation; callers anti-join to strip."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_shingles(docs, "doc_id", "text", "source", min_docs=2)
+
+
+@query(
+    "l4_redact_pii",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ' || text
+               AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           substr(regexp_replace(text, '{text.EMAIL_RE}', '[EMAIL]', 'g'), 1, 60)
+               AS redacted_head
+    FROM t
+    """,
+    tags=("L4",),
+)
+def l4_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails as the representative class): inject one
+    deterministic address per document — the corpus has none — then mask
+    and count with the same RE2-compatible regex in both engines. At
+    100 TB this is a pure map stage, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    red = text.redact_pii(docs, "doc_id", "text")
+    return red.select(
+        "doc_id", "n_emails", F.substring("redacted", 1, 60).alias("redacted_head")
+    )
+
+
 def _l5_frame_sample_oracle() -> str:
     fl = multimodal.VID_FRAME_LEN
     mf = multimodal.VID_MAX_FRAMES
