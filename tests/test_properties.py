@@ -86,6 +86,54 @@ def test_dedup_key_unique_after_batch_dedup(spark, recs):
     assert out.count() == out.select("city", "utc").distinct().count()
 
 
+@given(
+    dims=st.lists(
+        st.tuples(st.integers(1, 65535), st.integers(1, 65535)),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_media_header_codec_roundtrip_property(dims):
+    """Pure-Python property (no Spark job): every (width, height) survives
+    the encode->decode round trip for all three containers — catches
+    endianness, offset, and segment-walk bugs across the whole dimension
+    range, including the 2-byte JPEG/GIF boundary values."""
+    from weather_etl_docker_airflow_project_spark.operators import multimodal
+
+    for w, h in dims:
+        for enc, fmt in [
+            (multimodal.encode_png_header, "image/png"),
+            (multimodal.encode_jpeg_header, "image/jpeg"),
+            (multimodal.encode_gif_header, "image/gif"),
+        ]:
+            assert multimodal.decode_media(enc(w, h)) == {
+                "format": fmt,
+                "width": w,
+                "height": h,
+            }
+
+
+@given(
+    frames=st.lists(st.integers(0, 255), min_size=0, max_size=40),
+    stride=st.integers(1, 8),
+)
+@settings(max_examples=30, deadline=None)
+def test_frame_sample_stride_property(frames, stride):
+    """Container walk + stride arithmetic: sampling every n-th frame of an
+    encoded video yields exactly the frames at indices 0, n, 2n, ..."""
+    from weather_etl_docker_airflow_project_spark.operators import multimodal
+
+    payload = multimodal.encode_video(frames)
+    decoded = multimodal.decode_video_frames(payload)
+    assert len(decoded) == len(frames)
+    sampled = [f for i, f in enumerate(decoded) if i % stride == 0]
+    assert all(
+        f == bytes([b]) * multimodal.VID_FRAME_LEN
+        for f, b in zip(sampled, frames[::stride])
+    )
+
+
 @given(dts=st.lists(st.integers(0, 2_000_000_000), min_size=1, max_size=16))
 @SLOW
 def test_timestamp_roundtrip(spark, dts):
