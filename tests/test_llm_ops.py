@@ -325,6 +325,36 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[2]["n_emails"] == 0 and out[2]["redacted"] == "no addresses at all"
 
 
+def test_repetition_stats_detects_loops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),     # 12 tokens, 10 grams, 3 distinct
+            (2, "all twelve tokens here are totally distinct from one another yes ok"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_grams"] == 10 and out[1]["n_distinct_grams"] == 3
+    assert out[1]["dup_gram_pct"] == 70
+    assert out[2]["dup_gram_pct"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_gram_pct"] == 0
+
+
+def test_gopher_rules_flags(spark):
+    long_ok = " ".join(["word"] * 20)                    # 20 words, mean 4
+    short = "too short"                                  # fails word count
+    symbols = " ".join(["ok"] * 16 + ["###"] * 4)        # 20% symbol tokens
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] and out[1]["mean_word_len"] == 4
+    assert not out[2]["keep"] and not out[2]["ok_word_count"]
+    assert not out[3]["keep"] and not out[3]["ok_symbol_ratio"]
+    assert out[3]["n_symbol_tokens"] == 4 and out[3]["ok_word_count"]
+
+
 def test_lang_id_real_stopwords(spark):
     df = spark.createDataFrame(
         [

@@ -171,6 +171,76 @@ def boilerplate_shingles(
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition (a standard LLM quality signal: highly
+    repetitive documents are boilerplate/spam/generation loops): the
+    fraction of word 3-grams that are duplicates of an earlier 3-gram in
+    the same document. Integer outputs only — counts plus a floor'd
+    percentage — so the oracle hash is exact."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = 3
+    n_grams = F.greatest(n - k + 1, F.least(n, F.lit(1)))  # 0 only if no tokens
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i.cast("int"), k)),
+    )
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        F.when(n > 0, n_distinct).otherwise(0).cast("long").alias("n_distinct_grams"),
+        F.when(
+            n > 0, F.floor(F.lit(100) * (n_grams - n_distinct) / n_grams)
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("dup_gram_pct"),
+    )
+
+
+# Gopher-style document filter bounds (public MassiveText heuristics class:
+# word-count window, mean-word-length window, max symbol ratio)
+GOPHER_MIN_WORDS = 16
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2   # inclusive lower bound, integer floor'd
+GOPHER_MAX_MEAN_WORD_LEN = 12
+GOPHER_MAX_SYMBOL_PCT = 10     # % of tokens that are symbols (#, ...)
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite rule-based document filter in the Gopher/MassiveText
+    style: word-count window, mean-word-length window, symbol-token ratio
+    cap. Emits the per-rule booleans plus the combined keep flag so a
+    pipeline can both filter and audit WHY documents fell out. All
+    integer/boolean arithmetic — exact in any engine."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    # mean word length floor'd to an integer: engine-exact, no float division
+    mean_len = F.when(n > 0, F.floor(sum_len / n)).otherwise(0).cast("long")
+    n_symbols = F.size(
+        F.filter(toks, lambda t: t.rlike("^[^a-zA-Z0-9]+$"))
+    ).cast("long")
+    ok_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_symbols = F.lit(100) * n_symbols <= F.lit(GOPHER_MAX_SYMBOL_PCT) * n
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_symbols.alias("n_symbol_tokens"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        (ok_words & ok_mean & ok_symbols).alias("keep"),
+    )
+
+
 EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
 
 

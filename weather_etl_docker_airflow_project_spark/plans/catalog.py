@@ -43,7 +43,10 @@ _PRIORITY: tuple[str, ...] = (
     "l3_ann_lsh_multiprobe",
     "l3_ivf_search",
     "l3_ann_persisted_probe",
-    "l3_ivf_kmeans_search",
+    # l3_ivf_kmeans_search is deliberately NOT prioritized: it is a
+    # rows-only check (no SQL oracle for a learned quantizer) and its real
+    # gate is the pytest recall floor — the window slot goes to a
+    # hash-checked query instead
     # -- LLM pipeline: text analysis
     "l4_token_stats",
     "l4_term_stats",
@@ -53,6 +56,8 @@ _PRIORITY: tuple[str, ...] = (
     "l4_tfidf_top_terms",
     "l4_boilerplate_shingles",
     "l4_redact_pii",
+    "l4_repetition_stats",
+    "l4_gopher_rules",
     # -- LLM pipeline: multimodal + corpus ops
     "l5_multimodal_features",
     "l5_media_decode",
@@ -83,7 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "f5_datetime_suite",
     "f7_math_suite",
     "f9_json_suite",
-    "a4_approx_count_distinct",
+    # a4_approx_count_distinct is rows-only (HLL sketch, no oracle); its
+    # 5%-error contract is pytest-gated — not worth a window slot
     # -- proven relational representatives (regression canaries)
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

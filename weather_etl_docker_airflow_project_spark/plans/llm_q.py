@@ -964,6 +964,75 @@ def l5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l4_repetition_stats",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n,
+             [array_to_string(toks[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(toks) - 2, 1))] AS grams
+      FROM tok)
+    SELECT doc_id,
+           CAST(greatest(n - 2, least(n, 1)) AS BIGINT) AS n_grams,
+           CAST(CASE WHEN n > 0 THEN len(list_distinct(grams)) ELSE 0 END
+                AS BIGINT) AS n_distinct_grams,
+           CAST(CASE WHEN n > 0 THEN floor(
+                  100 * (greatest(n - 2, least(n, 1)) - len(list_distinct(grams)))
+                      / greatest(n - 2, least(n, 1)))
+                ELSE 0 END AS BIGINT) AS dup_gram_pct
+    FROM g
+    """,
+    tags=("L4",),
+)
+def l4_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate word-3-gram percentage) — the
+    standard signal for boilerplate/spam/generation-loop documents in LLM
+    corpus filtering. Map-only; integer outputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text")
+
+
+def _gopher_oracle() -> str:
+    t = text
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS n,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+             len(list_filter(toks, x -> regexp_full_match(x, '[^a-zA-Z0-9]+'))) AS n_sym
+      FROM tok)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(CASE WHEN n > 0 THEN floor(sum_len / n) ELSE 0 END AS BIGINT)
+               AS mean_word_len,
+           CAST(n_sym AS BIGINT) AS n_symbol_tokens,
+           (n >= {t.GOPHER_MIN_WORDS} AND n <= {t.GOPHER_MAX_WORDS}) AS ok_word_count,
+           (CASE WHEN n > 0 THEN floor(sum_len / n) ELSE 0 END
+              BETWEEN {t.GOPHER_MIN_MEAN_WORD_LEN} AND {t.GOPHER_MAX_MEAN_WORD_LEN})
+               AS ok_mean_word_len,
+           (100 * n_sym <= {t.GOPHER_MAX_SYMBOL_PCT} * n) AS ok_symbol_ratio,
+           ((n >= {t.GOPHER_MIN_WORDS} AND n <= {t.GOPHER_MAX_WORDS})
+            AND (CASE WHEN n > 0 THEN floor(sum_len / n) ELSE 0 END
+                   BETWEEN {t.GOPHER_MIN_MEAN_WORD_LEN} AND {t.GOPHER_MAX_MEAN_WORD_LEN})
+            AND (100 * n_sym <= {t.GOPHER_MAX_SYMBOL_PCT} * n)) AS keep
+    FROM s
+    """
+
+
+@query(
+    "l4_gopher_rules",
+    oracle=_gopher_oracle(),
+    tags=("L4",),
+)
+def l4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite rule-based quality filter (Gopher/MassiveText heuristics
+    class): word-count window, mean-word-length window, symbol-token cap —
+    per-rule booleans plus the combined keep flag for auditability."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs, "doc_id", "text")
+
+
+@query(
     "l4_boilerplate_shingles",
     oracle=f"""
     WITH {_SHINGLES_CTE},
