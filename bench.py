@@ -46,6 +46,9 @@ HEADLINE = [
     "l3_ivf_search",
     "l4_token_stats",
     "l4_fingerprint",
+    "l4_repetition_stats",
+    "l4_gopher_rules",
+    "l4_boilerplate_shingles",
     "l5_multimodal_features",
     "l5_media_decode",
 ]

@@ -64,6 +64,22 @@ def test_ann_persisted_probe_prunes_partitions(spark):
     assert "BroadcastNestedLoopJoin" not in nplan
 
 
+def test_text_quality_ops_are_map_only(spark):
+    """The per-document text operators (stats, quality, repetition,
+    gopher rules, redaction) must compile to pure map plans — zero
+    Exchange. At 100 TB a stray shuffle here would move the whole corpus."""
+    for name in (
+        "l4_token_stats",
+        "l4_quality_score",
+        "l4_repetition_stats",
+        "l4_gopher_rules",
+        "l4_redact_pii",
+    ):
+        df = catalog.REGISTRY[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} plan contains a shuffle"
+
+
 def test_approx_count_distinct_error_bound(spark):
     """a4 has no value oracle (HLL sketches are engine-specific); its
     accuracy contract is checked here: within 5% of the exact count."""
