@@ -106,19 +106,18 @@ EMB_BAND_BITS = 4  # 8 bands x 4 planes = 32 planes total; at the declared
 
 
 def embedding_band_buckets(
-    embeddings: DataFrame,
+    qdf: DataFrame,
     n_bands: int = EMB_BANDS,
     band_bits: int = EMB_BAND_BITS,
     dim: int = 64,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Banded hyperplane-LSH buckets: (id, qv, band, bucket), one row per
-    band. Plane j of band b is ``plane_components(b*band_bits + j)``;
-    bucket = the band's sign bits. OR-of-ANDs banding: a pair with angular
-    collision probability p per plane shares >=1 band bucket with
-    probability 1 - (1 - p^band_bits)^n_bands — the recall/cost dial."""
-    qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    """Banded hyperplane-LSH buckets over an already-quantized (id, qv)
+    frame: (id, band, bucket), one row per band. Plane j of band b is
+    ``plane_components(b*band_bits + j)``; bucket = the band's sign bits.
+    OR-of-ANDs banding: a pair with angular collision probability p per
+    plane shares >=1 band bucket with probability
+    1 - (1 - p^band_bits)^n_bands — the recall/cost dial."""
     bands = []
     for b in range(n_bands):
         bucket = F.lit(0).cast("long")
@@ -139,10 +138,8 @@ def embedding_band_buckets(
             F.struct(F.lit(b).cast("long").alias("band"), bucket.alias("bucket"))
         )
     return qdf.select(
-        F.col(id_col), F.col("qv"), F.explode(F.array(*bands)).alias("bb")
-    ).select(
-        id_col, "qv", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def batch_int_dot():
@@ -185,30 +182,7 @@ def embedding_neardup_pairs_bucketed(
     ).persist()
     # bucket the already-quantized vectors (avoids re-quantizing the corpus
     # once for the buckets and again for the verify joins)
-    bands = []
-    for b in range(n_bands):
-        bucket = F.lit(0).cast("long")
-        for i in range(band_bits):
-            plane = F.array(
-                *[
-                    F.lit(v).cast("long")
-                    for v in plane_components(b * band_bits + i, dim)
-                ]
-            )
-            d = F.aggregate(
-                F.zip_with(F.col("qv"), plane, lambda x, p: x * p),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
-        bands.append(
-            F.struct(F.lit(b).cast("long").alias("band"), bucket.alias("bucket"))
-        )
-    buckets = (
-        qdf.select(F.col(id_col), F.explode(F.array(*bands)).alias("bb"))
-        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()
-    )
+    buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col).persist()
     buckets.count()  # materialize once; both self-join sides reuse it
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
