@@ -36,7 +36,10 @@ def compat(spark_t: str, arrow_t: str) -> bool:
     if spark_t in COMPAT:
         return arrow_t in COMPAT[spark_t]
     if spark_t.startswith("decimal"):
-        return arrow_t.startswith("decimal") and spark_t[7:].replace(" ", "") in arrow_t
+        # normalize both sides: spark 'decimal(12,2)' vs arrow 'decimal128(12, 2)'
+        return arrow_t.startswith("decimal") and spark_t[7:].replace(
+            " ", ""
+        ) in arrow_t.replace(" ", "")
     if spark_t.startswith("timestamp"):
         return arrow_t.startswith("timestamp")
     if spark_t.startswith("array<"):

@@ -113,6 +113,8 @@ def decode_media(payload: bytes, fmt: str | None = None) -> dict:
         while pos + 4 <= len(payload) and payload[pos] == 0xFF:
             marker, seg_len = payload[pos + 1], struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
             if marker in _JPEG_SOF:
+                if pos + 9 > len(payload):  # SOF present but dims truncated
+                    raise ValueError("truncated JPEG SOF segment")
                 h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
                 return {"format": "image/jpeg", "width": w, "height": h}
             pos += 2 + seg_len
@@ -237,8 +239,10 @@ def synthesize_video(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # ord % 256 keeps non-ASCII characters inside a byte; the
+            # oracle mirrors with ascii(c) % 256
             payloads = [
-                encode_video([ord(c) for c in text[:VID_MAX_FRAMES]])
+                encode_video([ord(c) % 256 for c in text[:VID_MAX_FRAMES]])
                 for text in pdf[text_col]
             ]
             yield pd.DataFrame(

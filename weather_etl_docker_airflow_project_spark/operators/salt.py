@@ -47,7 +47,18 @@ def salted_join(
     Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: the
     n-fold right replication emits every UNMATCHED right row n times under
     ``right``/``full``/``cross``, silently corrupting those semantics."""
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+    if how not in (
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    ):
         raise ValueError(
             f"salted_join does not preserve {how!r} semantics: the right side "
             "is replicated per salt bucket, so unmatched right rows would be "

@@ -177,11 +177,11 @@ def embedding_neardup_pairs_bucketed(
     matmul per batch instead of an interpreted per-row lambda.
     ``embedding_neardup_pairs`` (the exact kernel) remains the recall
     oracle in tests."""
-    qdf = embeddings.select(
-        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
-    ).persist()
-    # bucket the already-quantized vectors (avoids re-quantizing the corpus
-    # once for the buckets and again for the verify joins)
+    qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    # bucket the already-quantized vectors; persist ONLY for the duration
+    # of the candidate build (both self-join sides reuse it), then free —
+    # leaving per-invocation caches pinned would evict longer-lived
+    # persisted tables over a session
     buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col).persist()
     buckets.count()  # materialize once; both self-join sides reuse it
     l, r = buckets.alias("l"), buckets.alias("r")
@@ -196,7 +196,9 @@ def embedding_neardup_pairs_bucketed(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
+        .localCheckpoint()  # candidate ids are small; cuts the bucket lineage
     )
+    buckets.unpersist()
     a = qdf.select(F.col(id_col).alias("id_a"), F.col("qv").alias("qv_a"))
     b = qdf.select(F.col(id_col).alias("id_b"), F.col("qv").alias("qv_b"))
     thr = int(threshold * QUANT * QUANT)
@@ -369,16 +371,25 @@ def ann_index_path(sf_dir: str, n_planes: int = 8) -> str:
     """Deterministic on-disk location for the persisted LSH index of one
     dataset, anchored to the repo root (NOT the process CWD — the round
     driver may launch from elsewhere). The path encodes the bucketing
-    config (plane count, quant scale) so a config change can never
-    silently reuse a stale index."""
+    config (plane count, quant scale) AND a fingerprint of the source
+    parquet (size + mtime), so neither a config change nor regenerated
+    data can silently reuse a stale index."""
     import os
 
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     )
     sfname = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nosrc"
     return os.path.join(
-        repo_root, "spark-warehouse", f"ann_index_{sfname}_p{n_planes}_q{QUANT}"
+        repo_root,
+        "spark-warehouse",
+        f"ann_index_{sfname}_p{n_planes}_q{QUANT}_d{fp}",
     )
 
 

@@ -7,9 +7,12 @@ got no hard-signal correctness row). ``_PRIORITY`` therefore front-loads
 (a) the flagship (``entry()`` smoke depends on it being runnable), (b) the
 reference-fidelity pipeline, (c) the entire LLM-pipeline surface, streaming,
 and IO queries, (d) queries whose oracles changed this round and need a
-fresh verdict, then (e) a rotating sample of the already-proven relational
-set. Everything else keeps its module registration order after the
-priority block.
+fresh verdict. The first 50 priority entries fill the window exactly;
+entries after position 50 (the round-1-proven relational canaries) are
+ordered ahead of the unlisted remainder but sit PAST the driver's cut —
+they are next-round rotation candidates, not checked this round.
+``_reorder`` raises on names missing from the registry so a renamed query
+can never silently shift the window.
 """
 
 from __future__ import annotations
@@ -90,7 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     "f9_json_suite",
     # a4_approx_count_distinct is rows-only (HLL sketch, no oracle); its
     # 5%-error contract is pytest-gated — not worth a window slot
-    # -- proven relational representatives (regression canaries)
+    # -- round-1-proven relational canaries: ordered here but PAST the
+    #    50-query cut; rotate them into the window in a future round
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "j8_asof_error_after_click",
@@ -101,7 +105,12 @@ _PRIORITY: tuple[str, ...] = (
 
 
 def _reorder() -> None:
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    unknown = [n for n in _PRIORITY if n not in REGISTRY]
+    if unknown:
+        raise ValueError(
+            f"_PRIORITY names missing from registry (renamed query?): {unknown}"
+        )
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -1098,9 +1098,10 @@ def _l5_frame_sample_oracle() -> str:
     return f"""
     SELECT doc_id,
            CAST(i - 1 AS BIGINT) AS frame_idx,
-           CAST(({fl} * ascii(substr(text, i, 1))) % 997 AS BIGINT) AS frame_checksum
+           CAST(({fl} * (ascii(substr(text, i, 1)) % 256)) % 997 AS BIGINT)
+               AS frame_checksum
     FROM documents, generate_series(1, {mf}) t(i)
-    WHERE i <= least(strlen(text), {mf}) AND (i - 1) % 4 = 0
+    WHERE i <= least(length(text), {mf}) AND (i - 1) % 4 = 0
     """
 
 
@@ -1125,7 +1126,7 @@ def l5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l5_media_decode",
     oracle="""
     WITH t AS (
-      SELECT doc_id, strlen(text) AS n_chars,
+      SELECT doc_id, length(text) AS n_chars,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents)
     SELECT doc_id,

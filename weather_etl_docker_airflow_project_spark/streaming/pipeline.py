@@ -159,8 +159,14 @@ def start_stream_jdbc(
                 *DEDUP_KEYS
             )
             fresh = dedup_new_rows(flat, existing, DEDUP_KEYS)
-        except Exception:
-            fresh = flat  # first batch: table does not exist yet
+        except Exception as e:
+            # ONLY the table-not-yet-created first batch may skip the
+            # probe; swallowing transient DB errors here would silently
+            # disable dedup and re-insert replayed batches
+            msg = str(e).lower()
+            if "does not exist" not in msg and "not found" not in msg:
+                raise
+            fresh = flat
         jdbc_append(fresh, url, table, driver=jdbc_driver)
 
     writer = raw.writeStream.foreachBatch(_on_batch).option(
