@@ -36,21 +36,57 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4      # 4 x 8-bit bands => exact-recall blocking for d<=3
 
 
-def _spread_for_explode(df: DataFrame, id_col: str) -> DataFrame:
-    """Hash-repartition the compact pre-explode input to the session's
-    shuffle width so the ~100x shingle/token fan-out runs on every core,
-    not on however few file-granularity partitions the scan produced.
+_EXPLODE_FANOUT = 100          # conservative shingle/token blow-up factor
+_POST_EXPLODE_PART_BYTES = 128 << 20  # target partition size after fan-out
+# Estimates at/above 1 PiB are Catalyst's "no stats" sentinel territory:
+# without CBO, join/aggregate stats multiply child sizes and leaves without
+# computeStats report spark.sql.defaultSizeInBytes (Long.MaxValue). Trusting
+# such a number once turned a 10-row test input into a 1,000,000-partition
+# repartition (a ~90-minute no-op shuffle). Anything this side of a real
+# petabyte pre-explode input is a lie — fall back to the session floor.
+_SIZE_ESTIMATE_SANE_MAX = 1 << 50
+# Scheduler-practical stage width ceiling: beyond ~64k tasks per stage,
+# driver-side task bookkeeping (not data) dominates; inputs that genuinely
+# need more should be processed as independent input splits.
+_MAX_EXPLODE_WIDTH = 1 << 16
 
-    Deliberately unconditional: probing the current partition count needs
-    ``df.rdd`` (forcing an RDD-lineage materialization of the plan — the
-    one ``.rdd`` this engine used to have), while repartitioning the
-    pre-explode side is one narrow shuffle of the SMALL representation —
-    at 100 TB that moves ~100x fewer bytes than shuffling exploded
-    shingles, and AQE re-coalesces if the width overshoots."""
-    target = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+
+def _estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (file stats for a parquet
+    scan) — plan-time metadata only, no job, no ``.rdd`` materialization.
+    Returns 0 when unavailable (future Spark Connect sessions) or when the
+    estimate is the no-stats sentinel/blowup (see _SIZE_ESTIMATE_SANE_MAX)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return 0
+    return size if 0 < size < _SIZE_ESTIMATE_SANE_MAX else 0
+
+
+def _spread_for_explode(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition the compact pre-explode input so the ~100x
+    shingle/token fan-out runs wide. The width is sized FROM THE DATA:
+    estimated input bytes x fan-out / 128 MB-per-partition, floored at the
+    session's shuffle width — so a many-thousand-partition 100 TB scan is
+    never collapsed to ~200 partitions right before the explode (AQE
+    coalesces overshoot but never splits undershoot), while small inputs
+    still spread to every core.
+
+    The shuffle itself is deliberately unconditional: probing the current
+    partition count needs ``df.rdd`` (forcing an RDD-lineage
+    materialization of the plan), while repartitioning the pre-explode
+    side is one narrow shuffle of the SMALL representation — at 100 TB
+    that moves ~100x fewer bytes than shuffling exploded shingles."""
+    sess = df.sparkSession
+    floor_width = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
     )
+    data_width = (
+        _estimated_size_bytes(df) * _EXPLODE_FANOUT // _POST_EXPLODE_PART_BYTES
+    )
+    target = max(floor_width, min(int(data_width), _MAX_EXPLODE_WIDTH))
     return df.repartition(target, F.col(id_col))
 
 
@@ -248,20 +284,56 @@ def simhash_neardup_pairs(
     )
 
 
+def _drop_hot_shingles(
+    sh: DataFrame, id_col: str, max_shingle_df: int | None
+) -> DataFrame:
+    """Exclude shingles whose document frequency exceeds the cap before the
+    pair-generating self-join. Pair volume per shingle is quadratic in its
+    document frequency — one 3-gram shared by 10k documents alone yields
+    ~5x10^7 pairs — and a common-template/boilerplate shingle carries no
+    similarity signal anyway. ``shingles()`` emits distinct shingles per
+    document, so ``count(*)`` IS the document frequency (map-side partial
+    agg, one shuffle on the hash-uniform shingle key). The twin of
+    ``_drop_hot_buckets`` for the exact-Jaccard family."""
+    if max_shingle_df is None:
+        return sh
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .drop("df")
+    )
+    return sh.join(keep, "shingle", "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold_pct: int = 60,
     k: int = SHINGLE_K,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard: equi-join on shared shingles counts the
     intersection; per-doc shingle counts give the union. The threshold is
     the integer inequality 100*inter >= pct*union — no float in the output.
 
-    At 100 TB this full-corpus variant becomes the *verify* stage run only
-    on LSH candidate pairs; the join shape is identical."""
-    sh = shingles(df, id_col, text_col, k)
+    ``max_shingle_df`` bounds the quadratic fan-out of the shingle
+    self-join (the 100 TB scale requirement): shingles in more than that
+    many documents are dropped from the UNIVERSE — both intersection and
+    per-doc sizes are computed over surviving shingles, i.e. the semantics
+    become "Jaccard over non-boilerplate shingles", self-consistent and
+    exactly mirrored in the oracle. Without a cap, one shingle shared by
+    d documents yields d*(d-1)/2 join rows. The other 100 TB posture is
+    unchanged: run this as the *verify* stage on LSH candidate pairs
+    (see ``l2_neardup_pipeline``), where the join is per-candidate."""
+    sh = _drop_hot_shingles(
+        shingles(df, id_col, text_col, k), id_col, max_shingle_df
+    )
+    # One shingle table feeds three consumers (sizes + both self-join
+    # sides): materialize it once, or every consumer recomputes the whole
+    # tokenize->shingle->cap pipeline.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

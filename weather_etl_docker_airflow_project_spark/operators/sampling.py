@@ -73,6 +73,75 @@ def sequence_packing_bins(
     )
 
 
+def sequence_packing_firstfit(
+    df: DataFrame,
+    key_col: str,
+    length_col: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-shard FIRST-FIT sequence packing (the refinement over
+    :func:`sequence_packing_bins` named in NOTES.md): documents shard by
+    ``key % n_shards``, and within a shard are placed in deterministic key
+    order into the LOWEST-numbered bin with room, opening a new bin when
+    none fits. Unlike contiguous fill, bins never exceed ``capacity``
+    (except a single oversize document, which gets a bin of its own), and
+    the remainder a large document would strand is back-filled by later
+    small documents — strictly tighter packing than any sequential cut.
+
+    True first-fit is inherently sequential, so it runs as
+    ``applyInPandas`` per shard: shards pack INDEPENDENTLY and in
+    parallel — at 100 TB parallelism is ``n_shards`` (dial it to the
+    cluster), each shard's state is just its bin-load list, and the output
+    bin id is (shard, bin_in_shard) so ids never collide across shards.
+    The inner scan is O(bins) per doc (fine at training-shard sizes;
+    a segment tree over bin loads is the classical escalation).
+
+    Returns (key, length, shard, bin_id) with bin_id LOCAL to the shard."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_field = df.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType, key_field.nullable),
+            StructField(length_col, LongType(), True),
+            StructField("shard", LongType(), False),
+            StructField("bin_id", LongType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        loads: list[int] = []
+        bins: list[int] = []
+        for length in pdf[length_col].astype("int64"):
+            for i, ld in enumerate(loads):
+                if ld + length <= capacity:
+                    loads[i] = ld + length
+                    bins.append(i)
+                    break
+            else:
+                bins.append(len(loads))
+                loads.append(int(length))
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                length_col: pdf[length_col].astype("int64").to_numpy(),
+                "shard": pdf["_shard"].astype("int64").to_numpy(),
+                "bin_id": bins,
+            }
+        )
+
+    sharded = df.select(
+        F.col(key_col),
+        F.col(length_col).cast("long").alias(length_col),
+        (F.col(key_col) % n_shards).cast("long").alias("_shard"),
+    )
+    return sharded.groupBy("_shard").applyInPandas(pack, out_schema)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

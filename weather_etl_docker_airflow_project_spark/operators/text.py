@@ -97,8 +97,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     # type-token ratio in integer percent; floor (not cast) so the oracle
     # can mirror it exactly — DuckDB's double->int cast rounds, Spark's
-    # truncates, floor agrees everywhere
-    ttr_pct = F.floor(F.lit(100) * n_distinct / n).cast("long")
+    # truncates, floor agrees everywhere. NULL for zero-token docs (ANSI
+    # mode raises DIVIDE_BY_ZERO without the guard).
+    ttr_pct = F.when(n > 0, F.floor(F.lit(100) * n_distinct / n)).cast("long")
     diversity_pts = (
         F.when(ttr_pct >= 60, 40).when(ttr_pct >= 30, 25).otherwise(10)
     )
@@ -241,7 +242,10 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+# Case-insensitive classes, +tags, hyphenated and multi-label domains
+# (user@mail.co.uk, First.Last+tag@Example.com) — RE2-compatible (no
+# lookaround) so the DuckDB oracle computes the identical match set.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}"
 
 
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1158,3 +1158,47 @@ def p6_pruned_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "a13_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_items, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A2",),
+)
+def a13_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation demonstration (operators/salt.py, SURVEY §3.3):
+    ``l_returnflag`` has ~3 distinct values over the whole of lineitem —
+    the canonical hot-key aggregate where one reducer would receive a
+    third of 100 TB. The salted two-phase plan aggregates per
+    (flag, salt-of-orderkey) first — each hot group spreads across 16
+    reducers — then merges partials per flag. Salting is result-invariant
+    (sum of sums, sum of counts; distinct orderkeys stay exact because the
+    salt derives FROM l_orderkey, so one orderkey never splits across
+    salts), which is why a plain GROUP BY oracle checks it. Plan shape
+    (two HashAggregate exchanges, `_salt` in the first grouping) is
+    asserted in tests/test_plan_shapes.py."""
+    from ..operators.salt import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        salt_cols=["l_orderkey"],
+        partial_aggs=[
+            # exact decimal partials: float sums are order-dependent, and a
+            # salted plan REORDERS the summation by construction
+            F.sum(_dec("l_quantity")).alias("p_qty"),
+            F.count(F.lit(1)).alias("p_n"),
+            F.countDistinct("l_orderkey").alias("p_ord"),
+        ],
+        final_aggs=lambda: [
+            F.sum("p_qty").cast("double").alias("sum_qty"),
+            F.sum("p_n").alias("n_items"),
+            F.sum("p_ord").alias("n_orders"),
+        ],
+    )

@@ -83,6 +83,43 @@ def jdbc_read(
     return reader.load()
 
 
+def jdbc_table_exists(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+) -> bool:
+    """Explicit table-existence probe via JDBC ``DatabaseMetaData`` —
+    vendor-neutral by construction (Derby upper-cases unquoted identifiers,
+    MySQL preserves case; compare case-insensitively). This replaces
+    exception-message sniffing in the streaming upsert's first-batch path:
+    message text differs per vendor ("Table ... does not exist" vs
+    "Table ... doesn't exist"), so substring matching either kills the
+    stream on its first batch or silently swallows transient errors."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    if user is not None:
+        props.setProperty("user", user)
+        props.setProperty("password", password or "")
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", None)
+        try:
+            want = table.lower()
+            while rs.next():
+                if rs.getString("TABLE_NAME").lower() == want:
+                    return True
+            return False
+        finally:
+            rs.close()
+    finally:
+        conn.close()
+
+
 def catalog_ddl(spark, database: str = "weather_db", table: str = "weather") -> None:
     """S4/S5 on the Spark catalog: idempotent CREATE DATABASE/TABLE IF NOT
     EXISTS — the reference's bootstrap tasks as run-once session init

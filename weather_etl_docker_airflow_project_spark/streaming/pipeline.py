@@ -144,7 +144,7 @@ def start_stream_jdbc(
     replay idempotent. Executed in tests against embedded Derby; MySQL is
     a URL/driver swap."""
     from ..operators.upsert import dedup_new_rows
-    from ..sources.jdbc import jdbc_append, jdbc_read
+    from ..sources.jdbc import jdbc_append, jdbc_read, jdbc_table_exists
 
     os.makedirs(landing_dir, exist_ok=True)
     raw = spark.readStream.schema(WEATHER_RAW_SCHEMA).json(landing_dir)
@@ -154,18 +154,19 @@ def start_stream_jdbc(
             return
         require_utc_session(batch_df)
         flat = transform_weather(batch_df)
-        try:
+        # Explicit JDBC-metadata probe decides the first-ever-batch case
+        # (the table is created by the append itself). Any error from the
+        # probe or the dedup read propagates and fails the batch — a
+        # transient DB error must NEVER silently disable dedup, or
+        # checkpoint-replayed batches would double-insert. (Message-text
+        # sniffing is vendor-specific: Derby says "does not exist", MySQL
+        # says "doesn't exist" — metadata is the portable signal.)
+        if jdbc_table_exists(spark, url, table, driver=jdbc_driver):
             existing = jdbc_read(spark, url, table, driver=jdbc_driver).select(
                 *DEDUP_KEYS
             )
             fresh = dedup_new_rows(flat, existing, DEDUP_KEYS)
-        except Exception as e:
-            # ONLY the table-not-yet-created first batch may skip the
-            # probe; swallowing transient DB errors here would silently
-            # disable dedup and re-insert replayed batches
-            msg = str(e).lower()
-            if "does not exist" not in msg and "not found" not in msg:
-                raise
+        else:
             fresh = flat
         jdbc_append(fresh, url, table, driver=jdbc_driver)
 
