@@ -20,10 +20,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table (S6).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; with ``nanosAsLong`` it loads as long nanos,
-    which we convert to a proper timestamp by integer-dividing to micros
-    (exactly DuckDB's nanos->micros truncation, keeping the oracle exact).
+    ``events.ts`` has shipped as two different physical types across
+    testdata generations, so the reader self-adapts and normalizes both to
+    session TIMESTAMP (what every downstream window/watermark/oracle
+    expects; the session tz is UTC, matching DuckDB's naive read):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+      ``nanosAsLong`` it loads as long nanos, which we integer-divide to
+      micros (exactly DuckDB's nanos->micros truncation).
+    - timestamp[us] with isAdjustedToUTC=false: loads as TIMESTAMP_NTZ;
+      cast to TIMESTAMP (identity wall-clock in a UTC session).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,8 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F  # local import: keep module light
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -28,29 +28,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Kept for callers that build their own fixture streams: the normalized
+# post-read schema (ts already a session timestamp).
+EVENTS_SCHEMA = _events_schema(T.TimestampType())
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. Nanos -> micros with the
-    same integer truncation as the batch reader (io.load_table), so batch
-    oracle and stream agree to the microsecond."""
+    """File-source stream over the events table.
+
+    A streaming source needs a fixed schema, but ``events.ts`` has shipped
+    as TIMESTAMP(NANOS) and as timestamp[us]/NTZ across testdata
+    generations — so sniff the footer once with a batch read and build the
+    matching stream schema, normalizing ``ts`` to session TIMESTAMP with
+    the same conversion as io.load_table (batch oracle and stream agree to
+    the microsecond)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sniffed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema[
+        "ts"
+    ].dataType
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(sniffed))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(sniffed, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(sniffed, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_available_now(stream: DataFrame, output_mode: str = "append") -> DataFrame:
