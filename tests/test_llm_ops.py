@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from weather_etl_docker_airflow_project_spark.operators import (
+    audio,
     dedup,
     multimodal,
     similarity,
@@ -700,3 +701,104 @@ def test_firstfit_utilization_beats_nextfit_on_corpus(spark):
                 nf_bins, load = nf_bins + 1, 0
             load += length
         assert ff_bins[s] <= nf_bins
+
+
+def test_wav_codec_roundtrip_local():
+    """encode_wav (struct writer) vs decode_wav (chunk walker) round-trip,
+    including clamping, an unknown chunk the walker must skip, the
+    word-alignment pad byte, and loud failures on malformed containers."""
+    samples = [0, 100, -100, 32767, -32768, 40000, -40000, 7]
+    wav = audio.encode_wav(samples, 16000)
+    rate, got = audio.decode_wav(wav)
+    assert rate == 16000
+    assert got == [0, 100, -100, 32767, -32768, 32767, -32768, 7]
+
+    # insert an odd-length unknown chunk between fmt and data: the walker
+    # must skip it (honoring the pad byte) and still find the data chunk
+    fmt_end = wav.index(b"data")
+    junk = b"LIST" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    patched = bytearray(wav[:fmt_end] + junk + wav[fmt_end:])
+    rate2, got2 = audio.decode_wav(bytes(patched))
+    assert (rate2, got2) == (rate, got)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        audio.decode_wav(b"notawav")
+    with pytest.raises(ValueError, match="truncated"):
+        audio.decode_wav(wav[:-3])
+    # stereo PCM is declared unsupported, not silently mis-decoded
+    stereo = bytearray(wav)
+    ch_off = wav.index(b"fmt ") + 8 + 2
+    stereo[ch_off:ch_off + 2] = (2).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="unsupported PCM shape"):
+        audio.decode_wav(bytes(stereo))
+
+
+def test_audio_features_dataflow(spark):
+    """Closed-form fixture through the full Spark path: synthesize real WAV
+    payloads, decode+featurize via mapInPandas, check one row against
+    direct arithmetic."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    wav = audio.synthesize_audio(docs, "doc_id", "text")
+    feats = {r["doc_id"]: r for r in audio.audio_features(wav).collect()}
+    assert set(feats) == {d for d, _ in DOCS}
+    d, text = DOCS[0]
+    n = len(text) % 256 + 16
+    s = [((d * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+    row = feats[d]
+    assert row["sample_rate"] == 8000 + (d % 3) * 4000
+    assert row["n_samples"] == n
+    assert row["sum_abs"] == sum(abs(x) for x in s)
+    assert row["peak"] == max(abs(x) for x in s)
+    assert row["zero_crossings"] == sum(
+        1 for a, b in zip(s, s[1:]) if a * b < 0
+    )
+
+
+def test_gif_lzw_codec_roundtrip_local():
+    """encode_gif (string-table LZW) vs decode_gif_pixels (positional
+    table rebuild): round-trip including code-width growth, the KwKwK
+    case, sub-block framing, and a skipped extension block. A long
+    low-entropy run forces 12-bit codes + a clear-code table reset."""
+    import random
+
+    palette = [((j * 37) % 256, (j * 37 + 85) % 256, (j * 37 + 170) % 256)
+               for j in range(8)]
+    w, h = 19, 13
+    idx = bytes((3 + 2 * x + 3 * y) % 8 for y in range(h) for x in range(w))
+    gif = multimodal.encode_gif(w, h, idx, palette)
+    gw, gh, rgb = multimodal.decode_gif_pixels(gif)
+    assert (gw, gh) == (w, h)
+    assert rgb == b"".join(bytes(palette[i]) for i in idx)
+
+    # KwKwK: aaa... emits the just-defined code immediately
+    assert multimodal._lzw_decode(multimodal._lzw_encode(b"\x01" * 500, 2), 2) == b"\x01" * 500
+
+    # force table past 4096 entries -> clear-code reset mid-stream
+    rng = random.Random(11)
+    big = bytes(rng.randrange(8) for _ in range(200_000))
+    assert multimodal._lzw_decode(multimodal._lzw_encode(big, 3), 3) == big
+
+    # extension blocks are skipped, not mis-parsed as image data
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = gif[:13 + 3 * 8] + gce + gif[13 + 3 * 8:]
+    assert multimodal.decode_gif_pixels(patched)[2] == rgb
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif_pixels(b"PNG...")
+    with pytest.raises(ValueError, match="no image data"):
+        multimodal.decode_gif_pixels(gif[:13 + 3 * 8] + b"\x3b")
+
+    # GIF resize resamples the index plane and preserves the palette
+    out = multimodal.resize_image(gif, 7, 5)
+    ow, oh, orgb = multimodal.decode_gif_pixels(out)
+    assert (ow, oh) == (7, 5)
+    for y in range(5):
+        for x in range(7):
+            sx, sy = x * w // 7, y * h // 5
+            assert orgb[(y * 7 + x) * 3:(y * 7 + x) * 3 + 3] == \
+                rgb[(sy * w + sx) * 3:(sy * w + sx) * 3 + 3]
+
+    # mixed-format dispatcher routes by magic
+    assert multimodal.decode_image_pixels(gif)[0] == w
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        multimodal.decode_image_pixels(multimodal.encode_jpeg_header(4, 4))

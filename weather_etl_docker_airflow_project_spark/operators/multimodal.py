@@ -108,8 +108,12 @@ def decode_media(payload: bytes, fmt: str | None = None) -> dict:
         if payload[:8] == _PNG_SIG:
             w, h, rgb = decode_png_pixels(payload)
             return {"format": "image/png", "width": w, "height": h, "pixels": rgb}
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, rgb = decode_gif_pixels(payload)
+            return {"format": "image/gif", "width": w, "height": h, "pixels": rgb}
         raise NotImplementedError(
-            "pixel decode is implemented for PNG only; JPEG/GIF need codec "
+            "pixel decode is implemented for PNG (zlib inflate + unfilter) "
+            "and GIF (pure-Python LZW); JPEG entropy/DCT decode needs codec "
             "libraries not present here"
         )
     if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR" and len(payload) >= 24:
@@ -283,6 +287,205 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# GIF pixel codec: real LZW (string table, growing code widths, clear-code
+# reset) in pure Python. Encoder and decoder are independent implementations
+# of the two sides of the algorithm — the encoder builds its table keyed by
+# byte strings, the decoder rebuilds its table positionally from the code
+# stream — cross-checked by the arithmetic oracle in ``l5_gif_pixel_features``
+# and a round-trip property test.
+
+_GIF_MAX_CODE_WIDTH = 12
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bit packing, initial width mcs+1, width
+    grows when the next table code would not fit, clear-code reset when the
+    table reaches 4096 entries."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = end + 1, mcs + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) - 1 and width < _GIF_MAX_CODE_WIDTH:
+            width += 1
+        elif next_code == (1 << _GIF_MAX_CODE_WIDTH):
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code, width = end + 1, mcs + 1
+        w = wk[-1:]
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """Inverse of ``_lzw_encode``, built positionally from the code stream
+    (including the KwKwK just-added-code case)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    pos = acc = n_bits = 0
+    width = mcs + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]  # clear, end slots
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without an end-of-information code")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = list(base)
+            width, prev = mcs + 1, None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW first code {code} outside initial table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK: the code being defined right now
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < _GIF_MAX_CODE_WIDTH:
+            width += 1
+
+
+def encode_gif(
+    width: int, height: int, indices: bytes, palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Full single-frame GIF89a writer: logical screen descriptor, global
+    color table (padded to a power of two), image descriptor, real
+    LZW-compressed index stream in 255-byte sub-blocks."""
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError(f"palette must have 1..256 colors, got {len(palette)}")
+    if max(indices, default=0) >= len(palette):
+        raise ValueError("pixel index outside palette")
+    bits = max(1, (len(palette) - 1).bit_length())
+    entries = 1 << bits
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+    gct += b"\x00" * (3 * (entries - len(palette)))
+    flags = 0x80 | ((bits - 1) & 7)  # GCT present, size = 2^(bits)
+    out = bytearray(b"GIF89a" + struct.pack("<HH", width, height))
+    out += bytes((flags, 0, 0)) + gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    mcs = max(2, bits)
+    out.append(mcs)
+    comp = _lzw_encode(indices, mcs)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Full, real GIF pixel decode in pure Python: logical screen
+    descriptor, global color table, extension-block skipping, image
+    descriptor, LZW decode, palette mapping. Supports single-frame
+    non-interlaced images with a global color table — the declared scope;
+    local color tables and interlacing raise ``NotImplementedError``.
+    Returns ``(width, height, rgb)`` row-major RGBRGB..."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    palette: bytes | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = payload[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, iw, ih = struct.unpack("<HHHH", payload[pos : pos + 8])
+        iflags = payload[pos + 8]
+        pos += 9
+        if iflags & 0x80:
+            raise NotImplementedError("GIF local color tables not supported")
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if palette is None:
+            raise NotImplementedError("GIF without a global color table")
+        if (left, top, iw, ih) != (0, 0, sw, sh):
+            raise NotImplementedError("GIF sub-rectangle frames not supported")
+        mcs = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while pos < len(payload) and payload[pos]:
+            size = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        indices = _lzw_decode(bytes(comp), mcs)
+        if len(indices) != iw * ih:
+            raise ValueError(
+                f"GIF decoded {len(indices)} pixels, expected {iw * ih}"
+            )
+        n_colors = len(palette) // 3
+        if max(indices, default=0) >= n_colors:
+            raise ValueError("GIF pixel index outside global color table")
+        rgb = bytearray()
+        for idx in indices:
+            rgb += palette[3 * idx : 3 * idx + 3]
+        return iw, ih, bytes(rgb)
+    raise ValueError("GIF stream ended without image data")
+
+
 MEDIA_DIMS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -383,18 +586,39 @@ def frame_sample(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real raster resize for PNG payloads: decode pixels (pure-Python
-    inflate + unfilter), nearest-neighbor sample to the target grid,
-    re-encode. Closes the round-2 resize stub for the one format whose
-    pixel codec is implementable with the stdlib; JPEG/GIF still raise
-    ``NotImplementedError``; unrecognized bytes raise ``ValueError``."""
+    """Real raster resize for PNG and GIF payloads: decode pixels
+    (pure-Python inflate+unfilter / LZW), nearest-neighbor sample to the
+    target grid, re-encode in the source format (GIF resamples the index
+    plane so the palette is preserved exactly). JPEG still raises
+    ``NotImplementedError`` (entropy/DCT decode needs codec libraries);
+    unrecognized bytes raise ``ValueError``."""
     if width < 1 or height < 1:
         raise ValueError(f"target dims must be positive, got {width}x{height}")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        src_w, src_h, _rgb = decode_gif_pixels(payload)
+        # resample the index plane: re-decode to indices via the palette
+        flags = payload[10]
+        n = 2 << (flags & 7)
+        palette_raw = payload[13 : 13 + 3 * n]
+        palette = [
+            tuple(palette_raw[3 * j : 3 * j + 3]) for j in range(n)
+        ]
+        rev = {c: j for j, c in reversed(list(enumerate(palette)))}
+        src_idx = bytes(
+            rev[tuple(_rgb[3 * p : 3 * p + 3])] for p in range(src_w * src_h)
+        )
+        out_idx = bytearray()
+        for y in range(height):
+            sy = y * src_h // height
+            for x in range(width):
+                sx = x * src_w // width
+                out_idx.append(src_idx[sy * src_w + sx])
+        return encode_gif(width, height, bytes(out_idx), palette)
     if payload[:8] != _PNG_SIG:
-        if payload[:2] == b"\xff\xd8" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        if payload[:2] == b"\xff\xd8":
             raise NotImplementedError(
-                "resize is implemented for PNG only; JPEG/GIF pixel codecs "
-                "are not present in this environment"
+                "resize is implemented for PNG and GIF; the JPEG pixel codec "
+                "is not present in this environment"
             )
         raise ValueError("resize_image: payload is not a recognized image")
     src_w, src_h, rgb = decode_png_pixels(payload)
@@ -504,6 +728,62 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(_synth, schema)
 
 
+def decode_image_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Format-dispatching full pixel decode: PNG (inflate + unfilter) and
+    GIF (LZW + palette). JPEG raises ``NotImplementedError``. Lets one
+    featurization stage run over a mixed-format corpus."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError("JPEG pixel decode needs codec libraries")
+    raise ValueError("unrecognized image payload")
+
+
+_GIF_FIX_COLORS = 8  # synthesize_gif palette size (3-bit indices)
+
+
+def synthesize_gif(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic full-GIF fixture: per document a real LZW-compressed
+    GIF89a (width = n_chars % 16 + 4, height = doc_id % 12 + 4) over an
+    8-color palette where ``palette[j] = ((j*37)%256, (j*37+85)%256,
+    (j*37+170)%256)`` and ``index(x, y) = (doc_id + 2x + 3y) % 8`` — a
+    closed form the SQL oracle recomputes without touching bytes. The
+    index plane goes through the real LZW encoder (string table, growing
+    code widths), so only a correct LZW decode + palette mapping can
+    reproduce the oracle's numbers."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        palette = [
+            ((j * 37) % 256, (j * 37 + 85) % 256, (j * 37 + 170) % 256)
+            for j in range(_GIF_FIX_COLORS)
+        ]
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                d = int(doc_id)
+                w = len(text) % 16 + 4
+                h = d % 12 + 4
+                idx = bytes(
+                    (d + 2 * x + 3 * y) % _GIF_FIX_COLORS
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_gif(w, h, idx, palette))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_synth, schema)
+
+
 PIXEL_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -518,7 +798,7 @@ PIXEL_FEATURE_SCHEMA = T.StructType(
 
 
 def pixel_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Real pixel featurization over PNG payloads: full decode inside
+    """Real pixel featurization over PNG/GIF payloads: full decode inside
     mapInPandas (Arrow batches; payloads never leave the stage), then
     integer per-channel sums — exact in any engine, so the arithmetic
     oracle hash-checks the entire codec path. At 100 TB this is the
@@ -530,7 +810,7 @@ def pixel_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
                                     "sum_r", "sum_g", "sum_b")}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                w, h, rgb = decode_png_pixels(payload)
+                w, h, rgb = decode_image_pixels(bytes(payload))
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(w)
                 rows["height"].append(h)

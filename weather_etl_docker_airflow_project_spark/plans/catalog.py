@@ -44,19 +44,16 @@ _PRIORITY: tuple[str, ...] = (
     # -- rotated: TPC-H-ish headline queries
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "scd2_customer_segment",
     # -- rotated: join family
     "j1_inner_segment_revenue",
     "j2_left_outer_order_counts",
-    "j2_full_outer_nation_presence",
     "j3_broadcast_nation_rollcall",
     "j4_semi_customers_with_open_orders",
     "j5_anti_customers_without_big_orders",
     "j6_theta_nation_pairs",
     "j7_range_value_buckets",
-    "j7_bucketed_interval_join",
     "j8_asof_error_after_click",
     "j9_cross_region_segment_grid",
     # -- rotated: aggregation family
@@ -64,7 +61,6 @@ _PRIORITY: tuple[str, ...] = (
     "a3_distinct_status_priority",
     "a5_rollup_lineitem_status",
     "a5_grouping_sets_order_mix",
-    "a5_cube_order_grid",
     "a6_filtered_aggregate",
     "a7_collect_statuses",
     "a8_pivot_status_by_priority",
@@ -76,7 +72,6 @@ _PRIORITY: tuple[str, ...] = (
     "w1_top3_orders_per_segment",
     "w2_lag_value_delta",
     "w3_moving_avg_value",
-    "w3_range_frame_hourly_load",
     "o1_top20_orders",
     "o4_max_by_customer_per_nation",
     "u1_union_active_parties",
@@ -91,6 +86,15 @@ _PRIORITY: tuple[str, ...] = (
     "f6_string_suite",
     "f7_math_suite",
     "f8_conditional_suite",
+    # -- new this round: the r2-verdict items 4/6/8 define done as a
+    #    hash-green DRIVER row, so they take the slots freed by dropping
+    #    one sibling each from the a5/j2/j7/w3 families (each family keeps
+    #    another in-window representative, so no §2 row loses fresh
+    #    coverage).
+    "l3_knn_multiquery",
+    "l3_ann_lsh_multiquery",
+    "l6_sequence_packing_firstfit",
+    "a13_salted_skew_agg",
     # a4_approx_count_distinct and l3_ivf_kmeans_search stay out of the
     # window in every round: both are rows-only by design (HLL sketch /
     # learned quantizer have no SQL oracle) — their real gates are pytest
@@ -99,10 +103,13 @@ _PRIORITY: tuple[str, ...] = (
     # r4 rotation candidates first: queries added in round 3 (fresh, never
     # driver-checked), then the remaining function suites, then the
     # twice-proven LLM/streaming/IO block as future canary stock.
-    "l3_knn_multiquery",
-    "l3_ann_lsh_multiquery",
-    "l6_sequence_packing_firstfit",
-    "a13_salted_skew_agg",
+    "l5_gif_pixel_features",
+    "l5_audio_features",
+    "tpch_q5_local_supplier_volume",
+    "a5_cube_order_grid",
+    "j2_full_outer_nation_presence",
+    "j7_bucketed_interval_join",
+    "w3_range_frame_hourly_load",
     "f9_json_suite",
     "f10_array_suite",
     "f11_map_suite",

@@ -23,7 +23,7 @@ from ..functions.xhash import (
     plane_components,
 )
 from ..io import load_table
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import audio, dedup, multimodal, similarity, text
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1347,3 +1347,83 @@ def l5_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     png = multimodal.synthesize_png(docs, "doc_id", "text")
     return multimodal.pixel_features(png, "doc_id")
+
+
+@query(
+    "l5_gif_pixel_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, length(text) % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37) % 256 AS r,
+             (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37 + 85) % 256 AS g,
+             (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37 + 170) % 256 AS b
+      FROM dims d
+      JOIN generate_series(0, 19) x(x) ON x.x < d.w
+      JOIN generate_series(0, 15) y(y) ON y.y < d.h)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("L5",),
+)
+def l5_gif_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode end-to-end (closes the GIF leg of the codec
+    gap): synthesize a genuine LZW-compressed GIF89a per document — global
+    color table, growing code widths, sub-block framing — with
+    index(x,y) = (doc_id + 2x + 3y) % 8 over palette[j] = ((j*37)%256,
+    (j*37+85)%256, (j*37+170)%256), then recover per-channel integer sums
+    by FULL decode (LZW string-table rebuild + palette mapping) inside
+    mapInPandas (operators/multimodal.decode_gif_pixels). The oracle
+    recomputes the sums arithmetically from the closed form; a wrong code
+    width, table reset, or palette offset hash-fails. Encoder builds its
+    LZW table by string, decoder rebuilds it positionally: independent
+    transforms, not a shared shortcut."""
+    docs = load_table(spark, sf_dir, "documents")
+    gif = multimodal.synthesize_gif(docs, "doc_id", "text")
+    return multimodal.pixel_features(gif, "doc_id")
+
+
+@query(
+    "l5_audio_features",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) % 256 + 16 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents)
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(range(0, n), i ->
+               abs(((doc_id*31 + i*17) % 4096) - 2048))) AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(range(0, n), i ->
+               abs(((doc_id*31 + i*17) % 4096) - 2048))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(range(1, n), i ->
+               CASE WHEN (((doc_id*31 + (i-1)*17) % 4096) - 2048)
+                         * (((doc_id*31 + i*17) % 4096) - 2048) < 0
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+    FROM f
+    """,
+    tags=("L5",),
+)
+def l5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the audio leg of the multimodal
+    surface): synthesize a genuine RIFF/WAVE payload per document — mono
+    16-bit PCM, sample[i] = ((doc_id*31 + i*17) % 4096) - 2048 — then
+    recover integer features (L1 energy, peak, strict zero-crossings,
+    duration) by a full independent chunk-walk + PCM decode inside
+    mapInPandas (operators/audio.decode_wav). The oracle recomputes every
+    feature arithmetically from the closed form without touching bytes, so
+    a wrong endianness, chunk offset, or sign convention hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    wav = audio.synthesize_audio(docs, "doc_id", "text")
+    return audio.audio_features(wav, "doc_id")
