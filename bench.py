@@ -51,6 +51,18 @@ HEADLINE = [
     "l4_boilerplate_shingles",
     "l5_multimodal_features",
     "l5_media_decode",
+    # round-3 additions
+    "l5_pixel_features",
+    "l5_gif_pixel_features",
+    "l5_audio_features",
+    "l3_knn_multiquery",
+    "l6_sequence_packing_firstfit",
+    "a13_salted_skew_agg",
+    "a14_stats_suite",
+    "ts1_batch_sessionize",
+    "ts2_gap_fill_hourly",
+    "l6_oversample_mix",
+    "l4_bpe_pretokens",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -1,0 +1,73 @@
+"""Layout-management tests (operators/layout.py): compaction reduces file
+count without touching content; clustered writes give files disjoint key
+envelopes that a pruning scan can exploit."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators.layout import (
+    clustered_write,
+    compact_parquet,
+    file_column_envelopes,
+    _data_files,
+)
+
+
+def test_compaction_reduces_files_preserves_content(spark):
+    src = tempfile.mkdtemp(prefix="compact_src_")
+    dst = os.path.join(tempfile.mkdtemp(prefix="compact_dst_"), "out")
+    df = spark.range(10_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(64).write.mode("overwrite").parquet(src)  # 64 tiny files
+    assert len(_data_files(src)) == 64
+
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_out < 64
+    before = sorted(map(tuple, spark.read.parquet(src).collect()))
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert before == after
+
+
+def test_compaction_sizes_output_from_input_bytes(spark):
+    """A tiny target size must yield multiple output files, not one."""
+    src = tempfile.mkdtemp(prefix="compact_src2_")
+    dst = os.path.join(tempfile.mkdtemp(prefix="compact_dst2_"), "out")
+    spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("p")
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024)
+    assert n_out > 1
+
+
+def test_clustered_write_disjoint_envelopes(spark):
+    """After range-cluster + sort on id, per-file [min,max] envelopes must
+    not overlap (boundary ties aside) — the property footer-stat pruning
+    relies on. An unclustered multi-file write of the same data must show
+    overlapping envelopes, proving the test can fail."""
+    dst = os.path.join(tempfile.mkdtemp(prefix="cluster_"), "out")
+    df = spark.range(20_000).select(
+        (F.col("id") * 7919 % 20_011).alias("k"),
+        F.col("id").alias("v"),
+    )
+    clustered_write(df, dst, ["k"], n_files=6)
+
+    env = file_column_envelopes(dst, "k")
+    assert len(env) > 1
+    env.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(env, env[1:]):
+        assert hi1 <= lo2  # disjoint up to boundary ties
+
+    flat = os.path.join(tempfile.mkdtemp(prefix="flat_"), "out")
+    df.repartition(6).write.mode("overwrite").parquet(flat)
+    fenv = sorted(file_column_envelopes(flat, "k"))
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(fenv, fenv[1:]) if h1 > l2)
+    assert overlaps > 0
+
+    # content invariance
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == \
+        sorted(map(tuple, df.collect()))

@@ -802,3 +802,43 @@ def test_gif_lzw_codec_roundtrip_local():
     assert multimodal.decode_image_pixels(gif)[0] == w
     with pytest.raises(NotImplementedError, match="JPEG"):
         multimodal.decode_image_pixels(multimodal.encode_jpeg_header(4, 4))
+
+
+def test_oversample_mix_weights(spark):
+    """Weight 300 -> exactly 3 copies of every row; weight 0 / absent
+    stratum -> dropped; fractional weight subsamples deterministically
+    (idempotent across runs) with distinct copy_ids."""
+    from weather_etl_docker_airflow_project_spark.operators.sampling import (
+        oversample_mix,
+    )
+
+    rows = [(i, "hi" if i % 2 else "lo") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    out = oversample_mix(
+        df, "doc_id", {"hi": 300, "lo": 50}, strata_col="stratum"
+    ).collect()
+    hi = [r for r in out if r["stratum"] == "hi"]
+    lo = [r for r in out if r["stratum"] == "lo"]
+    assert len(hi) == 3 * 100
+    assert {r["copy_id"] for r in hi} == {0, 1, 2}
+    assert 20 <= len(lo) <= 80                       # ~50% of 100, hash-split
+    assert all(r["copy_id"] == 0 for r in lo)
+    again = oversample_mix(
+        df, "doc_id", {"hi": 300, "lo": 50}, strata_col="stratum"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    none = oversample_mix(df, "doc_id", {}, strata_col="stratum")
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="negative"):
+        oversample_mix(df, "doc_id", {"hi": -1}, strata_col="stratum")
+
+
+def test_bpe_pretokens_classes(spark):
+    """'ab2c, x!' -> alpha runs [ab, c, x], digits [2], marks [, !]."""
+    df = spark.createDataFrame([(1, "ab2c, x!"), (2, ""), (3, "   ")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.bpe_pretokens(df, "doc_id", "text").collect()}
+    assert (out[1]["n_pretokens"], out[1]["n_alpha_runs"],
+            out[1]["n_digits"], out[1]["n_marks"]) == (6, 3, 1, 2)
+    assert out[2]["n_pretokens"] == 0
+    assert out[3]["n_pretokens"] == 0

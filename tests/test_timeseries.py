@@ -1,0 +1,124 @@
+"""Semantics tests for the batch time-series queries (plans/timeseries_q.py)
+on crafted inputs: session-gap boundary behavior, grid densification, and
+forward-fill — plus the plan property ts1 exists for (one shuffle total).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.plans import catalog
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, "e", 1.0, "{}") for i, (ts, uid) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _sessionize(spark, df):
+    """Run the registered query's logic against a fixture table by writing
+    it as the events view the query loads."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return catalog.REGISTRY["ts1_batch_sessionize"].fn(spark, d)
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    """A gap of exactly 30:00.000000 does NOT break the session (strict >);
+    one microsecond more does."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t0, 1),
+        (t0 + dt.timedelta(seconds=1800), 1),                      # exactly 30 min
+        (t0 + dt.timedelta(seconds=3600, microseconds=1), 1),      # 30 min + 1 us
+        (t0, 2),                                                    # other user
+    ]
+    out = _sessionize(spark, _mk_events(spark, rows)).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["session_seq"])
+    assert [r["n_events"] for r in u1] == [2, 1]
+    assert u1[0]["session_start"] == t0
+    assert u1[0]["session_end"] == t0 + dt.timedelta(seconds=1800)
+    assert len(by_user[2]) == 1
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    """The whole sessionize query — two window functions plus the final
+    aggregate — must run off ONE hash exchange on user_id."""
+    df = catalog.REGISTRY["ts1_batch_sessionize"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gap_fill_densifies_and_carries(spark):
+    """User with events in hours 0 and 3: the grid densifies hours 1-2 with
+    n_events=0 and carries the hour-0 count forward until hour 3."""
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t0 + dt.timedelta(minutes=5), 1),
+        (t0 + dt.timedelta(minutes=25), 1),
+        (t0 + dt.timedelta(hours=3, minutes=1), 1),
+    ]
+    d = tempfile.mkdtemp()
+    _mk_events(spark, rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r["hr"]: (r["n_events"], r["carried_n"])
+        for r in catalog.REGISTRY["ts2_gap_fill_hourly"].fn(spark, d).collect()
+    }
+    hr = lambda h: t0 + dt.timedelta(hours=h)  # noqa: E731
+    assert out == {
+        hr(0): (2, 2),
+        hr(1): (0, 2),
+        hr(2): (0, 2),
+        hr(3): (1, 1),
+    }
+
+
+def test_stats_suite_matches_plain_python(spark):
+    """Sufficient-statistic derivation agrees with a direct two-pass
+    computation on the same quantized inputs."""
+    rows = (
+        catalog.REGISTRY["a14_stats_suite"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    import math
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            F.floor("l_quantity").alias("x"),
+            F.floor("l_extendedprice").alias("y"),
+        )
+        .collect()
+    )
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append((r["x"], r["y"]))
+    for row in rows:
+        xs, ys = zip(*groups[row["l_returnflag"]])
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        var = sum((x - mx) ** 2 for x in xs) / (n - 1)
+        cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+        corr = cov / math.sqrt(
+            (sum((x - mx) ** 2 for x in xs) / (n - 1))
+            * (sum((y - my) ** 2 for y in ys) / (n - 1))
+        )
+        assert abs(row["var_x"] - var) < 1e-6 * max(1.0, abs(var))
+        assert abs(row["cov_xy"] - cov) < 1e-6 * max(1.0, abs(cov))
+        assert abs(row["corr_xy"] - corr) < 1e-9

@@ -161,3 +161,44 @@ def stratified_sample(
         pct = F.when(cond, F.lit(p)) if pct is None else pct.when(cond, F.lit(p))
     pct = F.lit(0) if pct is None else pct.otherwise(F.lit(0))
     return df.filter(b < pct)
+
+
+def oversample_mix(
+    df: DataFrame,
+    key_col: str,
+    weights_pct: dict[str, int],
+    strata_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Epoch-aware corpus mixing with fractional repeat factors — the
+    training-mix primitive where a domain's weight can EXCEED 1 (repeat
+    high-quality data) or sit below 1 (subsample): weight is an integer
+    percentage (250 = 2.5 epochs). Every row gets ``weight // 100`` full
+    copies plus one more iff its hash bucket falls below ``weight % 100``
+    — so the expected epoch count is exact per stratum and the choice of
+    which rows carry the fractional epoch is a pure function of (key,
+    stratum), reproducible on any engine. Output carries ``copy_id`` so
+    downstream shuffles see distinct rows.
+
+    Scale: the explode multiplies rows BEFORE any shuffle, but weights are
+    small constants (<= a few epochs), and the explode is map-side — the
+    right order is mix -> tokenize -> pack, never pack -> mix. Strata
+    absent from ``weights_pct`` are dropped (weight 0)."""
+    b = split_bucket(F.col(key_col), salt)
+    w = None
+    for stratum, p in sorted(weights_pct.items()):
+        if p < 0:
+            raise ValueError(f"negative weight for stratum {stratum!r}: {p}")
+        cond = F.col(strata_col) == stratum
+        w = F.when(cond, F.lit(p)) if w is None else w.when(cond, F.lit(p))
+    w = F.lit(0) if w is None else w.otherwise(F.lit(0))
+    n_copies = (w / 100).cast("long") + (b < w % 100).cast("long")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)  # Spark sequence(0,-1) counts DOWN
+        .withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )

@@ -43,6 +43,50 @@ def quantize(vec: Column) -> Column:
     )
 
 
+def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
+    """All plane components as one int64 matrix (n_planes x dim)."""
+    return np.array(
+        [plane_components(j, dim) for j in range(n_planes)], dtype=np.int64
+    )
+
+
+def hyperplane_buckets_arrow(n_planes: int, dim: int = 64):
+    """Arrow-vectorized LSH bucket id over an already-QUANTIZED vector
+    column: one numpy int64 matmul per batch against the full plane matrix
+    instead of ``n_planes`` interpreted higher-order-function dots per row
+    (the round-3 profile put the expression path at ~80% of the
+    embedding-near-dup wall time). Bit-identical to ``hyperplane_signs``:
+    same integer components, same int64 arithmetic, same ``> 0`` sign
+    rule — the SQL oracles never change."""
+    planes = _plane_matrix(n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _bucket(qv: pd.Series) -> pd.Series:
+        m = np.stack(qv.to_numpy()).astype(np.int64)
+        return pd.Series(((m @ planes.T > 0) * weights).sum(axis=1))
+
+    return _bucket
+
+
+def band_buckets_arrow(n_bands: int, band_bits: int, dim: int = 64):
+    """Arrow-vectorized BANDED bucket ids over a quantized vector column:
+    returns array<long> of length ``n_bands`` (band b's bucket = sign bits
+    of planes ``b*band_bits .. b*band_bits+band_bits-1``). One matmul
+    computes all ``n_bands*band_bits`` plane dots."""
+    planes = _plane_matrix(n_bands * band_bits, dim)
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(qv: pd.Series) -> pd.Series:
+        m = np.stack(qv.to_numpy()).astype(np.int64)
+        bits = (m @ planes.T > 0).astype(np.int64)
+        buck = (bits.reshape(len(m), n_bands, band_bits) * weights).sum(axis=2)
+        return pd.Series(list(buck))
+
+    return _buckets
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Exact int64 dot product of two quantized vectors."""
     return F.aggregate(
@@ -148,9 +192,10 @@ def ann_lsh_multiquery(
     corpus-side bucketing cost amortizes across the whole query table
     (persist or use the partitioned on-disk index via
     ``ann_probe_persisted`` for repeated batches)."""
-    corpus = embeddings.withColumn(
-        "bucket", hyperplane_signs(F.col(vec_col), n_planes, dim)
-    )
+    bucketer = hyperplane_buckets_arrow(n_planes, dim)
+    corpus = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", bucketer(F.col("qv")))
     qb = F.broadcast(
         queries.select(
             F.col(qid_col),
@@ -161,7 +206,7 @@ def ann_lsh_multiquery(
     cand = corpus.join(qb, "bucket").select(
         F.col(qid_col),
         F.col(id_col),
-        int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot_q"),
+        int_dot(F.col("qv"), F.col("qvec")).alias("dot_q"),
     )
     from .topk import grouped_top_k
 
@@ -219,29 +264,16 @@ def embedding_band_buckets(
     ``plane_components(b*band_bits + j)``; bucket = the band's sign bits.
     OR-of-ANDs banding: a pair with angular collision probability p per
     plane shares >=1 band bucket with probability
-    1 - (1 - p^band_bits)^n_bands — the recall/cost dial."""
-    bands = []
-    for b in range(n_bands):
-        bucket = F.lit(0).cast("long")
-        for i in range(band_bits):
-            plane = F.array(
-                *[
-                    F.lit(v).cast("long")
-                    for v in plane_components(b * band_bits + i, dim)
-                ]
-            )
-            d = F.aggregate(
-                F.zip_with(F.col("qv"), plane, lambda x, p: x * p),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
-        bands.append(
-            F.struct(F.lit(b).cast("long").alias("band"), bucket.alias("bucket"))
-        )
+    1 - (1 - p^band_bits)^n_bands — the recall/cost dial.
+
+    Buckets come from the Arrow matmul kernel (``band_buckets_arrow``) —
+    the expression-tree formulation (64 interpreted higher-order dots per
+    row) measured ~15s of the 20s query at sf0.1; the matmul is <1s and
+    integer-identical."""
+    bucketer = band_buckets_arrow(n_bands, band_bits, dim)
     return qdf.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.col(id_col), F.posexplode(bucketer(F.col("qv"))).alias("band", "bucket")
+    ).select(id_col, F.col("band").cast("long").alias("band"), "bucket")
 
 
 def batch_int_dot():
@@ -256,6 +288,42 @@ def batch_int_dot():
     def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
         av = np.stack(a.to_numpy()).astype(np.int64)
         bv = np.stack(b.to_numpy()).astype(np.int64)
+        return pd.Series((av * bv).sum(axis=1))
+
+    return pdot
+
+
+def pack_qv_int32():
+    """Quantized vector (array<long>, |q| <= ~1e6 << 2^31) packed as a
+    little-endian int32 BINARY blob: half the Arrow bytes of list<int64>
+    and none of the list-offset overhead. Candidate-pair verify ships two
+    vectors per row, so wire width is the verify stage's cost driver —
+    packing measured ~2x end-to-end on the sf0.1 near-dup bench."""
+
+    @F.pandas_udf("binary")
+    def pack(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype=object)
+        m = np.stack(qv.to_numpy()).astype(np.int32)
+        return pd.Series([row.tobytes() for row in m])
+
+    return pack
+
+
+def packed_int_dot():
+    """Exact int64 dot over two int32-packed binary vectors
+    (``pack_qv_int32``): one frombuffer + matmul per Arrow batch."""
+
+    @F.pandas_udf("long")
+    def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="int64")
+        av = np.frombuffer(b"".join(a.to_numpy()), dtype="<i4").reshape(
+            len(a), -1
+        ).astype(np.int64)
+        bv = np.frombuffer(b"".join(b.to_numpy()), dtype="<i4").reshape(
+            len(b), -1
+        ).astype(np.int64)
         return pd.Series((av * bv).sum(axis=1))
 
     return pdot
@@ -287,31 +355,43 @@ def embedding_neardup_pairs_bucketed(
     buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col).persist()
     buckets.count()  # materialize once; both self-join sides reuse it
     l, r = buckets.alias("l"), buckets.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-        .localCheckpoint()  # candidate ids are small; cuts the bucket lineage
+    cand = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     )
-    buckets.unpersist()
-    a = qdf.select(F.col(id_col).alias("id_a"), F.col("qv").alias("qv_a"))
-    b = qdf.select(F.col(id_col).alias("id_b"), F.col("qv").alias("qv_b"))
+    # Verify FIRST, dedupe the (tiny) survivor set after: cross-band
+    # duplicate candidates re-run the cheap vectorized matmul (~E[bands
+    # colliding | near-dup] ~ 1.6x rows) but the wide pre-verify
+    # distinct shuffle on millions of candidate pairs disappears — at the
+    # weakly-selective 0.40 threshold that trade measured ~2x end-to-end.
+    # Vectors re-attach int32-PACKED (half the Arrow wire width, ~2x
+    # verify throughput) via EXPLICIT broadcast: the packed table is
+    # O(corpus_ids x dim) int32s — broadcastable far past this
+    # benchmark's size; at a corpus where it exceeds executor memory,
+    # drop the hint and let the pre-bucketed shuffle join take over.
+    pack = pack_qv_int32()
+    packed = qdf.select(F.col(id_col), pack(F.col("qv")).alias("qvb")).persist()
+    packed.count()  # materialize once; both attach sides reuse it
+    a = packed.select(F.col(id_col).alias("id_a"), F.col("qvb").alias("qb_a"))
+    b = packed.select(F.col(id_col).alias("id_b"), F.col("qvb").alias("qb_b"))
     thr = int(threshold * QUANT * QUANT)
-    pdot = batch_int_dot()
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("dot_q", pdot(F.col("qv_a"), F.col("qv_b")))
+    pdot = packed_int_dot()
+    survivors = (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("dot_q", pdot(F.col("qb_a"), F.col("qb_b")))
         .filter(F.col("dot_q") >= thr)
         .select("id_a", "id_b", "dot_q")
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint()  # materialize so the persisted inputs can free
     )
+    buckets.unpersist()
+    packed.unpersist()
+    return survivors
 
 
 def ivf_cells(
@@ -508,12 +588,10 @@ def build_ann_index(
     happens once per corpus, not once per query, and the physical layout
     makes every later probe a partition-pruned scan. At 100 TB this is the
     difference between an index and a full re-scan per query."""
+    bucketer = hyperplane_buckets_arrow(n_planes, dim)
     (
-        embeddings.select(
-            F.col(id_col),
-            quantize(F.col(vec_col)).alias("qv"),
-            hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
-        )
+        embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+        .withColumn("bucket", bucketer(F.col("qv")))
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -592,9 +670,10 @@ def ann_lsh_bucketed(
     standard recall/cost dial: vectors near a hyperplane fall on either
     side, so flipping the least-confident bits recovers them. m=n_planes
     probes 1+n_planes buckets; m=0 is single-bucket."""
-    corpus = embeddings.withColumn(
-        "bucket", hyperplane_signs(F.col(vec_col), n_planes, dim)
-    )
+    bucketer = hyperplane_buckets_arrow(n_planes, dim)
+    corpus = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", bucketer(F.col("qv")))
     qbucket = hyperplane_signs(F.col(vec_col), n_planes, dim)
     probes = F.array(
         qbucket, *[qbucket.bitwiseXOR(F.lit(1 << j)) for j in range(multiprobe)]
@@ -609,7 +688,7 @@ def ann_lsh_bucketed(
         corpus.join(qb, "bucket")
         .select(
             F.col(id_col),
-            int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot_q"),
+            int_dot(F.col("qv"), F.col("qvec")).alias("dot_q"),
         )
         .orderBy(F.col("dot_q").desc(), F.col(id_col))
         .limit(k)

@@ -287,3 +287,30 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.when(n > 0, fp).alias("fingerprint"),
     )
+
+
+# GPT-2-style pretokenizer classes, lookaround-free and whitespace-explicit
+# so Java regex (Spark) and RE2 (DuckDB) compute the identical split:
+# letter runs | single digits | single non-alnum-non-space marks.
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def bpe_pretokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE pretokenization statistics: the split a byte-pair tokenizer
+    applies BEFORE merges — letter runs stay whole, every digit is its own
+    token (GPT-2 convention), punctuation marks split individually. The
+    pretoken count upper-bounds the real BPE token count and is the
+    standard corpus-budget estimator when the merge table isn't in the
+    engine. Pure per-row map: zero Exchange at any scale."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    alpha = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    digit = F.filter(toks, lambda t: t.rlike("^[0-9]$"))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_pretokens"),
+        F.size(alpha).cast("long").alias("n_alpha_runs"),
+        F.size(digit).cast("long").alias("n_digits"),
+        (F.size(toks) - F.size(alpha) - F.size(digit))
+        .cast("long")
+        .alias("n_marks"),
+    )

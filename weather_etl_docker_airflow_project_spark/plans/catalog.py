@@ -23,6 +23,7 @@ from . import ref_weather  # noqa: F401
 from . import streaming_q  # noqa: F401
 from . import llm_q  # noqa: F401
 from . import io_q  # noqa: F401
+from . import timeseries_q  # noqa: F401
 
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
@@ -105,6 +106,15 @@ _PRIORITY: tuple[str, ...] = (
     # twice-proven LLM/streaming/IO block as future canary stock.
     "l5_gif_pixel_features",
     "l5_audio_features",
+    "ts1_batch_sessionize",
+    "ts2_gap_fill_hourly",
+    "a14_stats_suite",
+    "l6_oversample_mix",
+    "l4_bpe_pretokens",
+    "t10_stream_static_enrich",
+    "s10_clustered_compact_scan",
+    "ts3_funnel_steps",
+    "j10_fuzzy_blocked_join",
     "tpch_q5_local_supplier_volume",
     "a5_cube_order_grid",
     "j2_full_outer_nation_presence",

@@ -138,3 +138,46 @@ def p4_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.filter(F.col("o_orderkey").isNull()).select("c_custkey", "c_name")
+
+
+@query(
+    "s10_clustered_compact_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("S8",),
+)
+def s10_clustered_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance round trip (operators/layout.py): lineitem is
+    rewritten range-clustered + sorted on l_shipdate, then the selective
+    date-range scan runs against the CLUSTERED copy — every file carries a
+    disjoint shipdate envelope, so parquet footer stats prune all but the
+    matching range files (the Z-order-lite layout a 100 TB table wants for
+    time-predicate workloads). Content invariance is what the oracle
+    checks — the aggregate over the clustered copy must equal the same
+    aggregate over the original; the layout properties (disjoint
+    envelopes, file count) are asserted in tests/test_layout.py."""
+    import tempfile
+
+    from ..operators.layout import clustered_write
+
+    out = tempfile.mkdtemp(prefix="clustered_") + "/lineitem"
+    li = load_table(spark, sf_dir, "lineitem")
+    clustered_write(li, out, ["l_shipdate"], n_files=8)
+    back = spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_qty"),
+    )

@@ -654,6 +654,39 @@ def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l4_bpe_pretokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_pretokens,
+             CAST(len(list_filter(toks,
+                 tk -> regexp_matches(tk, '^[A-Za-z]+$'))) AS BIGINT)
+                 AS n_alpha_runs,
+             CAST(len(list_filter(toks,
+                 tk -> regexp_matches(tk, '^[0-9]$'))) AS BIGINT) AS n_digits
+      FROM t)
+    SELECT doc_id, n_pretokens, n_alpha_runs, n_digits,
+           n_pretokens - n_alpha_runs - n_digits AS n_marks
+    FROM c
+    """,
+    tags=("L4",),
+)
+def l4_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style BPE pretokenization counts (operators/text.bpe_pretokens):
+    letter runs whole, digits individual, marks individual — the standard
+    token-budget estimator for a corpus when the merge table isn't in the
+    engine. The class regex is lookaround-free and whitespace-explicit so
+    Java regex and RE2 split identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pretokens(docs, "doc_id", "text")
+
+
+@query(
     "l4_term_stats",
     oracle=f"""
     WITH tok AS (
@@ -854,6 +887,43 @@ def l6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id",
         fractions={"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 20},
+        strata_col="lang",
+    )
+
+
+@query(
+    "l6_oversample_mix",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
+                       WHEN 'es' THEN 125 WHEN 'zh' THEN 200 ELSE 0 END AS wt,
+             {_BUCKET_SQL.format(salt="mix")} AS b
+      FROM documents),
+    n AS (
+      SELECT doc_id, lang,
+             (wt // 100) + CASE WHEN b < wt % 100 THEN 1 ELSE 0 END AS n_copies
+      FROM w)
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_id
+    FROM n WHERE n_copies > 0
+    """,
+    tags=("L4", "L1"),
+)
+def l6_oversample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix with fractional EPOCH weights — en 2.5x, zh 2.0x,
+    es 1.25x, de 1.0x, fr 0.5x (operators/sampling.oversample_mix): every
+    row gets floor(w) copies and carries the fractional epoch iff its
+    salted hash bucket < frac(w), so the realized mix is exact in
+    expectation and bit-reproducible. The op subsumption test: weights
+    below 1 reduce to stratified subsampling, above 1 to deterministic
+    repetition with distinct copy_ids."""
+    from ..operators.sampling import oversample_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return oversample_mix(
+        docs, "doc_id",
+        weights_pct={"en": 250, "de": 100, "fr": 50, "es": 125, "zh": 200},
         strata_col="lang",
     )
 

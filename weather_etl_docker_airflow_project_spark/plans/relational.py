@@ -1202,3 +1202,136 @@ def a13_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_ord").alias("n_orders"),
         ],
     )
+
+
+# Derived-statistic formulas shared VERBATIM by the Spark side (selectExpr)
+# and the DuckDB oracle: both engines parse the same text into the same
+# IEEE-754 double expression tree over exact BIGINT sufficient statistics,
+# so divisions and sqrts round identically — float outputs that are
+# bit-exact by construction (registry.py determinism rules).
+_STATS_D = "CAST(n AS DOUBLE)"
+_STATS_FORMULAS: dict[str, str] = {
+    "var_x": (
+        f"({_STATS_D}*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+        f" / ({_STATS_D}*CAST(n - 1 AS DOUBLE))"
+    ),
+    "cov_xy": (
+        f"({_STATS_D}*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+        f" / ({_STATS_D}*CAST(n - 1 AS DOUBLE))"
+    ),
+    "corr_xy": (
+        f"({_STATS_D}*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+        f" / (sqrt({_STATS_D}*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+        f"    * sqrt({_STATS_D}*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))"
+    ),
+}
+
+
+@query(
+    "a14_stats_suite",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM q GROUP BY l_returnflag)
+    SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+           {_STATS_FORMULAS["var_x"]} AS var_x,
+           {_STATS_FORMULAS["cov_xy"]} AS cov_xy,
+           {_STATS_FORMULAS["corr_xy"]} AS corr_xy
+    FROM s
+    """,
+    tags=("A2",),
+)
+def a14_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (variance, covariance, correlation) via
+    exact BIGINT sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) — the
+    map-side-combinable formulation that scales: one partial-aggregating
+    shuffle carries six longs per group, and the float math happens once
+    per GROUP on the driver-visible result, not per row. The derived
+    doubles are computed from the IDENTICAL expression text in both
+    engines (``_STATS_FORMULAS``), making the float outputs bit-exact —
+    the declared-float exception that proves the determinism rule.
+    Built-ins (stddev/corr) use Welford-style streaming updates whose
+    rounding differs between engines, which is exactly why this query
+    doesn't use them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        li.select(
+            "l_returnflag",
+            F.floor("l_quantity").alias("x"),
+            F.floor("l_extendedprice").alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    return s.selectExpr(
+        "l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy",
+        f'{_STATS_FORMULAS["var_x"]} AS var_x',
+        f'{_STATS_FORMULAS["cov_xy"]} AS cov_xy',
+        f'{_STATS_FORMULAS["corr_xy"]} AS corr_xy',
+    )
+
+
+@query(
+    "j10_fuzzy_blocked_join",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_size, string_split(p_name, ' ')[1] AS blk
+      FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("J1", "F6"),
+)
+def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution join: near-identical part names via edit distance,
+    made tractable by BLOCKING — the equi-join on (first token, size)
+    bounds each block to ~dozens of rows, so the quadratic levenshtein
+    work runs inside blocks instead of all-pairs (the same
+    candidate-then-verify shape as the LSH dedup family, with a blocking
+    key instead of a hash bucket). levenshtein is classic edit distance in
+    both engines — exact-oracle-able. At 100 TB: blocking keys shuffle
+    once; skewed blocks fall under AQE skew-join or a block-size cap
+    (pattern: dedup._drop_hot_buckets)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(lev <= 2)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("long").alias("lev"),
+        )
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import CANNED_WEATHER
+from ..io import load_table
 from ..streaming import pipeline, windows
 from .registry import query
 
@@ -202,6 +203,48 @@ def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("error_id", "click_id", "user_id")
     return windows.run_available_now(joined)
+
+
+@query(
+    "t10_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    tags=("T5", "J3"),
+)
+def t10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer segment) and aggregates per (segment, type). The
+    static side needs no watermark — Spark re-plans it per micro-batch and
+    BROADCASTS it under the join (the standard dimension-enrichment shape:
+    at 100 TB/day of events the dimension join must never shuffle the
+    stream). Aggregation in complete mode over availableNow drains to the
+    same totals as the batch oracle."""
+    ev = windows.stream_events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = ev.join(
+        F.broadcast(customer), ev.user_id == customer.c_custkey
+    )
+    # exact count-distinct on a stream: aggregate per user in the stream
+    # (bounded state: one row per (segment, type, user)), then count users
+    # over the drained result — never an approx sketch in a declared output
+    per_user = enriched.groupBy("segment", "event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u")
+    )
+    drained = windows.run_available_now(per_user, output_mode="complete")
+    return (
+        drained.groupBy("segment", "event_type")
+        .agg(
+            F.sum("n_u").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    )
 
 
 @query("t2_weather_stream_upsert", oracle=None, tags=("T1", "T2", "T3"))

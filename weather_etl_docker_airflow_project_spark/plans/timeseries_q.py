@@ -1,0 +1,211 @@
+"""Batch time-series query surface over the ``events`` table: sessionization
+and gap-filling — the batch twins of the streaming session/tumbling windows
+(plans/streaming_q.py), plus the ops a metrics/feature pipeline needs that
+Spark has no single built-in for.
+
+Oracle strategy: all integer/timestamp outputs (microsecond-exact), gap
+thresholds compared in integer microseconds on both engines
+(``unix_micros`` / ``epoch_us``) so sub-second timestamps can never straddle
+a seconds-truncation boundary differently in the two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import query
+
+_GAP_US = 1800 * 1_000_000  # 30-minute session gap, in integer microseconds
+
+
+@query(
+    "ts1_batch_sessionize",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_seq
+      FROM o)
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+    tags=("T6", "W2"),
+)
+def ts1_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of the T6 streaming session
+    window): a session breaks where the gap to the previous event exceeds
+    30 minutes, session ids come from a running sum over the break flags —
+    the classic lag+cumsum formulation, two window passes over ONE
+    user-partitioned sort (Catalyst reuses the Exchange+Sort for both
+    window functions and the final aggregate, so the whole query is a
+    single shuffle on user_id — the plan you want when 100 TB of events
+    sessionize into a feature store). Gap compared in integer microseconds
+    on both engines.
+
+    Reference parity: the reference has no sessionizer (its DAG is a
+    3-city batch fetch, reference airflow/dags/weather_etl.py:49-64); this
+    extends the events surface per the brief's training-pipeline mandate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(order)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > F.lit(_GAP_US)),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(run).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "ts2_gap_fill_hourly",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY user_id, date_trunc('hour', ts)),
+    hb AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM hb)
+    SELECT g.user_id, g.hr,
+           COALESCE(o.n_obs, 0) AS n_events,
+           last_value(o.n_obs IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hr
+               ROWS UNBOUNDED PRECEDING) AS carried_n
+    FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
+    """,
+    tags=("W3", "F5"),
+)
+def ts2_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + forward-fill: densify each user's hourly event
+    counts over their own [first, last] hour (sequence + explode builds the
+    grid; the per-user grid is bounded by the user's span so the explode
+    can't run away), left-join observations, zero-fill the count, and
+    carry the last observed count forward with last(ignorenulls) — the
+    standard missing-data treatment before a time-series feature join.
+    Scale: the grid build and the fill are both partitioned by user_id;
+    with AQE the small grid side of the join broadcast-localizes. The
+    first grid row per user is observed by construction, so carried_n is
+    never NULL."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    fill = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(obs, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("n_obs", ignorenulls=True).over(fill).alias("carried_n"),
+        )
+    )
+
+
+@query(
+    "ts3_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+           CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS stage
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("W2", "A2", "J2"),
+)
+def ts3_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage's
+    timestamp is the first qualifying event STRICTLY AFTER the previous
+    stage — the sequential constraint that makes funnels more than three
+    GROUP BYs. Three aggregates all keyed on user_id: Catalyst reuses the
+    hash partitioning across the chain, so the funnel costs one logical
+    shuffle of each event subset, not three independent ones. stage
+    column = how far the user got (1/2/3)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            (
+                F.lit(1)
+                + F.col("first_click").isNotNull().cast("int")
+                + F.col("first_purchase").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+    )
