@@ -63,6 +63,9 @@ HEADLINE = [
     "ts2_gap_fill_hourly",
     "l6_oversample_mix",
     "l4_bpe_pretokens",
+    "ts3_funnel_steps",
+    "j10_fuzzy_blocked_join",
+    "tpch_q18_large_orders",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

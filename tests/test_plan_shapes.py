@@ -171,3 +171,34 @@ def test_knn_multiquery_prunes_before_shuffle(spark):
     plan = _formatted_plan(spark, "l3_knn_multiquery")
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the intended broadcast score
+
+
+def test_approx_percentile_error_bound(spark):
+    """a15 has no value oracle (Greenwald-Khanna sketches are
+    engine-specific); its contract is the error bound vs the exact
+    sort-based percentiles of the same column."""
+    from pyspark.sql import functions as F
+
+    from weather_etl_docker_airflow_project_spark.io import load_table
+
+    rows = {
+        r["o_orderpriority"]: r["approx_p"]
+        for r in catalog.REGISTRY["a15_approx_percentiles"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    exact = {
+        r["o_orderpriority"]: r["ex"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+            ).alias("ex")
+        )
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for prio, approx in rows.items():
+        for a, e in zip(approx, exact[prio]):
+            assert abs(a - e) / e < 0.02, (prio, a, e)

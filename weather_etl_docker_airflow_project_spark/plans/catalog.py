@@ -115,6 +115,12 @@ _PRIORITY: tuple[str, ...] = (
     "s10_clustered_compact_scan",
     "ts3_funnel_steps",
     "j10_fuzzy_blocked_join",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "l5_mixed_pixel_features",
+    "s11_schema_evolution_scan",
+    # a15 stays out of the window in every round (rows-only, like a4)
     "tpch_q5_local_supplier_volume",
     "a5_cube_order_grid",
     "j2_full_outer_nation_presence",

@@ -181,3 +181,45 @@ def s10_clustered_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("sum_qty"),
     )
+
+
+@query(
+    "s11_schema_evolution_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(user_id) AS BIGINT) AS n_with_user
+    FROM (
+      SELECT event_type, NULL::BIGINT AS user_id
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, user_id FROM events WHERE event_id % 2 = 1)
+    GROUP BY event_type
+    """,
+    tags=("S6", "S8"),
+)
+def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution round trip: generation 1 lands WITHOUT user_id,
+    generation 2 adds the column; one ``mergeSchema`` read reconciles both
+    generations (old files surface NULL for the added column) and the
+    aggregate distinguishes physical absence from logical null — exactly
+    how a long-lived 100 TB table accretes columns without rewriting
+    history. Per-generation directories keep the parquet footers honest:
+    nothing is rewritten, only union-read."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    e = load_table(spark, sf_dir, "events")
+    e.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type").write.mode(
+        "overwrite"
+    ).parquet(base + "/gen=1")
+    e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "user_id"
+    ).write.mode("overwrite").parquet(base + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("user_id").cast("long").alias("n_with_user"),
+    )

@@ -1462,6 +1462,52 @@ def l5_gif_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_mixed_pixel_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, length(text) % 16 + 4 AS w, doc_id % 12 + 4 AS h,
+             doc_id % 2 = 0 AS is_png
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             CASE WHEN d.is_png THEN (d.doc_id * 7 + x.x * 3 + y.y * 5) % 256
+                  ELSE (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37) % 256 END AS r,
+             CASE WHEN d.is_png THEN (d.doc_id * 7 + x.x * 3 + y.y * 5 + 11) % 256
+                  ELSE (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37 + 85) % 256 END AS g,
+             CASE WHEN d.is_png THEN (d.doc_id * 7 + x.x * 3 + y.y * 5 + 22) % 256
+                  ELSE (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37 + 170) % 256 END AS b
+      FROM dims d
+      JOIN generate_series(0, 19) x(x) ON x.x < d.w
+      JOIN generate_series(0, 15) y(y) ON y.y < d.h)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("L5",),
+)
+def l5_mixed_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format corpus through ONE featurization stage: even doc_ids
+    carry compressed PNGs, odd ones LZW GIFs; ``decode_image_pixels``
+    dispatches on the payload magic inside the same mapInPandas batch —
+    the real-corpus shape where formats interleave arbitrarily and
+    per-format jobs would double the scan. The oracle recomputes both
+    closed forms branch-by-parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    png = multimodal.synthesize_png(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    gif = multimodal.synthesize_gif(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    )
+    return multimodal.pixel_features(png.unionByName(gif), "doc_id")
+
+
+@query(
     "l5_audio_features",
     oracle="""
     WITH f AS (

@@ -1335,3 +1335,148 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("long").alias("lev"),
         )
     )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,4))
+            AS promo_rev,
+        CAST(SUM({_REV}) AS DECIMAL(28,4)) AS total_rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-10-01')
+    SELECT promo_rev, total_rev,
+           CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS promo_ratio
+    FROM s
+    """,
+    tags=("J1", "J3", "A6"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one ship month — a
+    conditional aggregate over a fact-dimension join (part broadcasts,
+    both predicates push to the lineitem scan). Revenue sums are exact
+    DECIMAL; the ratio is the sanctioned bit-exact-float pattern (same
+    division text in both engines over identical decimals)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("decimal(28,4)")
+            .alias("promo_rev"),
+            F.sum(rev).cast("decimal(28,4)").alias("total_rev"),
+        )
+    )
+    return s.selectExpr(
+        "promo_rev",
+        "total_rev",
+        "CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS promo_ratio",
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("A2", "J1", "P5"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING over a grouped
+    fact aggregate, then joins back to orders/customer. The aggregate runs
+    FIRST and shrinks the fact side to the few qualifying orderkeys, so
+    the two joins are cheap — the right order at any scale (the naive
+    join-then-aggregate plan would shuffle all of lineitem twice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _dec("o_totalprice").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("J4", "A1", "P5"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema's columns: late shipment =
+    shipped >30 days after order date): EXISTS decorrelates to a left-semi
+    join with the inequality folded into the join condition, then a small
+    aggregate — count of at-risk orders per priority for one quarter."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@query(
+    "a15_approx_percentiles",
+    oracle=None,  # sketch-based: Greenwald-Khanna estimates have no SQL
+    #               twin — rows-only by design; the error contract vs the
+    #               exact percentiles (a10) is pytest-gated like A4's HLL.
+    tags=("A4",),
+)
+def a15_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's Greenwald-Khanna sketch
+    (``approx_percentile`` with accuracy 10000): the single-pass,
+    mergeable, bounded-memory path for quantiles over 100 TB — the exact
+    sort-based a10 twin costs a full shuffle of the column. Error vs a10
+    is pytest-gated (tests/test_plan_shapes.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_p"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
