@@ -523,8 +523,8 @@ def test_multimodal_features_and_stub(spark):
     assert feats[2]["first_byte"] == 97 and feats[2]["last_byte"] == 98
     with pytest.raises(ValueError):
         multimodal.decode_media(b"\x00")                 # no known container
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x00", fmt="pixels")   # full decode: stub
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"\x00", fmt="pixels")   # unknown container
 
 
 def test_png_pixel_codec_roundtrip_local():
@@ -560,9 +560,9 @@ def test_video_container_roundtrip_and_frame_sample(spark):
     assert frames[2] == bytes([30]) * multimodal.VID_FRAME_LEN
     with pytest.raises(ValueError):
         multimodal.decode_video_frames(b"nope")
-    # resize: PNG is real now; JPEG/GIF are the codec gap; a video payload
-    # is not an image at all
-    with pytest.raises(NotImplementedError):
+    # resize: all three image codecs are real now; a header-only JPEG has
+    # no scan data and must fail loudly; a video payload is not an image
+    with pytest.raises(ValueError, match="SOF/SOS"):
         multimodal.resize_image(multimodal.encode_jpeg_header(8, 8), 32, 32)
     with pytest.raises(ValueError):
         multimodal.resize_image(payload, 32, 32)
@@ -798,9 +798,10 @@ def test_gif_lzw_codec_roundtrip_local():
             assert orgb[(y * 7 + x) * 3:(y * 7 + x) * 3 + 3] == \
                 rgb[(sy * w + sx) * 3:(sy * w + sx) * 3 + 3]
 
-    # mixed-format dispatcher routes by magic
+    # mixed-format dispatcher routes by magic; a header-only JPEG reaches
+    # the real decoder and fails loudly on the missing scan
     assert multimodal.decode_image_pixels(gif)[0] == w
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    with pytest.raises(ValueError, match="SOF/SOS"):
         multimodal.decode_image_pixels(multimodal.encode_jpeg_header(4, 4))
 
 
@@ -842,3 +843,78 @@ def test_bpe_pretokens_classes(spark):
             out[1]["n_digits"], out[1]["n_marks"]) == (6, 3, 1, 2)
     assert out[2]["n_pretokens"] == 0
     assert out[3]["n_pretokens"] == 0
+
+
+def test_jpeg_codec_flat_exact_and_ac_reference_local():
+    """Baseline JPEG codec (operators/jpeg.py): flat-block images decode
+    INTEGER-EXACTLY (DC-only IDCT is round(dc/8)+128 by construction);
+    arbitrary AC spectra decode to the same pixels as an independently
+    computed direct-form reference IDCT; scope violations raise."""
+    import math
+    import random
+
+    from weather_etl_docker_airflow_project_spark.operators import jpeg
+
+    blocks = [[(5 * 7 + 11 * bx + 17 * by) % 200 + 28 for bx in range(3)]
+              for by in range(2)]
+    payload = jpeg.encode_flat_jpeg(24, 16, blocks)
+    w, h, rgb = jpeg.decode_jpeg_pixels(payload)
+    assert (w, h) == (24, 16)
+    for by in range(2):
+        for bx in range(3):
+            for y in range(8):
+                for x in range(8):
+                    p = ((by * 8 + y) * 24 + bx * 8 + x) * 3
+                    v = blocks[by][bx]
+                    assert rgb[p:p + 3] == bytes((v, v, v))
+
+    # AC path: random quantized spectrum vs direct-form reference IDCT
+    rng = random.Random(5)
+    coefs = [0] * 64
+    coefs[0] = rng.randrange(-40, 40)
+    for _ in range(12):
+        coefs[rng.randrange(1, 64)] = rng.randrange(-9, 10)
+    _w, _h, got_rgb = jpeg.decode_jpeg_pixels(
+        jpeg.encode_coef_jpeg(8, 8, [[coefs]])
+    )
+    deq = [coefs[i] * jpeg.QTAB_LUMA[i] for i in range(64)]
+
+    def cc(u):
+        return math.sqrt(0.125) if u == 0 else 0.5
+
+    for y in range(8):
+        for x in range(8):
+            s = sum(
+                cc(u) * cc(v) * deq[v * 8 + u]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for v in range(8) for u in range(8)
+            )
+            ref = max(0, min(255, round(s) + 128))
+            assert abs(got_rgb[(y * 8 + x) * 3] - ref) <= 1
+
+    # byte stuffing: an 0xFF entropy byte is written stuffed and read back
+    bw_ = jpeg._BitWriter()
+    bw_.put(0xFF, 8)
+    bw_.put(0xA5, 8)
+    stream = bw_.flush()
+    assert stream.startswith(b"\xff\x00\xa5")
+    br = jpeg._BitReader(stream)
+    assert br.bits(8) == 0xFF and br.bits(8) == 0xA5
+    with pytest.raises(ValueError, match="marker"):
+        jpeg._BitReader(b"\xff\xd9").bits(8)  # marker inside entropy data
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg.decode_jpeg_pixels(b"nope")
+    with pytest.raises(ValueError, match="multiples of 8"):
+        jpeg.encode_flat_jpeg(12, 8, [[100]])
+
+    # resize decodes JPEG and re-encodes lossless as PNG
+    out = multimodal.resize_image(payload, 12, 8)
+    ow, oh, orgb = multimodal.decode_png_pixels(out)
+    assert (ow, oh) == (12, 8)
+    for y in range(8):
+        for x in range(12):
+            sx, sy = x * 24 // 12, y * 16 // 8
+            src = (sy * 24 + sx) * 3
+            assert orgb[(y * 12 + x) * 3:(y * 12 + x) * 3 + 3] == rgb[src:src + 3]

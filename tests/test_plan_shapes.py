@@ -165,12 +165,15 @@ def test_salted_agg_spreads_hot_key(spark):
 
 
 def test_knn_multiquery_prunes_before_shuffle(spark):
-    """The batched k-NN must carry the partition-local top-k (MapInPandas)
-    so the grouped-top-k shuffle moves <= partitions * queries * k rows,
-    never the scored corpus."""
+    """The batched k-NN scores each corpus batch against the query matrix
+    INSIDE one MapInPandas (matmul + batch-local top-k), so the
+    grouped-top-k shuffle moves <= batches * queries * k rows and the
+    corpus is never joined row-by-row — no join operator of any kind may
+    appear below the final top-k."""
     plan = _formatted_plan(spark, "l3_knn_multiquery")
     assert "MapInPandas" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the intended broadcast score
+    assert "Join" not in plan  # scoring is closure-side, not a join
+    assert "CartesianProduct" not in plan
 
 
 def test_approx_percentile_error_bound(spark):

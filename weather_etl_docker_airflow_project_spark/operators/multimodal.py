@@ -7,12 +7,14 @@ row-at-a-time — and projects the payload away as early as possible so big
 blobs never ride a shuffle.
 
 ``decode_media`` parses real container headers (PNG IHDR, JPEG SOF
-markers, GIF logical screen descriptor) in pure Python — no codec
-libraries needed for dimensions/format sniffing. FULL pixel/sample decode
-still requires codec libraries absent from this container and raises
-``NotImplementedError`` (clearly-marked stub). The byte featurizer uses a
-deterministic byte-level feature set, so the Spark-side plumbing — schema,
-batch shape, partitioning — is fully real and oracle-checkable.
+markers, GIF logical screen descriptor) in pure Python. FULL pixel decode
+is also real and pure-Python for all three image formats: PNG (stdlib
+zlib inflate + scanline unfilter, CRC-checked), GIF (LZW string-table
+decode + palette), baseline JPEG (Huffman entropy decode + dequant +
+IDCT, operators/jpeg.py — progressive/subsampled variants raise
+``NotImplementedError`` with the scope stated). The byte featurizer uses
+a deterministic byte-level feature set, so the Spark-side plumbing —
+schema, batch shape, partitioning — is fully real and oracle-checkable.
 
 Scale notes (100 TB): payload columns dominate scan bytes — the plans keep
 them in their own projection, filter on metadata FIRST (predicate pushdown
@@ -99,11 +101,10 @@ def decode_media(payload: bytes, fmt: str | None = None) -> dict:
     PNG: IHDR big-endian dims at a fixed offset. JPEG: walk marker
     segments to the first SOF frame. GIF: little-endian dims in the
     logical screen descriptor. Raises ``ValueError`` on bytes matching no
-    known container. ``fmt='pixels'`` requests a full pixel decode: REAL
-    for PNG (stdlib zlib inflate + scanline unfilter, ``decode_png_pixels``);
-    JPEG (entropy/DCT decode) and GIF (LZW) still raise
-    ``NotImplementedError`` — those genuinely need codec libraries this
-    environment lacks."""
+    known container. ``fmt='pixels'`` requests a full pixel decode — REAL
+    for all three formats: PNG (stdlib zlib inflate + scanline unfilter),
+    GIF (pure-Python LZW + palette), baseline JPEG (Huffman + dequant +
+    IDCT, operators/jpeg.py)."""
     if fmt == "pixels":
         if payload[:8] == _PNG_SIG:
             w, h, rgb = decode_png_pixels(payload)
@@ -111,11 +112,12 @@ def decode_media(payload: bytes, fmt: str | None = None) -> dict:
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h, rgb = decode_gif_pixels(payload)
             return {"format": "image/gif", "width": w, "height": h, "pixels": rgb}
-        raise NotImplementedError(
-            "pixel decode is implemented for PNG (zlib inflate + unfilter) "
-            "and GIF (pure-Python LZW); JPEG entropy/DCT decode needs codec "
-            "libraries not present here"
-        )
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg_pixels
+
+            w, h, rgb = decode_jpeg_pixels(payload)
+            return {"format": "image/jpeg", "width": w, "height": h, "pixels": rgb}
+        raise ValueError("pixel decode: unrecognized image container")
     if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR" and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
         return {"format": "image/png", "width": w, "height": h}
@@ -336,6 +338,14 @@ def _lzw_encode(data: bytes, mcs: int) -> bytes:
         w = wk[-1:]
     if w:
         emit(table[w], width)
+    # Decoder symmetry at stream end: the decoder bumps its code width
+    # EARLY (when its table reaches 2^width - 1, anticipating the add that
+    # normally precedes the next code). No add precedes END, so when the
+    # table lands exactly on that boundary the encoder must emit END at
+    # the width the decoder will already be reading with (found by the
+    # hypothesis round-trip property at a 6-symbol boundary input).
+    if next_code == (1 << width) - 1 and width < _GIF_MAX_CODE_WIDTH:
+        width += 1
     emit(end, width)
     if n_bits:
         out.append(acc & 0xFF)
@@ -586,12 +596,12 @@ def frame_sample(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real raster resize for PNG and GIF payloads: decode pixels
-    (pure-Python inflate+unfilter / LZW), nearest-neighbor sample to the
-    target grid, re-encode in the source format (GIF resamples the index
-    plane so the palette is preserved exactly). JPEG still raises
-    ``NotImplementedError`` (entropy/DCT decode needs codec libraries);
-    unrecognized bytes raise ``ValueError``."""
+    """Real raster resize for PNG, GIF, and baseline-JPEG payloads:
+    decode pixels (pure-Python inflate+unfilter / LZW / Huffman+IDCT),
+    nearest-neighbor sample to the target grid, re-encode — PNG as PNG,
+    GIF resamples the index plane (palette preserved exactly), JPEG
+    re-encodes lossless as PNG (no double quantization). Unrecognized
+    bytes raise ``ValueError``."""
     if width < 1 or height < 1:
         raise ValueError(f"target dims must be positive, got {width}x{height}")
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -614,12 +624,24 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
                 sx = x * src_w // width
                 out_idx.append(src_idx[sy * src_w + sx])
         return encode_gif(width, height, bytes(out_idx), palette)
+    if payload[:2] == b"\xff\xd8":
+        # decode via the baseline JPEG codec; re-encode LOSSLESS as PNG
+        # (a resize re-encode through a forward DCT would quantize twice —
+        # switching to a lossless container at transform time is standard
+        # pipeline behavior)
+        from .jpeg import decode_jpeg_pixels
+
+        src_w, src_h, rgb = decode_jpeg_pixels(payload)
+        out = bytearray()
+        for y in range(height):
+            sy = y * src_h // height
+            row = sy * src_w * _PNG_BPP
+            for x in range(width):
+                sx = x * src_w // width
+                i = row + sx * _PNG_BPP
+                out += rgb[i : i + _PNG_BPP]
+        return encode_png(width, height, bytes(out))
     if payload[:8] != _PNG_SIG:
-        if payload[:2] == b"\xff\xd8":
-            raise NotImplementedError(
-                "resize is implemented for PNG and GIF; the JPEG pixel codec "
-                "is not present in this environment"
-            )
         raise ValueError("resize_image: payload is not a recognized image")
     src_w, src_h, rgb = decode_png_pixels(payload)
     out = bytearray()
@@ -729,15 +751,18 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_image_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """Format-dispatching full pixel decode: PNG (inflate + unfilter) and
-    GIF (LZW + palette). JPEG raises ``NotImplementedError``. Lets one
-    featurization stage run over a mixed-format corpus."""
+    """Format-dispatching full pixel decode: PNG (inflate + unfilter),
+    GIF (LZW + palette), baseline JPEG (Huffman + dequant + IDCT,
+    operators/jpeg.py). Lets one featurization stage run over a
+    mixed-format corpus."""
     if payload[:8] == _PNG_SIG:
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError("JPEG pixel decode needs codec libraries")
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     raise ValueError("unrecognized image payload")
 
 
@@ -771,6 +796,43 @@ def synthesize_gif(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     for x in range(w)
                 )
                 payloads.append(encode_gif(w, h, idx, palette))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_synth, schema)
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic full-JPEG fixture: per document a real baseline JFIF
+    (width = 8*(n_chars % 3 + 1), height = 8*(doc_id % 2 + 1)) whose 8x8
+    block (bx, by) has flat luma ``(doc_id*5 + bx*11 + by*17) % 200 + 28``
+    with neutral chroma — a closed form the SQL oracle recomputes without
+    touching bytes. The payload goes through real Huffman entropy coding
+    (DC delta categories + EOBs), so only a correct marker walk + Huffman
+    decode + dequant + IDCT can reproduce the oracle's numbers
+    (operators/jpeg.py docstring: flat blocks make the IDCT integer-
+    exact while the entropy layer stays spec-true)."""
+    from .jpeg import encode_flat_jpeg
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                d = int(doc_id)
+                bw = len(text) % 3 + 1
+                bh = d % 2 + 1
+                blocks = [
+                    [(d * 5 + bx * 11 + by * 17) % 200 + 28 for bx in range(bw)]
+                    for by in range(bh)
+                ]
+                payloads.append(encode_flat_jpeg(bw * 8, bh * 8, blocks))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )

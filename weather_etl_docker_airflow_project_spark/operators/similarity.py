@@ -152,24 +152,64 @@ def knn_multiquery(
     """Exact top-k neighbors for a TABLE of queries in one pass — the
     batched form of :func:`knn_bruteforce` (r2 verdict item: the 100 TB
     workload is k-NN for a query table, not one vector). Shape: the
-    quantized query set broadcasts to every executor; each corpus split is
-    scored against all queries map-side (BroadcastNestedLoopJoin — the
-    *intended* plan here: |queries| is small and the corpus never moves);
-    a partition-local top-k prunes to <= |queries| * k rows per partition
-    BEFORE the only shuffle; the final grouped top-k
-    (``topk.grouped_top_k``) merges the partials. Returns
+    quantized query matrix rides the scoring closure to every executor;
+    each corpus Arrow batch is scored with one int64 matmul and pruned to
+    its exact batch-local top-k (ties kept, so the (dot desc, id asc)
+    total order is preserved) BEFORE the only shuffle; the final grouped
+    top-k (``topk.grouped_top_k``) merges <= batches * |queries| * k tiny
+    rows. The corpus never joins, never moves. Returns
     (query_id, id, dot_q, rn) with rn in [1, k], ties on id ascending."""
-    q = F.broadcast(
-        queries.select(F.col(qid_col), quantize(F.col(vec_col)).alias("qvec"))
+    # The query table is the BOUNDED side of batched k-NN; materializing
+    # it into the scoring closure is the broadcast-centroid pattern (same
+    # as ivf_kmeans_search's cluster centers), never a corpus collect.
+    # Each corpus Arrow batch is scored with ONE int64 matmul against the
+    # whole query matrix — the interpreted per-pair dot this replaced
+    # measured ~10M higher-order evaluations at the bench shape.
+    qrows = queries.select(
+        F.col(qid_col), quantize(F.col(vec_col)).alias("qvec")
+    ).collect()
+    if not qrows:
+        raise ValueError("knn_multiquery: empty query table")
+    qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.int64) for r in qrows])
+
+    out_schema = (
+        f"{qid_col} long, {id_col} long, dot_q long"
     )
-    scored = embeddings.crossJoin(q).select(
-        F.col(qid_col),
-        F.col(id_col),
-        int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot_q"),
-    )
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            if not len(ids):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            scores = m @ qmat.T  # (batch, n_queries)
+            kk = min(k, len(ids))
+            sel_q, sel_i, sel_d = [], [], []
+            for j in range(len(qids)):
+                col = scores[:, j]
+                # keep ALL ties at the kth score so the (dot desc, id asc)
+                # total order survives the batch-local prune exactly
+                kth = np.partition(col, -kk)[-kk]
+                cand = np.nonzero(col >= kth)[0]
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                pick = cand[order]
+                sel_q.append(np.full(len(pick), qids[j], dtype=np.int64))
+                sel_i.append(ids[pick])
+                sel_d.append(col[pick])
+            yield pd.DataFrame(
+                {
+                    qid_col: np.concatenate(sel_q),
+                    id_col: np.concatenate(sel_i),
+                    "dot_q": np.concatenate(sel_d),
+                }
+            )
+
+    pruned = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    ).mapInPandas(_score, out_schema)
     from .topk import grouped_top_k
 
-    pruned = _partition_local_topk(scored, qid_col, id_col, k)
     return grouped_top_k(
         pruned, [qid_col], [F.col("dot_q").desc(), F.col(id_col).asc()], k
     )

@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q4_order_priority",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
+    "l5_jpeg_pixel_features",
     "l5_mixed_pixel_features",
     "s11_schema_evolution_scan",
     # a15 stays out of the window in every round (rows-only, like a4)

@@ -1462,12 +1462,52 @@ def l5_gif_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "l5_mixed_pixel_features",
+    "l5_jpeg_pixel_features",
     oracle="""
     WITH dims AS (
-      SELECT doc_id, length(text) % 16 + 4 AS w, doc_id % 12 + 4 AS h,
-             doc_id % 2 = 0 AS is_png
+      SELECT doc_id, length(text) % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
       FROM documents),
+    blk AS (
+      SELECT d.doc_id, d.bw, d.bh,
+             (d.doc_id * 5 + bx.bx * 11 + by.by * 17) % 200 + 28 AS y
+      FROM dims d
+      JOIN generate_series(0, 2) bx(bx) ON bx.bx < d.bw
+      JOIN generate_series(0, 1) by(by) ON by.by < d.bh)
+    SELECT doc_id,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+           CAST(sum(y) * 64 AS BIGINT) AS sum_r,
+           CAST(sum(y) * 64 AS BIGINT) AS sum_g,
+           CAST(sum(y) * 64 AS BIGINT) AS sum_b
+    FROM blk GROUP BY doc_id, bw, bh
+    """,
+    tags=("L5",),
+)
+def l5_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end (closes the LAST codec gap):
+    synthesize a genuine JFIF per document — DQT/DHT/SOF0/SOS markers,
+    Huffman-coded DC deltas with byte stuffing, EOBs — with flat 8x8
+    block luma (doc_id*5 + bx*11 + by*17) % 200 + 28 and neutral chroma,
+    then recover per-channel integer sums by FULL decode (marker walk,
+    Huffman tree, bit-unstuffing, zigzag, dequant, IDCT, YCbCr->RGB)
+    inside mapInPandas (operators/jpeg.decode_jpeg_pixels). Flat blocks
+    make the IDCT integer-exact so the oracle recomputes the sums closed-
+    form; the general AC/IDCT path is property-tested against a reference
+    IDCT in tests. A wrong Huffman table, zigzag index, predictor reset,
+    or quant step hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    jp = multimodal.synthesize_jpeg(docs, "doc_id", "text")
+    return multimodal.pixel_features(jp, "doc_id")
+
+
+@query(
+    "l5_mixed_pixel_features",
+    oracle="""
+    WITH raster AS (
+      SELECT doc_id, length(text) % 16 + 4 AS w, doc_id % 12 + 4 AS h,
+             doc_id % 3 = 0 AS is_png
+      FROM documents WHERE doc_id % 3 < 2),
     px AS (
       SELECT d.doc_id, d.w, d.h,
              CASE WHEN d.is_png THEN (d.doc_id * 7 + x.x * 3 + y.y * 5) % 256
@@ -1476,35 +1516,56 @@ def l5_gif_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37 + 85) % 256 END AS g,
              CASE WHEN d.is_png THEN (d.doc_id * 7 + x.x * 3 + y.y * 5 + 22) % 256
                   ELSE (((d.doc_id + 2*x.x + 3*y.y) % 8) * 37 + 170) % 256 END AS b
-      FROM dims d
+      FROM raster d
       JOIN generate_series(0, 19) x(x) ON x.x < d.w
-      JOIN generate_series(0, 15) y(y) ON y.y < d.h)
-    SELECT doc_id,
-           CAST(w AS BIGINT) AS width,
-           CAST(h AS BIGINT) AS height,
-           CAST(w * h AS BIGINT) AS n_pixels,
-           CAST(sum(r) AS BIGINT) AS sum_r,
-           CAST(sum(g) AS BIGINT) AS sum_g,
-           CAST(sum(b) AS BIGINT) AS sum_b
-    FROM px GROUP BY doc_id, w, h
+      JOIN generate_series(0, 15) y(y) ON y.y < d.h),
+    raster_feats AS (
+      SELECT doc_id,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b
+      FROM px GROUP BY doc_id, w, h),
+    jdims AS (
+      SELECT doc_id, length(text) % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
+      FROM documents WHERE doc_id % 3 = 2),
+    jblk AS (
+      SELECT d.doc_id, d.bw, d.bh,
+             (d.doc_id * 5 + bx.bx * 11 + by.by * 17) % 200 + 28 AS y
+      FROM jdims d
+      JOIN generate_series(0, 2) bx(bx) ON bx.bx < d.bw
+      JOIN generate_series(0, 1) by(by) ON by.by < d.bh),
+    jpeg_feats AS (
+      SELECT doc_id,
+             CAST(bw * 8 AS BIGINT) AS width, CAST(bh * 8 AS BIGINT) AS height,
+             CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+             CAST(sum(y) * 64 AS BIGINT) AS sum_r,
+             CAST(sum(y) * 64 AS BIGINT) AS sum_g,
+             CAST(sum(y) * 64 AS BIGINT) AS sum_b
+      FROM jblk GROUP BY doc_id, bw, bh)
+    SELECT * FROM raster_feats UNION ALL SELECT * FROM jpeg_feats
     """,
     tags=("L5",),
 )
 def l5_mixed_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-format corpus through ONE featurization stage: even doc_ids
-    carry compressed PNGs, odd ones LZW GIFs; ``decode_image_pixels``
-    dispatches on the payload magic inside the same mapInPandas batch —
-    the real-corpus shape where formats interleave arbitrarily and
-    per-format jobs would double the scan. The oracle recomputes both
-    closed forms branch-by-parity."""
+    """Mixed-format corpus through ONE featurization stage: doc_id % 3
+    routes documents to compressed PNG, LZW GIF, or baseline JPEG;
+    ``decode_image_pixels`` dispatches on the payload magic inside the
+    same mapInPandas batch — the real-corpus shape where formats
+    interleave arbitrarily and per-format jobs would triple the scan. The
+    oracle recomputes all three closed forms branch-by-modulus."""
     docs = load_table(spark, sf_dir, "documents")
     png = multimodal.synthesize_png(
-        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text"
     )
     gif = multimodal.synthesize_gif(
-        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+        docs.filter(F.col("doc_id") % 3 == 1), "doc_id", "text"
     )
-    return multimodal.pixel_features(png.unionByName(gif), "doc_id")
+    jp = multimodal.synthesize_jpeg(
+        docs.filter(F.col("doc_id") % 3 == 2), "doc_id", "text"
+    )
+    return multimodal.pixel_features(png.unionByName(gif).unionByName(jp), "doc_id")
 
 
 @query(
