@@ -122,3 +122,52 @@ def test_stats_suite_matches_plain_python(spark):
         assert abs(row["var_x"] - var) < 1e-6 * max(1.0, abs(var))
         assert abs(row["cov_xy"] - cov) < 1e-6 * max(1.0, abs(cov))
         assert abs(row["corr_xy"] - corr) < 1e-9
+
+
+def test_cumulative_distinct_counts_each_user_once(spark):
+    """A user active on three days contributes to new_users only on their
+    first day; cumulative_users is monotone and ends at the distinct
+    total."""
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (t0, 1), (t0 + dt.timedelta(days=1), 1), (t0 + dt.timedelta(days=2), 1),
+        (t0 + dt.timedelta(days=1), 2),
+        (t0 + dt.timedelta(days=2), 3),
+    ]
+    d = tempfile.mkdtemp()
+    _mk_events(spark, rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = sorted(
+        catalog.REGISTRY["ts4_cumulative_distinct_users"].fn(spark, d).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [(r["new_users"], r["cumulative_users"]) for r in out] == [
+        (1, 1), (1, 2), (1, 3),
+    ]
+
+
+def test_retention_cohort_offsets(spark):
+    """User first active in week 0 and returning in week 2 lands in
+    (cohort_week, offset 0) and (cohort_week, offset 2), not offset 1."""
+    import tempfile
+
+    monday = dt.datetime(2024, 3, 4)  # a Monday
+    rows = [
+        (monday + dt.timedelta(days=1), 1),
+        (monday + dt.timedelta(days=15), 1),   # two weeks later
+        (monday + dt.timedelta(days=8), 2),    # cohort = week 1
+    ]
+    d = tempfile.mkdtemp()
+    _mk_events(spark, rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in catalog.REGISTRY["ts5_weekly_retention_cohorts"].fn(spark, d).collect()
+    }
+    wk0 = monday
+    wk1 = monday + dt.timedelta(days=7)
+    assert out == {
+        (wk0, 0): 1,
+        (wk0, 2): 1,
+        (wk1, 0): 1,
+    }

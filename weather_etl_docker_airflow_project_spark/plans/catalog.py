@@ -120,6 +120,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "l5_jpeg_pixel_features",
     "l5_mixed_pixel_features",
+    "ts4_cumulative_distinct_users",
+    "ts5_weekly_retention_cohorts",
     "s11_schema_evolution_scan",
     # a15 stays out of the window in every round (rows-only, like a4)
     "tpch_q5_local_supplier_volume",

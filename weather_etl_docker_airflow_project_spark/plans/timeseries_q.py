@@ -209,3 +209,93 @@ def ts3_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+@query(
+    "ts4_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS first_day
+      FROM events GROUP BY user_id),
+    daily_new AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day),
+    days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+    SELECT d.day,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(sum(COALESCE(n.new_users, 0)) OVER (
+               ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM days d LEFT JOIN daily_new n ON n.day = d.day
+    """,
+    tags=("A3", "W3"),
+)
+def ts4_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user count per day — the metric a naive
+    count(DISTINCT) over an expanding window cannot compute scalably
+    (quadratic re-scan). The scalable identity: a user contributes
+    exactly once, on their FIRST day, so cumulative distinct = running
+    sum of first-appearance counts. Two small aggregates + one ordered
+    prefix sum over the (tiny) day spine; the expensive distinct state
+    collapses map-side into min(day) per user."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day.alias("d")).alias("first_day"))
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    days = e.select(day.alias("day")).distinct()
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(daily_new, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"))
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(run).cast("long")
+        )
+    )
+
+
+@query(
+    "ts5_weekly_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      FROM events)
+    SELECT c.cohort_week,
+           CAST(date_diff('week', c.cohort_week, a.active_week) AS BIGINT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM cohort c JOIN activity a ON a.user_id = c.user_id
+    GROUP BY c.cohort_week,
+             date_diff('week', c.cohort_week, a.active_week)
+    """,
+    tags=("A2", "J1", "F5"),
+)
+def ts5_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, counted
+    in each later week they return — the canonical product-analytics
+    rollup. Both aggregates key on user_id, so the cohort attach is a
+    same-key join that reuses the partitioning; the output is
+    (cohort, offset) — thousands of rows from billions of events.
+    Week arithmetic runs on date_trunc('week') boundaries in both engines
+    (Monday-start ISO weeks in Spark and DuckDB alike)."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohort = e.groupBy("user_id").agg(F.min(wk.alias("w")).alias("cohort_week"))
+    activity = e.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .select("cohort_week", "week_offset", "n_active")
+    )
