@@ -652,8 +652,27 @@ def ann_probe_persisted(
     """Probe a persisted LSH index: join on the PARTITION column with the
     1-row query broadcast, so dynamic partition pruning reads only the
     query's bucket directory — the probe cost is one bucket, not the
-    corpus (plan-asserted in tests/test_plan_shapes.py)."""
-    index = spark.read.parquet(index_path)
+    corpus (plan-asserted in tests/test_plan_shapes.py).
+
+    The index is registered as a PARTITIONED CATALOG TABLE on first probe
+    (name derives from the path, which already fingerprints config+data):
+    a bare ``spark.read.parquet`` re-lists all 2^n_planes bucket
+    directories on every probe (a ~2s parallel-listing job at 256 dirs on
+    this host — measured as the entire probe cost), while catalog-backed
+    partition metadata is listed once at registration and pruned from the
+    metastore afterwards. That is also the 100 TB posture: indexes live
+    in the catalog, probes never touch the filesystem layout."""
+    import hashlib
+
+    tbl = "ann_index_" + hashlib.md5(index_path.encode()).hexdigest()[:12]
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
+            f"({id_col} BIGINT, qv ARRAY<BIGINT>, bucket INT) "
+            f"USING parquet PARTITIONED BY (bucket) LOCATION '{index_path}'"
+        )
+        spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+    index = spark.table(tbl)
     qb = F.broadcast(
         query.select(
             quantize(F.col(vec_col)).alias("qvec"),
@@ -677,11 +696,18 @@ def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
     """LSH bucket id: sign bits of dot products with n_planes deterministic
     pseudo-random hyperplanes (md5-derived literal components via
     ``xhash.plane_components`` — reproducible in any engine, and the plan
-    carries plain constants)."""
+    carries plain constants).
+
+    Plane literals are built as ONE parsed ``F.expr("array(...)")`` per
+    plane, not per-component ``F.lit`` chains — the lit/cast version cost
+    ~1.6s of DRIVER time in py4j round trips (512 for 8x64) on every
+    query construction, dominating the small LSH probes end-to-end."""
     qv = quantize(vec)
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        plane = F.array(*[F.lit(v).cast("long") for v in plane_components(j, dim)])
+        plane = F.expr(
+            "array(" + ",".join(f"{v}L" for v in plane_components(j, dim)) + ")"
+        )
         d = F.aggregate(
             F.zip_with(qv, plane, lambda x, p: x * p),
             F.lit(0).cast("long"),
