@@ -171,3 +171,34 @@ def test_retention_cohort_offsets(spark):
         (wk0, 2): 1,
         (wk1, 0): 1,
     }
+
+
+def test_incremental_rollup_merges_additively(spark):
+    """Applying batches incrementally equals the one-shot aggregate; an
+    empty batch is a no-op; re-reading the sink reflects the last state."""
+    import tempfile
+
+    from weather_etl_docker_airflow_project_spark.operators.rollup import (
+        maintain_rollup,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [(t0 + dt.timedelta(hours=h), 1 + h % 2) for h in range(30)]
+    events = _mk_events(spark, rows)
+    sink = tempfile.mkdtemp(prefix="rollup_t_") + "/daily"
+    for b in range(3):
+        out = maintain_rollup(spark, sink, events.filter(F.col("event_id") % 3 == b))
+    got = {(r["user_id"], r["day"]): (r["n_events"], r["sum_vfloor"])
+           for r in out.collect()}
+    want = {
+        (r["user_id"], r["day"]): (r["n"], r["s"])
+        for r in events.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.floor("value")).cast("long").alias("s")).collect()
+    }
+    assert got == want
+    empty = events.filter(F.col("event_id") < 0)
+    after = {(r["user_id"], r["day"]): (r["n_events"], r["sum_vfloor"])
+             for r in maintain_rollup(spark, sink, empty).collect()}
+    assert after == want

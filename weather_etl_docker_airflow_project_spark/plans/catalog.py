@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "l5_mixed_pixel_features",
     "ts4_cumulative_distinct_users",
     "ts5_weekly_retention_cohorts",
+    "a16_incremental_rollup",
+    "s12_bucketed_colocated_join",
     "s11_schema_evolution_scan",
     # a15 stays out of the window in every round (rows-only, like a4)
     "tpch_q5_local_supplier_volume",

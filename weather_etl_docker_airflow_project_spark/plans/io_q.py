@@ -11,6 +11,7 @@ format string is the only difference at the call site.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,7 +20,12 @@ from pyspark.sql import types as T
 
 from ..fixtures import CANNED_WEATHER, EXPECTED_WEATHER_ROWS
 from ..functions.weather import transform_weather
-from ..io import load_table, read_csv, write_partitioned_parquet
+from ..io import (
+    load_table,
+    read_csv,
+    write_bucketed_table,
+    write_partitioned_parquet,
+)
 from ..sources.jdbc import catalog_ddl
 from ..sources.rest import records_to_df
 from .registry import query
@@ -223,3 +229,57 @@ def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.count("user_id").cast("long").alias("n_with_user"),
     )
+
+
+@query(
+    "s12_bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("S8", "J1"),
+)
+def s12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed catalog tables
+    (io.write_bucketed_table): orders and customer are bucketed IDENTICALLY
+    on the customer key at write time, so the join sort-merges with NO
+    Exchange on either side — the write-once-join-many answer to repeated
+    fact joins at 100 TB (the no-Exchange plan property is asserted in
+    tests/test_bucketing.py; auto-broadcast is disabled for the join so
+    the plan proves bucketing, not dimension size). The oracle checks the
+    aggregate over the joined result is unchanged by the physical layout."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for tbl in ("bq_orders", "bq_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), tbl),
+            ignore_errors=True,
+        )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(orders, "bq_orders", ["o_custkey"], 8,
+                         sort_cols=["o_custkey"])
+    write_bucketed_table(customer, "bq_customer", ["c_custkey"], 8,
+                         sort_cols=["c_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bc = spark.table("bq_orders"), spark.table("bq_customer")
+        return (
+            bo.join(bc, bo.o_custkey == bc.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(28,2)")
+                .alias("total_price"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -10,6 +10,8 @@ decimal-exact convention in ``registry.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1480,3 +1482,35 @@ def a15_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@query(
+    "a16_incremental_rollup",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_vfloor
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+    tags=("A2", "S8"),
+)
+def a16_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance (operators/rollup.py):
+    the events table replays in FIVE batches (event_id % 5), each applied
+    as rollup := merge(rollup, partial(batch)) against a persisted sink —
+    the additive-aggregate maintenance path whose cost is |rollup|+|batch|
+    per step, never the base table. The one-shot GROUP BY oracle checks
+    merge associativity exactly: a wrong partial, a lost batch, or a
+    double-applied key hash-fails."""
+    import tempfile
+
+    from ..operators.rollup import maintain_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    sink = os.path.join(tempfile.mkdtemp(prefix="rollup_"), "daily")
+    out = None
+    for b in range(5):
+        out = maintain_rollup(spark, sink, e.filter(F.col("event_id") % 5 == b))
+    return out
