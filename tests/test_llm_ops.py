@@ -918,3 +918,17 @@ def test_jpeg_codec_flat_exact_and_ac_reference_local():
             sx, sy = x * 24 // 12, y * 16 // 8
             src = (sy * 24 + sx) * 3
             assert orgb[(y * 12 + x) * 3:(y * 12 + x) * 3 + 3] == rgb[src:src + 3]
+
+
+def test_fuzzy_blocked_pairs_hot_block_cap(spark):
+    """A crafted generic block ('item', 2000 rows -> ~2M pairs uncapped)
+    must be droppable via max_block_size while small blocks keep their
+    pairs — pair volume stays bounded by cap^2 per block."""
+    rows = [(i, "item", 1, f"item {i}") for i in range(2000)]
+    rows += [(10_001, "rare", 1, "rare widget"), (10_002, "rare", 1, "rare widgex")]
+    df = spark.createDataFrame(rows, ["id", "blk", "sz", "name"])
+    capped = dedup.fuzzy_blocked_pairs(
+        df, "id", "name", ["blk", "sz"], max_distance=2, max_block_size=100
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(10_001, 10_002)}
+    assert capped[0]["lev"] == 1

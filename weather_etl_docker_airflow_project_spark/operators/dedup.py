@@ -356,3 +356,43 @@ def ngram_jaccard_pairs(
         .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
         .select("id_a", "id_b", "inter", "uni")
     )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Entity-resolution pairs: equi-join on the blocking key(s), verify
+    with ``levenshtein <= max_distance`` — the candidate-then-verify shape
+    of the LSH dedup family with a semantic blocking key instead of a hash
+    bucket. Pair volume is quadratic PER BLOCK, so ``max_block_size``
+    (same contract as ``_drop_hot_buckets``) drops pathological blocks —
+    a block hotter than the cap is too generic to be a useful identity
+    signal, and one such block otherwise dominates the whole job at
+    corpus scale. Returns (id_a, id_b, name_a, name_b, lev), id_a < id_b.
+    """
+    p = df
+    if max_block_size is not None:
+        counts = df.groupBy(*block_cols).count()
+        keep = counts.filter(F.col("count") <= max_block_size).drop("count")
+        p = df.join(keep, block_cols, "left_semi")
+    a, b = p.alias("a"), p.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    lev = F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}"))
+    return (
+        a.join(b, cond)
+        .filter(lev <= max_distance)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{text_col}").alias("name_a"),
+            F.col(f"b.{text_col}").alias("name_b"),
+            lev.cast("long").alias("lev"),
+        )
+    )

@@ -53,18 +53,45 @@ def merge_rollup(existing: DataFrame, batch: DataFrame) -> DataFrame:
 def maintain_rollup(
     spark: SparkSession, sink_dir: str, batch: DataFrame
 ) -> DataFrame:
-    """Apply one batch to the rollup persisted at ``sink_dir`` (creating
-    it if absent) and return the updated rollup. The write goes through a
-    temp directory + rename so a failed job never truncates the previous
-    rollup state (the poor-man's transactional swap; a lakehouse format's
-    MERGE/commit log is the production upgrade, NOTES.md)."""
-    if os.path.exists(os.path.join(sink_dir, "_SUCCESS")):
+    """Apply one batch to the day-partitioned rollup at ``sink_dir``
+    (creating it if absent) and return the updated rollup.
+
+    The maintenance touches ONLY the day partitions present in the batch:
+    the existing rollup is read semi-joined to the batch's days (partition
+    pruning confines the read), merged with the batch partials, and
+    written back with dynamic partition overwrite — untouched days are
+    never read or rewritten, so a daily-cadence batch costs one partition
+    regardless of rollup history length. A failed job leaves prior
+    partitions intact (output commits at job completion); a lakehouse
+    MERGE/commit log is the production upgrade (NOTES.md)."""
+    partial = _partial(batch)
+    # dynamic partition overwrite commits into partition dirs and writes
+    # NO root _SUCCESS marker — existence = any day= partition present
+    # (an _SUCCESS check here silently reset the rollup every batch)
+    has_rollup = os.path.isdir(sink_dir) and any(
+        e.startswith("day=") for e in os.listdir(sink_dir)
+    )
+    if has_rollup:
         existing = spark.read.schema(ROLLUP_SCHEMA).parquet(sink_dir)
-        updated = merge_rollup(existing, batch)
+        affected_days = partial.select("day").distinct()
+        touched = existing.join(F.broadcast(affected_days), "day", "left_semi")
+        # materialize BEFORE the overwrite: the merge READS the very
+        # partitions the write replaces — without the checkpoint the
+        # lazy self-read races the overwrite and loses rows
+        updated = merge_rollup(touched, batch).localCheckpoint()
     else:
-        updated = _partial(batch)
-    tmp = sink_dir.rstrip("/") + "_tmp"
-    updated.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(sink_dir)
-    return spark.read.schema(ROLLUP_SCHEMA).parquet(sink_dir)
+        updated = partial
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            updated.select("user_id", "n_events", "sum_vfloor", "day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(sink_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.schema(ROLLUP_SCHEMA).parquet(sink_dir).select(
+        "user_id", "day", "n_events", "sum_vfloor"
+    )

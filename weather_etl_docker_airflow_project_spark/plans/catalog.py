@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts5_weekly_retention_cohorts",
     "a16_incremental_rollup",
     "s12_bucketed_colocated_join",
+    "w5_distribution_windows",
     "s11_schema_evolution_scan",
     # a15 stays out of the window in every round (rows-only, like a4)
     "tpch_q5_local_supplier_volume",

@@ -1311,31 +1311,20 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds each block to ~dozens of rows, so the quadratic levenshtein
     work runs inside blocks instead of all-pairs (the same
     candidate-then-verify shape as the LSH dedup family, with a blocking
-    key instead of a hash bucket). levenshtein is classic edit distance in
-    both engines — exact-oracle-able. At 100 TB: blocking keys shuffle
-    once; skewed blocks fall under AQE skew-join or a block-size cap
-    (pattern: dedup._drop_hot_buckets)."""
+    key instead of a hash bucket — operators/dedup.fuzzy_blocked_pairs).
+    levenshtein is classic edit distance in both engines —
+    exact-oracle-able. At 100 TB a pathological block (a generic name)
+    would dominate: the operator's ``max_block_size`` cap drops such
+    blocks (pytest-gated on a crafted hot block); this corpus's natural
+    blocks are small, so the declared query runs uncapped."""
+    from ..operators.dedup import fuzzy_blocked_pairs
+
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_size",
         F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .filter(lev <= 2)
-        .select(
-            F.col("a.p_partkey").alias("id_a"),
-            F.col("b.p_partkey").alias("id_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            lev.cast("long").alias("lev"),
-        )
+    return fuzzy_blocked_pairs(
+        p, "p_partkey", "p_name", ["blk", "p_size"], max_distance=2
     )
 
 
@@ -1514,3 +1503,36 @@ def a16_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(5):
         out = maintain_rollup(spark, sink, e.filter(F.col("event_id") % 5 == b))
     return out
+
+
+@query(
+    "w5_distribution_windows",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
+    """,
+    tags=("W1",),
+)
+def w5_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per segment over account balance. The float outputs are the sanctioned
+    bit-exact pattern: both engines compute (rank-1)/(n-1) and rank/n on
+    identical integers with one IEEE division. The window order carries a
+    custkey tiebreak so ranks are a total order — without it the quartile
+    boundary rows would be engine-dependent."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").cast("decimal(18,2)"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
