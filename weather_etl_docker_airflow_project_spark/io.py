@@ -97,3 +97,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     see the same names DuckDB's oracle uses."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def scratch_dir(prefix: str) -> str:
+    """Process-scoped scratch directory: a fresh mkdtemp (collision-safe
+    under concurrent drivers) registered for removal at interpreter exit —
+    query sinks must outlive the lazy plan's collect() but not the
+    process, and un-reclaimed copies of fact tables otherwise accumulate
+    across bench/driver runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d

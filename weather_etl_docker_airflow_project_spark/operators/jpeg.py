@@ -250,6 +250,8 @@ def encode_coef_jpeg(
         diff = zz[0] - prev[comp]
         prev[comp] = zz[0]
         cat, bits_v = _category(diff)
+        if cat > 11:
+            raise ValueError(f"DC delta too large for baseline JPEG: {diff}")
         code, ln = dct[cat]
         w.put(code, ln)
         if cat:

@@ -860,7 +860,8 @@ PIXEL_FEATURE_SCHEMA = T.StructType(
 
 
 def pixel_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Real pixel featurization over PNG/GIF payloads: full decode inside
+    """Real pixel featurization over PNG/GIF/baseline-JPEG payloads
+    (``decode_image_pixels`` dispatches on the magic): full decode inside
     mapInPandas (Arrow batches; payloads never leave the stage), then
     integer per-channel sums — exact in any engine, so the arithmetic
     oracle hash-checks the entire codec path. At 100 TB this is the

@@ -63,6 +63,8 @@ def hyperplane_buckets_arrow(n_planes: int, dim: int = 64):
 
     @F.pandas_udf("long")
     def _bucket(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype="int64")
         m = np.stack(qv.to_numpy()).astype(np.int64)
         return pd.Series(((m @ planes.T > 0) * weights).sum(axis=1))
 
@@ -79,6 +81,8 @@ def band_buckets_arrow(n_bands: int, band_bits: int, dim: int = 64):
 
     @F.pandas_udf("array<long>")
     def _buckets(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype=object)
         m = np.stack(qv.to_numpy()).astype(np.int64)
         bits = (m @ planes.T > 0).astype(np.int64)
         buck = (bits.reshape(len(m), n_bands, band_bits) * weights).sum(axis=2)
@@ -116,31 +120,6 @@ def knn_bruteforce(
     return scored.orderBy(F.col("dot_q").desc(), F.col(id_col)).limit(k)
 
 
-def _partition_local_topk(
-    scored: DataFrame, qid_col: str, id_col: str, k: int
-) -> DataFrame:
-    """Per-PARTITION top-k per query id, before any shuffle: folds the
-    partition's Arrow batches into a running (queries x k) pandas frame, so
-    each map task emits at most |queries| * k rows instead of its whole
-    scored split. This is what makes batched k-NN shuffle-light at 100 TB:
-    the final grouped top-k then merges <= partitions * queries * k tiny
-    rows rather than the n x |queries| scored corpus. Ties break on id
-    ascending (a total order), so partial + final top-k is EXACTLY the
-    global top-k."""
-    schema = scored.schema
-
-    def fold(batches):
-        best: pd.DataFrame | None = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat((best, pdf))
-            cur = cur.sort_values([ "dot_q", id_col], ascending=[False, True])
-            best = cur.groupby(qid_col, sort=False).head(k)
-        if best is not None:
-            yield best
-
-    return scored.mapInPandas(fold, schema)
-
-
 def knn_multiquery(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -169,7 +148,12 @@ def knn_multiquery(
         F.col(qid_col), quantize(F.col(vec_col)).alias("qvec")
     ).collect()
     if not qrows:
-        raise ValueError("knn_multiquery: empty query table")
+        # empty query batch -> empty result with the declared schema (the
+        # pre-rewrite broadcast-join formulation behaved the same way)
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, dot_q long, rn long"
+        )
     qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["qvec"], dtype=np.int64) for r in qrows])
 
@@ -615,6 +599,14 @@ def ann_index_path(sf_dir: str, n_planes: int = 8) -> str:
     )
 
 
+def _index_table_name(index_path: str) -> str:
+    """Catalog table name for a persisted index, keyed by its path (the
+    canonical ``ann_index_path`` already fingerprints config + data)."""
+    import hashlib
+
+    return "ann_index_" + hashlib.md5(index_path.encode()).hexdigest()[:12]
+
+
 def build_ann_index(
     embeddings: DataFrame,
     path: str,
@@ -636,6 +628,14 @@ def build_ann_index(
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
+    )
+    # A rebuild at the SAME path must invalidate any catalog registration
+    # from a previous probe — otherwise the next probe prunes against the
+    # stale partition list and silently misses new buckets. (The canonical
+    # ann_index_path fingerprints the data so same-path rebuilds only
+    # happen for arbitrary caller-chosen paths, but those are public API.)
+    embeddings.sparkSession.sql(
+        f"DROP TABLE IF EXISTS {_index_table_name(path)}"
     )
 
 
@@ -662,9 +662,7 @@ def ann_probe_persisted(
     partition metadata is listed once at registration and pruned from the
     metastore afterwards. That is also the 100 TB posture: indexes live
     in the catalog, probes never touch the filesystem layout."""
-    import hashlib
-
-    tbl = "ann_index_" + hashlib.md5(index_path.encode()).hexdigest()[:12]
+    tbl = _index_table_name(index_path)
     if not spark.catalog.tableExists(tbl):
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {tbl} "

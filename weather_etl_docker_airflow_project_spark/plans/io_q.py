@@ -22,6 +22,7 @@ from ..fixtures import CANNED_WEATHER, EXPECTED_WEATHER_ROWS
 from ..functions.weather import transform_weather
 from ..io import (
     load_table,
+    scratch_dir,
     read_csv,
     write_bucketed_table,
     write_partitioned_parquet,
@@ -90,7 +91,7 @@ _DOCS_SCHEMA = T.StructType(
 def s7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + schema-first scan round-trip of the documents table —
     no inference, types pinned by the explicit StructType."""
-    out = tempfile.mkdtemp(prefix="csv_rt_")
+    out = scratch_dir("csv_rt_")
     docs = load_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").option("header", "true").csv(out)
     return read_csv(spark, out, _DOCS_SCHEMA)
@@ -109,7 +110,7 @@ def s8_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + pruned read-back: events written
     hive-layout by event_type; the equality filter prunes to one of five
     partition directories before any data is read."""
-    out = tempfile.mkdtemp(prefix="part_scan_")
+    out = scratch_dir("part_scan_")
     events = load_table(spark, sf_dir, "events")
     write_partitioned_parquet(events, out, ["event_type"])
     back = spark.read.parquet(out).filter(F.col("event_type") == "click")
@@ -174,7 +175,7 @@ def s10_clustered_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.layout import clustered_write
 
-    out = tempfile.mkdtemp(prefix="clustered_") + "/lineitem"
+    out = scratch_dir("clustered_") + "/lineitem"
     li = load_table(spark, sf_dir, "lineitem")
     clustered_write(li, out, ["l_shipdate"], n_files=8)
     back = spark.read.parquet(out).filter(
@@ -214,7 +215,7 @@ def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing is rewritten, only union-read."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="schema_evo_")
+    base = scratch_dir("schema_evo_")
     e = load_table(spark, sf_dir, "events")
     e.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type").write.mode(
         "overwrite"
@@ -249,9 +250,10 @@ def s12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the customer key at write time, so the join sort-merges with NO
     Exchange on either side — the write-once-join-many answer to repeated
     fact joins at 100 TB (the no-Exchange plan property is asserted in
-    tests/test_bucketing.py; auto-broadcast is disabled for the join so
-    the plan proves bucketing, not dimension size). The oracle checks the
-    aggregate over the joined result is unchanged by the physical layout."""
+    tests/test_bucketing.py; a MERGE join hint pins the strategy inside
+    the lazy plan so the demonstration doesn't depend on the driver
+    session's broadcast threshold). The oracle checks the aggregate over
+    the joined result is unchanged by the physical layout."""
     import shutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
@@ -267,19 +269,17 @@ def s12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          sort_cols=["o_custkey"])
     write_bucketed_table(customer, "bq_customer", ["c_custkey"], 8,
                          sort_cols=["c_custkey"])
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        bo, bc = spark.table("bq_orders"), spark.table("bq_customer")
-        return (
-            bo.join(bc, bo.o_custkey == bc.c_custkey)
-            .groupBy(F.col("c_mktsegment").alias("segment"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("decimal(28,2)")
-                .alias("total_price"),
-            )
+    bo, bc = spark.table("bq_orders"), spark.table("bq_customer")
+    # the no-broadcast intent must live IN the plan, not in a session conf
+    # toggled around this (lazy) function: a MERGE join hint survives to
+    # physical planning at collect time, whatever the driver's conf is
+    return (
+        bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("total_price"),
         )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    )

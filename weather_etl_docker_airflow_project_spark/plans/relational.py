@@ -1498,7 +1498,9 @@ def a16_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import maintain_rollup
 
     e = load_table(spark, sf_dir, "events")
-    sink = os.path.join(tempfile.mkdtemp(prefix="rollup_"), "daily")
+    from ..io import scratch_dir
+
+    sink = os.path.join(scratch_dir("rollup_"), "daily")
     out = None
     for b in range(5):
         out = maintain_rollup(spark, sink, e.filter(F.col("event_id") % 5 == b))

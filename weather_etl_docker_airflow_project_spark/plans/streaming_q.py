@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import CANNED_WEATHER
-from ..io import load_table
+from ..io import load_table, scratch_dir
 from ..streaming import pipeline, windows
 from .registry import query
 
@@ -121,7 +121,7 @@ def t7_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     the stream's output equals the plain distinct relation."""
     from ..io import load_table
 
-    landing = tempfile.mkdtemp(prefix="dedup_land_")
+    landing = scratch_dir("dedup_land_")
     batch = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     windows.land_events_json(batch, landing, copies=2)
 
@@ -252,7 +252,7 @@ def t2_weather_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T3 rows-only check: land canned observations twice, drain the
     micro-batch file stream, return the sink — idempotence means exactly
     one copy per (city, utc) regardless of redelivery."""
-    base = tempfile.mkdtemp(prefix="weather_stream_")
+    base = scratch_dir("weather_stream_")
     landing = os.path.join(base, "landing")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
