@@ -44,6 +44,7 @@ HEADLINE = [
     "l3_ann_lsh_bucketed",
     "l3_ann_persisted_probe",  # min-of-2: run 1 builds the index, run 2 is probe-only
     "l3_ivf_search",
+    "l3_ivf_persisted_probe",  # min-of-2: run 1 builds the index
     "l4_token_stats",
     "l4_fingerprint",
     "l4_repetition_stats",

@@ -757,3 +757,107 @@ def ann_lsh_bucketed(
         .orderBy(F.col("dot_q").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_index_path(sf_dir: str, seed_modulus: int = 125) -> str:
+    """Deterministic on-disk location for the persisted IVF index of one
+    dataset — same fingerprint discipline as :func:`ann_index_path`."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nosrc"
+    return os.path.join(
+        repo_root,
+        "spark-warehouse",
+        f"ivf_index_{sfname}_m{seed_modulus}_q{QUANT}_d{fp}",
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    seed_modulus: int = 125,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: the celled corpus partitioned BY CELL (so a
+    probe is partition pruning) plus the tiny seed-centroid table in a
+    ``seeds`` subdirectory (so probes rank cells without scanning the
+    celled data). Closes the loop SCALE.md documents for IVF: index once,
+    prune per probe — same shape as the LSH index."""
+    cells = ivf_cells(embeddings, seed_modulus, id_col, vec_col)
+    (
+        cells.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )
+    (
+        embeddings.filter(F.col(id_col) % seed_modulus == 0)
+        .select(F.col(id_col).alias("sid"), quantize(F.col(vec_col)).alias("sv"))
+        .write.mode("overwrite")
+        .parquet(path + "/seeds")
+    )
+    embeddings.sparkSession.sql(
+        f"DROP TABLE IF EXISTS {_index_table_name(path)}"
+    )
+
+
+def ivf_probe_persisted(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    k: int = 20,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: rank the (tiny, broadcast) seed table
+    by query dot, take the ``n_probe`` nearest cells, and join the
+    PARTITION column of the catalog-registered celled table — dynamic
+    partition pruning reads only those cell directories. Catalog
+    registration happens once per index (same pattern and rationale as
+    :func:`ann_probe_persisted`)."""
+    from pyspark.sql import Window
+
+    tbl = _index_table_name(index_path)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
+            f"({id_col} BIGINT, qv ARRAY<BIGINT>, cell INT) "
+            f"USING parquet PARTITIONED BY (cell) LOCATION '{index_path}/cells'"
+        )
+        spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+    cells = spark.table(tbl)
+    seeds = spark.read.parquet(index_path + "/seeds")
+    qv = query.select(quantize(F.col(vec_col)).alias("query_qv"))
+    ranked = (
+        qv.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_qv",
+            F.col("sid"),
+            int_dot(F.col("query_qv"), F.col("sv")).alias("sdot"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("sdot").desc(), F.col("sid").asc())
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_qv", F.col("sid").cast("int").alias("cell"))
+    )
+    return (
+        cells.join(F.broadcast(ranked), "cell")
+        .select(F.col(id_col), int_dot(F.col("qv"), F.col("query_qv")).alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "a16_incremental_rollup",
     "s12_bucketed_colocated_join",
     "w5_distribution_windows",
+    "l3_ivf_persisted_probe",
     "s11_schema_evolution_scan",
     # a15 stays out of the window in every round (rows-only, like a4)
     "tpch_q5_local_supplier_volume",

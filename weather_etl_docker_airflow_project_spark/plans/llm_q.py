@@ -492,6 +492,54 @@ def l3_ann_lsh_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multiquery(emb, queries, k=10)
 
 
+_DOT = "CAST(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
+
+
+@query(
+    "l3_ivf_persisted_probe",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM c WHERE vec_id % 125 = 0),
+    assign AS (
+      SELECT c.vec_id, c.qv, s.sid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_DOT.format(a="c.qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM c, seeds s),
+    cells AS (SELECT vec_id, qv, sid AS cell FROM assign WHERE rn = 1),
+    q AS (SELECT qv AS query_qv FROM c WHERE vec_id = 0),
+    qrank AS (
+      SELECT s.sid AS cell, q.query_qv,
+             row_number() OVER (
+               ORDER BY {_DOT.format(a="q.query_qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM q, seeds s),
+    probe AS (SELECT cell, query_qv FROM qrank WHERE rn <= 2)
+    SELECT cl.vec_id, {_DOT.format(a="cl.qv", b="p.query_qv")} AS dot_q
+    FROM cells cl JOIN probe p ON cl.cell = p.cell
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3", "S8"),
+)
+def l3_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF probe (operators/similarity.build_ivf_index /
+    ivf_probe_persisted): the celled corpus is written partitioned BY CELL
+    once (with the seed table beside it), registered in the catalog, and
+    the probe ranks the broadcast seed table then partition-prunes to its
+    two nearest cell directories — the same index-once/prune-per-probe
+    shape as the LSH index, closing the loop l3_ivf_search's docstring
+    promises. Identical oracle to l3_ivf_search: the persisted layout must
+    not change a single result."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = similarity.ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        similarity.build_ivf_index(emb, path)
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_probe_persisted(spark, path, q, k=20, n_probe=2)
+
+
 @query(
     "l3_ivf_kmeans_search",
     oracle=None,  # learned quantizer: KMeans fit is iterative + RNG-seeded,
@@ -586,8 +634,6 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = l2_neardup_pipeline(spark, sf_dir).select("id_a", "id_b")
     return canonical_members(connected_components_star(verified))
 
-
-_DOT = "CAST(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
 
 
 @query(
