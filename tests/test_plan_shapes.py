@@ -205,3 +205,23 @@ def test_approx_percentile_error_bound(spark):
     for prio, approx in rows.items():
         for a, e in zip(approx, exact[prio]):
             assert abs(a - e) / e < 0.02, (prio, a, e)
+
+
+def test_round3_query_plan_properties(spark):
+    """Plan-shape regressions for the round-3 surface: media featurization
+    queries are pure map pipelines (zero Exchange before the collect);
+    the fuzzy blocked join is a hash/merge join, never a nested-loop; the
+    gap-fill grid never cross-joins."""
+    for name in ("l5_audio_features", "l5_gif_pixel_features",
+                 "l5_jpeg_pixel_features"):
+        plan = _formatted_plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan, name
+
+    j10 = _formatted_plan(spark, "j10_fuzzy_blocked_join")
+    assert "BroadcastNestedLoopJoin" not in j10
+    assert "CartesianProduct" not in j10
+
+    ts2 = _formatted_plan(spark, "ts2_gap_fill_hourly")
+    assert "CartesianProduct" not in ts2
+    assert "BroadcastNestedLoopJoin" not in ts2
