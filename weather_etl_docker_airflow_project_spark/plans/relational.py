@@ -1538,3 +1538,47 @@ def w5_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "j11_salted_skew_join",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    """,
+    tags=("J1", "A2"),
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN (operators/salt.py salted_join — a13's sibling for
+    the join side): orders enriched with nation via customer, where the
+    second join key (c_nationkey, ~25 values over all customers) is the
+    canonical hot key. The fact side scatters across 16 salt buckets
+    derived from its own row key and the small dimension replicates
+    16-fold, so each hot nation's rows land on 16 reducers. Salting is
+    join-result-invariant for inner joins (every (row, dim) match pairs in
+    exactly one salt bucket since the salt derives FROM the fact row), so
+    the plain-join oracle checks it exactly. At THIS size the dim would
+    broadcast anyway — the query pins the salted shuffle formulation as
+    the regression surface for when the 'dimension' is 100 GB of metadata
+    and broadcasting stops being an option."""
+    from ..operators.salt import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderpriority", F.col("c_nationkey").alias("nk")
+    )
+    joined = salted_join(
+        enriched,
+        n.withColumnRenamed("n_nationkey", "nk"),
+        keys=["nk"],
+        salt_cols=["o_orderkey"],
+    )
+    return joined.groupBy("n_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
