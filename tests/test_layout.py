@@ -71,3 +71,39 @@ def test_clustered_write_disjoint_envelopes(spark):
     # content invariance
     assert sorted(map(tuple, spark.read.parquet(dst).collect())) == \
         sorted(map(tuple, df.collect()))
+
+
+def test_dq_rules_count_violations(spark):
+    """Crafted dirty table: each rule must count its exact violations and
+    the whole rule set must compile to one aggregate (single pass)."""
+    from weather_etl_docker_airflow_project_spark.operators import dq
+
+    rows = [
+        (1, None, 50.0, "O"),       # null custkey
+        (2, 10, -5.0, "F"),         # out of range
+        (3, 11, 20.0, "X"),         # bad status
+        (3, 12, 30.0, "O"),         # duplicate key
+        (4, 13, 40.0, "P"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+    )
+    out = {r["rule"]: (r["violations"], r["passed"]) for r in dq.run_checks(
+        df,
+        [
+            dq.not_null("o_custkey"),
+            dq.in_range("o_totalprice", 0, 100),
+            dq.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            dq.unique("o_orderkey"),
+        ],
+    ).collect()}
+    assert out == {
+        "not_null_o_custkey": (1, False),
+        "range_o_totalprice": (1, False),
+        "accepted_o_orderstatus": (1, False),
+        "unique_o_orderkey": (1, False),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one rule"):
+        dq.run_checks(df, [])

@@ -1,0 +1,79 @@
+"""Declarative data-quality checks (SURVEY.md §2.12 ext — the Deequ-shaped
+validation pass every production table runs before promotion).
+
+Rules compile to ONE aggregate pass over the table — a completeness rule
+is ``sum(is_null)``, a range rule is ``sum(out_of_range)``, a uniqueness
+rule is ``count - count_distinct`` — so a 100 TB validation costs one scan
++ one tiny shuffle regardless of how many rules are declared. The output
+is one row per rule with its violation count: exact integers, so the
+declared query is oracle-checkable (no float "quality scores").
+
+Reference parity: the reference's only validation is the fail-fast config
+guard (reference airflow/dags/weather_etl.py:98-99); this generalizes it
+to data-plane invariants per the brief's pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One named invariant: ``violations`` must be an aggregate expression
+    counting offending rows (or offending groups for uniqueness)."""
+
+    name: str
+    violations: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(
+        f"not_null_{col}",
+        F.sum(F.col(col).isNull().cast("long")),
+    )
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(
+        f"range_{col}",
+        F.sum(
+            (~F.col(col).between(F.lit(lo), F.lit(hi))).cast("long")
+        ),
+    )
+
+
+def accepted_values(col: str, values: list) -> Rule:
+    return Rule(
+        f"accepted_{col}",
+        F.sum((~F.col(col).isin(values)).cast("long")),
+    )
+
+
+def unique(col: str) -> Rule:
+    return Rule(
+        f"unique_{col}",
+        (F.count(F.col(col)) - F.countDistinct(F.col(col))).cast("long"),
+    )
+
+
+def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule in ONE aggregation; returns
+    (rule, violations, passed) per rule, ordered by rule name."""
+    if not rules:
+        raise ValueError("run_checks needs at least one rule")
+    agg = df.agg(
+        *[F.coalesce(r.violations, F.lit(0)).cast("long").alias(r.name) for r in rules]
+    )
+    stacked = agg.selectExpr(
+        "stack({n}, {pairs}) as (rule, violations)".format(
+            n=len(rules),
+            pairs=", ".join(f"'{r.name}', {r.name}" for r in rules),
+        )
+    )
+    return stacked.select(
+        "rule", "violations", (F.col("violations") == 0).alias("passed")
+    ).orderBy("rule")

@@ -283,3 +283,47 @@ def s12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "dq1_orders_quality",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nn,
+        CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+                      THEN 0 ELSE 1 END) AS BIGINT) AS rng,
+        CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+             AS BIGINT) AS acc,
+        CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS uq
+      FROM orders)
+    SELECT rule, violations, violations = 0 AS passed FROM (
+      SELECT 'not_null_o_custkey' AS rule, nn AS violations FROM agg
+      UNION ALL SELECT 'range_o_totalprice', rng FROM agg
+      UNION ALL SELECT 'accepted_o_orderstatus', acc FROM agg
+      UNION ALL SELECT 'unique_o_orderkey', uq FROM agg)
+    ORDER BY rule
+    """,
+    tags=("P4", "A1"),
+)
+def dq1_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality pass (operators/dq.py): four invariants on
+    orders — key completeness, price range, status domain, key uniqueness
+    — compiled into ONE aggregation, stacked to a row per rule with exact
+    violation counts. The Deequ-shaped promotion gate: at 100 TB the whole
+    rule set still costs a single scan. Generalizes the reference's
+    fail-fast config guard (weather_etl.py:98-99) to data-plane
+    invariants."""
+    from ..operators import dq
+
+    o = load_table(spark, sf_dir, "orders")
+    return dq.run_checks(
+        o,
+        [
+            dq.not_null("o_custkey"),
+            dq.in_range("o_totalprice", 0, 1_000_000),
+            dq.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            dq.unique("o_orderkey"),
+        ],
+    )
