@@ -67,6 +67,9 @@ HEADLINE = [
     "ts3_funnel_steps",
     "j10_fuzzy_blocked_join",
     "tpch_q18_large_orders",
+    "j11_salted_skew_join",
+    "a16_incremental_rollup",
+    "dq1_orders_quality",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise
