@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "l3_ivf_persisted_probe",
     "j11_salted_skew_join",
     "dq1_orders_quality",
+    "t11_stream_outer_join",
     "s11_schema_evolution_scan",
     # a15 stays out of the window in every round (rows-only, like a4)
     "tpch_q5_local_supplier_volume",

@@ -206,6 +206,78 @@ def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t11_stream_outer_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id cid, user_id u, ts cts FROM events
+      WHERE event_type = 'click' AND user_id < 20),
+    errors AS (
+      SELECT event_id eid, user_id u, ts ets FROM events
+      WHERE event_type = 'error' AND user_id < 20),
+    m AS (SELECT least((SELECT max(cts) FROM clicks),
+                       (SELECT max(ets) FROM errors)) AS mn),
+    pairs AS (
+      SELECT c.cid, c.u, c.cts, e.eid
+      FROM clicks c JOIN errors e
+        ON e.u = c.u AND e.ets >= c.cts
+       AND e.ets <= c.cts + INTERVAL 1 HOUR),
+    unmatched AS (
+      SELECT c.cid, c.u, c.cts, NULL::BIGINT AS eid FROM clicks c, m
+      WHERE c.cid NOT IN (SELECT cid FROM pairs)
+        AND c.cts + INTERVAL 2 HOUR < m.mn)
+    SELECT cid AS click_id, u AS user_id, cts AS click_ts,
+           eid AS error_id
+    FROM (SELECT * FROM pairs UNION ALL SELECT * FROM unmatched)
+    """,
+    tags=("T4", "T5", "J2"),
+)
+def t11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (t9's outer sibling): every click
+    pairs with its errors-within-1h, and clicks with NO error emit a
+    null-padded row — but only once the state can never match again. The
+    oracle encodes the exact emission rule (validated empirically at two
+    SFs): the combined watermark is min over both inputs of max(event
+    time) - 1h, and an unmatched click emits iff its latest possible
+    match time (c_ts + 1h) is strictly below it — i.e.
+    ``c_ts + 2h < min(max_c, max_e)``. The watermark + time bound are
+    what make outer results emittable at all on unbounded input: without
+    them "no match" is undecidable."""
+    clicks = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 20))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("user_id") < 20))
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.col("c_ts").alias("click_ts"),
+        "error_id",
+    )
+    return windows.run_available_now(joined)
+
+
+@query(
     "t10_stream_static_enrich",
     oracle="""
     SELECT c.c_mktsegment AS segment, e.event_type,
