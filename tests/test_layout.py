@@ -84,6 +84,7 @@ def test_dq_rules_count_violations(spark):
         (3, 11, 20.0, "X"),         # bad status
         (3, 12, 30.0, "O"),         # duplicate key
         (4, 13, 40.0, "P"),
+        (5, 14, None, None),        # NULL violates range AND domain rules
     ]
     df = spark.createDataFrame(
         rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
@@ -99,8 +100,8 @@ def test_dq_rules_count_violations(spark):
     ).collect()}
     assert out == {
         "not_null_o_custkey": (1, False),
-        "range_o_totalprice": (1, False),
-        "accepted_o_orderstatus": (1, False),
+        "range_o_totalprice": (2, False),       # -5.0 and NULL
+        "accepted_o_orderstatus": (2, False),   # 'X' and NULL
         "unique_o_orderkey": (1, False),
     }
     import pytest as _pytest

@@ -37,6 +37,11 @@ def norm(v):
     return v
 
 qs, oracles = mod.queries(), mod.oracle_sql()
+# optional argv filter: `python tools/drive_contract.py j10 dq1` runs only
+# queries whose name contains one of the given substrings
+if len(sys.argv) > 1:
+    pats = sys.argv[1:]
+    qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
 fails = []
 for name, fn in qs.items():
     t0 = time.time()

@@ -38,18 +38,26 @@ def not_null(col: str) -> Rule:
 
 
 def in_range(col: str, lo, hi) -> Rule:
+    # NULL policy: a NULL value VIOLATES a range rule. The raw predicate
+    # evaluates to NULL for NULL input and sum() would silently skip it,
+    # under-reporting violations; coalesce pins NULL -> 1 so the operator
+    # agrees with its declared oracle (CASE WHEN pred THEN 0 ELSE 1).
     return Rule(
         f"range_{col}",
         F.sum(
-            (~F.col(col).between(F.lit(lo), F.lit(hi))).cast("long")
+            F.coalesce(
+                (~F.col(col).between(F.lit(lo), F.lit(hi))).cast("long"),
+                F.lit(1),
+            )
         ),
     )
 
 
 def accepted_values(col: str, values: list) -> Rule:
+    # NULL policy: NULL is never an accepted value (see in_range note).
     return Rule(
         f"accepted_{col}",
-        F.sum((~F.col(col).isin(values)).cast("long")),
+        F.sum(F.coalesce((~F.col(col).isin(values)).cast("long"), F.lit(1))),
     )
 
 

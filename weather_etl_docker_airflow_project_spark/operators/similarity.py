@@ -127,6 +127,7 @@ def knn_multiquery(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors for a TABLE of queries in one pass — the
     batched form of :func:`knn_bruteforce` (r2 verdict item: the 100 TB
@@ -137,16 +138,32 @@ def knn_multiquery(
     total order is preserved) BEFORE the only shuffle; the final grouped
     top-k (``topk.grouped_top_k``) merges <= batches * |queries| * k tiny
     rows. The corpus never joins, never moves. Returns
-    (query_id, id, dot_q, rn) with rn in [1, k], ties on id ascending."""
+    (query_id, id, dot_q, rn) with rn in [1, k], ties on id ascending.
+
+    CONTRACT: ``queries`` must be DRIVER-SIZED — construction is EAGER
+    (the query table is collected into the scoring closure at plan-build
+    time, triggering a Spark job even if the result is never executed).
+    ``max_queries`` bounds the collect: exceeding it raises instead of
+    silently materializing an unbounded table in driver memory."""
     # The query table is the BOUNDED side of batched k-NN; materializing
     # it into the scoring closure is the broadcast-centroid pattern (same
     # as ivf_kmeans_search's cluster centers), never a corpus collect.
     # Each corpus Arrow batch is scored with ONE int64 matmul against the
     # whole query matrix — the interpreted per-pair dot this replaced
     # measured ~10M higher-order evaluations at the bench shape.
-    qrows = queries.select(
-        F.col(qid_col), quantize(F.col(vec_col)).alias("qvec")
-    ).collect()
+    # limit(max_queries + 1) caps driver memory BEFORE the collect; one
+    # extra row is enough to detect overflow without fetching the table.
+    qrows = (
+        queries.select(F.col(qid_col), quantize(F.col(vec_col)).alias("qvec"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_multiquery queries table exceeds max_queries={max_queries}; "
+            "batch the query table or raise the cap explicitly (construction "
+            "collects the query side into the scoring closure)"
+        )
     if not qrows:
         # empty query batch -> empty result with the declared schema (the
         # pre-rewrite broadcast-join formulation behaved the same way)
@@ -830,9 +847,12 @@ def ivf_probe_persisted(
 
     tbl = _index_table_name(index_path)
     if not spark.catalog.tableExists(tbl):
+        # cell is a SEED VEC_ID (BIGINT), not a bounded bucket number like
+        # the LSH index's sign-bit bucket: declaring INT here would
+        # silently truncate ids >= 2^31 and probe the wrong partition
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {tbl} "
-            f"({id_col} BIGINT, qv ARRAY<BIGINT>, cell INT) "
+            f"({id_col} BIGINT, qv ARRAY<BIGINT>, cell BIGINT) "
             f"USING parquet PARTITIONED BY (cell) LOCATION '{index_path}/cells'"
         )
         spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
@@ -853,7 +873,7 @@ def ivf_probe_persisted(
             ),
         )
         .filter(F.col("rn") <= n_probe)
-        .select("query_qv", F.col("sid").cast("int").alias("cell"))
+        .select("query_qv", F.col("sid").alias("cell"))
     )
     return (
         cells.join(F.broadcast(ranked), "cell")

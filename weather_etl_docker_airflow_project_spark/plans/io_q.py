@@ -171,8 +171,6 @@ def s10_clustered_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks — the aggregate over the clustered copy must equal the same
     aggregate over the original; the layout properties (disjoint
     envelopes, file count) are asserted in tests/test_layout.py."""
-    import tempfile
-
     from ..operators.layout import clustered_write
 
     out = scratch_dir("clustered_") + "/lineitem"
@@ -213,8 +211,6 @@ def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a long-lived 100 TB table accretes columns without rewriting
     history. Per-generation directories keep the parquet footers honest:
     nothing is rewritten, only union-read."""
-    import tempfile
-
     base = scratch_dir("schema_evo_")
     e = load_table(spark, sf_dir, "events")
     e.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type").write.mode(

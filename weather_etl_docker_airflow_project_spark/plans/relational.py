@@ -1292,9 +1292,15 @@ def a14_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j10_fuzzy_blocked_join",
     oracle="""
-    WITH p AS (
+    WITH p0 AS (
       SELECT p_partkey, p_name, p_size, string_split(p_name, ' ')[1] AS blk
-      FROM part)
+      FROM part),
+    keep AS (
+      SELECT blk, p_size FROM p0
+      GROUP BY blk, p_size HAVING count(*) <= 50),
+    p AS (
+      SELECT p0.* FROM p0 JOIN keep
+        ON p0.blk = keep.blk AND p0.p_size = keep.p_size)
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
            a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
@@ -1313,10 +1319,13 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-then-verify shape as the LSH dedup family, with a blocking
     key instead of a hash bucket — operators/dedup.fuzzy_blocked_pairs).
     levenshtein is classic edit distance in both engines —
-    exact-oracle-able. At 100 TB a pathological block (a generic name)
-    would dominate: the operator's ``max_block_size`` cap drops such
-    blocks (pytest-gated on a crafted hot block); this corpus's natural
-    blocks are small, so the declared query runs uncapped."""
+    exact-oracle-able. Per-block pair volume is quadratic and block sizes
+    grow linearly with data, so the DECLARED query carries the
+    ``max_block_size=50`` hot-block cap (semantics: blocks hotter than
+    the cap are too generic to signal identity and are dropped — exactly
+    mirrored in the oracle's HAVING, the twin of the ngram-Jaccard
+    ``max_shingle_df``). At sf0.01 no natural block exceeds 50 (max 14);
+    at sf0.1 the cap is live (max natural block 73)."""
     from ..operators.dedup import fuzzy_blocked_pairs
 
     p = load_table(spark, sf_dir, "part").select(
@@ -1324,7 +1333,8 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
     )
     return fuzzy_blocked_pairs(
-        p, "p_partkey", "p_name", ["blk", "p_size"], max_distance=2
+        p, "p_partkey", "p_name", ["blk", "p_size"], max_distance=2,
+        max_block_size=50,
     )
 
 
@@ -1493,8 +1503,6 @@ def a16_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per step, never the base table. The one-shot GROUP BY oracle checks
     merge associativity exactly: a wrong partial, a lost batch, or a
     double-applied key hash-fails."""
-    import tempfile
-
     from ..operators.rollup import maintain_rollup
 
     e = load_table(spark, sf_dir, "events")

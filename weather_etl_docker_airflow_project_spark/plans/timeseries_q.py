@@ -55,9 +55,10 @@ def ts1_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize into a feature store). Gap compared in integer microseconds
     on both engines.
 
-    Reference parity: the reference has no sessionizer (its DAG is a
-    3-city batch fetch, reference airflow/dags/weather_etl.py:49-64); this
-    extends the events surface per the brief's training-pipeline mandate.
+    Reference parity: the reference has no sessionizer (its DAG fetches a
+    single city's observation per 2-minute run, reference
+    airflow/dags/weather_etl.py:103); this extends the events surface per
+    the brief's training-pipeline mandate.
     """
     e = load_table(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
