@@ -70,6 +70,10 @@ HEADLINE = [
     "j11_salted_skew_join",
     "a16_incremental_rollup",
     "dq1_orders_quality",
+    # round-4 additions
+    "tpch_q21_waiting_suppliers",
+    "l3_ann_persisted_multiquery",  # min-of-2: run 1 builds the index
+    "a17_sketch_rollup",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise
@@ -87,12 +91,36 @@ def _warmup(spark) -> None:
     df.mapInPandas(lambda it: (pdf for pdf in it), "id long, h string").count()
 
 
+def _calibration(spark) -> float:
+    """Fixed-cost pure-codegen probe (no I/O, no Python, no shuffle):
+    xxhash64 over 2x10^8 generated rows, min-of-2 on the warm session.
+    The work is identical every round, so this number is a pure host-speed
+    signal — cross-round query deltas should be read AGAINST it (round 3's
+    uniform ~1.2-1.4x drift on untouched queries was host noise that this
+    would have flagged immediately)."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     t0 = time.time()
     spark = build_session(app_name="weather-etl-spark-bench")
     _warmup(spark)
     timings: dict[str, float] = {"startup_and_warmup": round(time.time() - t0, 3)}
+    # host-speed calibration: NOT part of the headline total — it exists so
+    # cross-round comparisons can separate host drift from real regressions
+    timings["calibration"] = round(_calibration(spark), 3)
+    print(f"# calibration: {timings['calibration']:.2f}s", file=sys.stderr)
 
     total = 0.0
     for name in HEADLINE:

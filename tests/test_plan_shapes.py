@@ -58,6 +58,14 @@ def test_ann_persisted_probe_prunes_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
     assert "CartesianProduct" not in plan
+    # the BATCHED probe must keep the same pruning property: the query
+    # TABLE joins the index on its partition column, so the index scan
+    # carries a dynamic-pruning filter and never a cartesian/BNL
+    mq = catalog.REGISTRY["l3_ann_persisted_multiquery"].fn(spark, SF)
+    mplan = mq._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in mplan
+    assert "CartesianProduct" not in mplan
+    assert "BroadcastNestedLoopJoin" not in mplan
     neardup = catalog.REGISTRY["l2_embedding_neardup_pairs"].fn(spark, SF)
     nplan = neardup._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in nplan
@@ -225,3 +233,14 @@ def test_round3_query_plan_properties(spark):
     ts2 = _formatted_plan(spark, "ts2_gap_fill_hourly")
     assert "CartesianProduct" not in ts2
     assert "BroadcastNestedLoopJoin" not in ts2
+
+
+def test_q21_decorrelates_to_hash_joins(spark):
+    """Q21's EXISTS + NOT EXISTS must run as equi-keyed semi/anti joins
+    (supplier inequality as a residual condition), never a nested loop,
+    and the final ORDER BY + LIMIT as per-partition top-k."""
+    plan = _formatted_plan(spark, "tpch_q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -8,12 +8,18 @@ the existing rollup, re-aggregate (sum of sums, sum of counts), rewrite.
 Cost ∝ |rollup| + |batch| — the base events are never touched again.
 
 Non-additive aggregates (min/max survive unions too; exact distinct does
-not) need either a mergeable sketch (HLL — see a4) or the affected-key
-recompute variant; both are documented trade-offs, not silent fallbacks.
+not) are handled by the SKETCH variant below: the maintained column is a
+mergeable HLL sketch (Apache DataSketches via ``hll_sketch_agg``), whose
+union is deterministic register-wise max — so incremental maintenance
+produces the BIT-IDENTICAL sketch (and therefore estimate) a one-shot
+aggregation would, proven in tests. The affected-key exact recompute
+remains the alternative when the ±~2% HLL error is unacceptable.
 
-The declared query (``a16_incremental_rollup``) replays the events table
-in five batches through this path and must hash-match a one-shot GROUP BY
-oracle — merge associativity is the thing being proven.
+The declared queries (``a16_incremental_rollup``,
+``a17_sketch_rollup``) replay the events table in five batches through
+these paths; a16 must hash-match a one-shot GROUP BY oracle, a17's gates
+are pytest (incremental == one-shot sketch exactly; estimate within 5%
+of exact distinct) since sketch bytes are engine-specific.
 """
 
 from __future__ import annotations
@@ -94,4 +100,71 @@ def maintain_rollup(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.schema(ROLLUP_SCHEMA).parquet(sink_dir).select(
         "user_id", "day", "n_events", "sum_vfloor"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch rollup: the non-additive metric (distinct users/day) maintained
+# incrementally via a mergeable HLL sketch column.
+
+SKETCH_ROLLUP_SCHEMA = "day timestamp, n_events long, users_hll binary"
+HLL_LGK = 12  # 2^12 registers -> ~1.6% relative standard error
+
+
+def _sketch_partial(batch: DataFrame) -> DataFrame:
+    return batch.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.hll_sketch_agg(F.col("user_id"), F.lit(HLL_LGK)).alias("users_hll"),
+    )
+
+
+def merge_sketch_rollup(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """One maintenance step for the sketch rollup: HLL union is
+    register-wise max — associative, commutative, idempotent — so the
+    merged sketch equals the one-shot sketch over all rows seen."""
+    return (
+        existing.unionByName(_sketch_partial(batch))
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            # strict lgK match: every sketch in this rollup is built with
+            # HLL_LGK, so a config drift should fail loudly, not degrade
+            F.hll_union_agg(F.col("users_hll"), F.lit(False)).alias("users_hll"),
+        )
+    )
+
+
+def maintain_sketch_rollup(
+    spark: SparkSession, sink_dir: str, batch: DataFrame
+) -> DataFrame:
+    """Apply one batch to the day-partitioned SKETCH rollup at
+    ``sink_dir`` — identical partition-pruned dynamic-overwrite shape as
+    :func:`maintain_rollup` (only touched days are read and rewritten;
+    cost ∝ |rollup days touched| + |batch|), but the maintained
+    distinct-users column is an HLL sketch, the thing the additive path
+    cannot carry. Estimate with ``hll_sketch_estimate(users_hll)``."""
+    partial = _sketch_partial(batch)
+    has_rollup = os.path.isdir(sink_dir) and any(
+        e.startswith("day=") for e in os.listdir(sink_dir)
+    )
+    if has_rollup:
+        existing = spark.read.schema(SKETCH_ROLLUP_SCHEMA).parquet(sink_dir)
+        affected_days = partial.select("day").distinct()
+        touched = existing.join(F.broadcast(affected_days), "day", "left_semi")
+        updated = merge_sketch_rollup(touched, batch).localCheckpoint()
+    else:
+        updated = partial
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            updated.select("n_events", "users_hll", "day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(sink_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.schema(SKETCH_ROLLUP_SCHEMA).parquet(sink_dir).select(
+        "day", "n_events", "users_hll"
     )

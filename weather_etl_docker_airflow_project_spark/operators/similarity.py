@@ -656,6 +656,27 @@ def build_ann_index(
     )
 
 
+def _registered_ann_index(spark, index_path: str, id_col: str) -> DataFrame:
+    """Register (once) and return the persisted LSH index as a PARTITIONED
+    CATALOG TABLE: a bare ``spark.read.parquet`` re-lists all 2^n_planes
+    bucket directories on every probe (a ~2s parallel-listing job at 256
+    dirs on this host — measured as the entire probe cost), while
+    catalog-backed partition metadata is listed once at registration and
+    pruned from the metastore afterwards. That is also the 100 TB posture:
+    indexes live in the catalog, probes never touch the filesystem
+    layout. (bucket is sign bits of n_planes <= 2^30 — INT is safe here,
+    unlike the IVF cell, which is a seed vec_id and must be BIGINT.)"""
+    tbl = _index_table_name(index_path)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
+            f"({id_col} BIGINT, qv ARRAY<BIGINT>, bucket INT) "
+            f"USING parquet PARTITIONED BY (bucket) LOCATION '{index_path}'"
+        )
+        spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+    return spark.table(tbl)
+
+
 def ann_probe_persisted(
     spark,
     index_path: str,
@@ -669,25 +690,9 @@ def ann_probe_persisted(
     """Probe a persisted LSH index: join on the PARTITION column with the
     1-row query broadcast, so dynamic partition pruning reads only the
     query's bucket directory — the probe cost is one bucket, not the
-    corpus (plan-asserted in tests/test_plan_shapes.py).
-
-    The index is registered as a PARTITIONED CATALOG TABLE on first probe
-    (name derives from the path, which already fingerprints config+data):
-    a bare ``spark.read.parquet`` re-lists all 2^n_planes bucket
-    directories on every probe (a ~2s parallel-listing job at 256 dirs on
-    this host — measured as the entire probe cost), while catalog-backed
-    partition metadata is listed once at registration and pruned from the
-    metastore afterwards. That is also the 100 TB posture: indexes live
-    in the catalog, probes never touch the filesystem layout."""
-    tbl = _index_table_name(index_path)
-    if not spark.catalog.tableExists(tbl):
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {tbl} "
-            f"({id_col} BIGINT, qv ARRAY<BIGINT>, bucket INT) "
-            f"USING parquet PARTITIONED BY (bucket) LOCATION '{index_path}'"
-        )
-        spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
-    index = spark.table(tbl)
+    corpus (plan-asserted in tests/test_plan_shapes.py). Registration via
+    :func:`_registered_ann_index`."""
+    index = _registered_ann_index(spark, index_path, id_col)
     qb = F.broadcast(
         query.select(
             quantize(F.col(vec_col)).alias("qvec"),
@@ -704,6 +709,50 @@ def ann_probe_persisted(
         .select(F.col(id_col), int_dot(F.col("qv"), F.col("qvec")).alias("dot_q"))
         .orderBy(F.col("dot_q").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ann_probe_persisted_multiquery(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Batched probe of the persisted LSH index — the 100 TB serving
+    shape: a query TABLE (not one vector) joins the catalog-registered
+    index on its PARTITION column, so dynamic partition pruning confines
+    the scan to the union of the queries' bucket directories; per-query
+    candidates stay one bucket's population, and the index build/listing
+    cost amortizes over the whole batch. Top-k per query via
+    ``topk.grouped_top_k`` (one tiny shuffle on candidate rows only).
+    Combines ``ann_lsh_multiquery`` (inline bucketing, corpus re-scored
+    per call) with ``ann_probe_persisted`` (index-once, single query)."""
+    index = _registered_ann_index(spark, index_path, id_col)
+    qb = F.broadcast(
+        queries.select(
+            F.col(qid_col),
+            quantize(F.col(vec_col)).alias("qvec"),
+            # match the partition column's inferred int type so pruning
+            # sees a plain equi-join on the partition attribute
+            hyperplane_signs(F.col(vec_col), n_planes, dim)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    cand = index.join(qb, "bucket").select(
+        F.col(qid_col),
+        F.col(id_col),
+        int_dot(F.col("qv"), F.col("qvec")).alias("dot_q"),
+    )
+    from .topk import grouped_top_k
+
+    return grouped_top_k(
+        cand, [qid_col], [F.col("dot_q").desc(), F.col(id_col).asc()], k
     )
 
 

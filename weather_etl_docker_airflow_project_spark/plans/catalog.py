@@ -28,36 +28,95 @@ from . import timeseries_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-3 WINDOW (first 50) =================
-    # The r2 verdict's top instruction: the 44 relational/function queries
-    # whose only hard-signal row is from round 1 rotate back INTO the
-    # window; the twice-proven LLM/streaming/IO block rotates OUT, keeping
-    # one canary per family whose code or oracle CHANGED this round (those
-    # need a fresh verdict anyway — double duty for the slots).
+    # ================= ROUND-4 WINDOW (first 50) =================
+    # The r3 verdict's top instruction: every round-3 query that has never
+    # had a DRIVER correctness row rotates INTO the window (the r3 judge's
+    # own HEAD contract run says they all MATCH — these should be free
+    # green rows, but the driver's row is the hard currency), plus the
+    # three round-4 queries, plus canaries for code touched this round.
     # -- entry() flagship must stay first
     "flagship",
-    # -- changed/new this round: fresh hash verdict required
-    "l5_pixel_features",           # NEW: real PNG pixel decode end-to-end
-    "l2_ngram_jaccard_pairs",      # semantics changed: hot-shingle DF cap
-    "l2_dedup_clusters",           # impl changed: large-star/small-star CC
-    "l2_embedding_neardup_pairs",  # banding changed: 8x4 -> recall>=0.9 cfg
-    "l4_token_stats",              # oracle changed: _TOKS empty-token twin
-    # -- rotated: TPC-H-ish headline queries
+    # -- the 26 round-3 queries with no driver row in any round
+    "ts1_batch_sessionize",
+    "ts2_gap_fill_hourly",
+    "ts3_funnel_steps",
+    "ts4_cumulative_distinct_users",
+    "ts5_weekly_retention_cohorts",
+    "a14_stats_suite",
+    "a16_incremental_rollup",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "j10_fuzzy_blocked_join",   # code changed r4: cap now declared + oracle
+    "j11_salted_skew_join",
+    "dq1_orders_quality",       # code changed r4: NULL-violation policy
+    "s10_clustered_compact_scan",
+    "s11_schema_evolution_scan",
+    "s12_bucketed_colocated_join",
+    "t10_stream_static_enrich",
+    "t11_stream_outer_join",
+    "l5_gif_pixel_features",
+    "l5_jpeg_pixel_features",
+    "l5_audio_features",
+    "l5_mixed_pixel_features",
+    "l6_oversample_mix",
+    "l4_bpe_pretokens",
+    "w5_distribution_windows",
+    "l3_ivf_persisted_probe",   # code changed r4: cell BIGINT (id-safe)
+    # -- new in round 4: fresh hash verdict required
+    "l3_ann_persisted_multiquery",  # batched partition-pruned index probe
+    "t12_stream_full_outer_join",   # both-sides emission rule in oracle
+    "tpch_q21_waiting_suppliers",   # EXISTS + NOT EXISTS on one fact
+    # (a17_sketch_rollup is rows-only by design — HLL sketch bytes have no
+    # SQL twin; its gates are tests/test_rollup_sketch.py, same policy as
+    # a4/a15/l3_ivf_kmeans_search.)
+    # -- canaries: code paths touched in r4 whose queries already have
+    #    rows (fresh verdict cheap + guards the refactors)
+    "l3_ann_persisted_probe",   # registration refactored to shared helper
+    "l3_knn_multiquery",        # bounded-collect guard added
+    "l2_embedding_neardup_pairs",
+    # -- rotation stock: families whose newest driver row is oldest
+    #    (function suites + fidelity/LLM/streaming/IO, last rows r1/r2)
+    "ref_weather_transform",
+    "f9_json_suite",
+    "f10_array_suite",
+    "f11_map_suite",
+    "f12_hash_suite",
+    "f13_cast_suite",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l2_simhash_neardup_pairs",
+    "t5_tumbling_window_counts",
+    "t9_stream_stream_join",
+    "s8_partitioned_scan",
+    # -- round-3-proven canaries (headline families stay fresh)
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
+    "j5_anti_customers_without_big_orders",
+    "a13_salted_skew_agg",
+    "w1_top3_orders_per_segment",
+    # ================= PAST THE CUT (positions 51+) ================
+    # r5 rotation candidates first: r1-proven queries whose last row is
+    # now three rounds old, then the r3-proven block, then rows-only.
+    "tpch_q5_local_supplier_volume",
+    "a5_cube_order_grid",
+    "j2_full_outer_nation_presence",
+    "j7_bucketed_interval_join",
+    "w3_range_frame_hourly_load",
+    "l5_pixel_features",
+    "l2_ngram_jaccard_pairs",
+    "l2_dedup_clusters",
+    "l4_token_stats",
     "scd2_customer_segment",
-    # -- rotated: join family
+    "tpch_q10_returned_items",
     "j1_inner_segment_revenue",
     "j2_left_outer_order_counts",
     "j3_broadcast_nation_rollcall",
     "j4_semi_customers_with_open_orders",
-    "j5_anti_customers_without_big_orders",
     "j6_theta_nation_pairs",
     "j7_range_value_buckets",
     "j8_asof_error_after_click",
     "j9_cross_region_segment_grid",
-    # -- rotated: aggregation family
     "a1_count_with_predicate",
     "a3_distinct_status_priority",
     "a5_rollup_lineitem_status",
@@ -69,8 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "a10_exact_percentiles",
     "a11_value_histogram",
     "a12_mode_event_type_per_user",
-    # -- rotated: window / order / set / predicate families
-    "w1_top3_orders_per_segment",
     "w2_lag_value_delta",
     "w3_moving_avg_value",
     "o1_top20_orders",
@@ -82,76 +139,18 @@ _PRIORITY: tuple[str, ...] = (
     "p5_predicate_suite",
     "p6_pruned_projection",
     "p7_decorrelated_subquery",
-    # -- rotated: function suites
     "f5_datetime_suite",
     "f6_string_suite",
     "f7_math_suite",
     "f8_conditional_suite",
-    # -- new this round: the r2-verdict items 4/6/8 define done as a
-    #    hash-green DRIVER row, so they take the slots freed by dropping
-    #    one sibling each from the a5/j2/j7/w3 families (each family keeps
-    #    another in-window representative, so no §2 row loses fresh
-    #    coverage).
-    "l3_knn_multiquery",
     "l3_ann_lsh_multiquery",
     "l6_sequence_packing_firstfit",
-    "a13_salted_skew_agg",
-    # a4_approx_count_distinct and l3_ivf_kmeans_search stay out of the
-    # window in every round: both are rows-only by design (HLL sketch /
-    # learned quantizer have no SQL oracle) — their real gates are pytest
-    # error/recall contracts, so a window slot adds no signal.
-    # ================= PAST THE CUT (positions 51+) ================
-    # r4 rotation candidates first: queries added in round 3 (fresh, never
-    # driver-checked), then the remaining function suites, then the
-    # twice-proven LLM/streaming/IO block as future canary stock.
-    "l5_gif_pixel_features",
-    "l5_audio_features",
-    "ts1_batch_sessionize",
-    "ts2_gap_fill_hourly",
-    "a14_stats_suite",
-    "l6_oversample_mix",
-    "l4_bpe_pretokens",
-    "t10_stream_static_enrich",
-    "s10_clustered_compact_scan",
-    "ts3_funnel_steps",
-    "j10_fuzzy_blocked_join",
-    "tpch_q4_order_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "l5_jpeg_pixel_features",
-    "l5_mixed_pixel_features",
-    "ts4_cumulative_distinct_users",
-    "ts5_weekly_retention_cohorts",
-    "a16_incremental_rollup",
-    "s12_bucketed_colocated_join",
-    "w5_distribution_windows",
-    "l3_ivf_persisted_probe",
-    "j11_salted_skew_join",
-    "dq1_orders_quality",
-    "t11_stream_outer_join",
-    "s11_schema_evolution_scan",
-    # a15 stays out of the window in every round (rows-only, like a4)
-    "tpch_q5_local_supplier_volume",
-    "a5_cube_order_grid",
-    "j2_full_outer_nation_presence",
-    "j7_bucketed_interval_join",
-    "w3_range_frame_hourly_load",
-    "f9_json_suite",
-    "f10_array_suite",
-    "f11_map_suite",
-    "f12_hash_suite",
-    "f13_cast_suite",
-    "ref_weather_transform",
-    "l1_exact_dedup",
-    "l2_minhash_lsh_pairs",
     "l2_simhash_signatures",
-    "l2_simhash_neardup_pairs",
     "l2_neardup_pipeline",
     "l3_knn_bruteforce",
     "l3_ann_lsh_bucketed",
     "l3_ann_lsh_multiprobe",
     "l3_ivf_search",
-    "l3_ann_persisted_probe",
     "l4_term_stats",
     "l4_quality_score",
     "l4_lang_id",
@@ -169,17 +168,15 @@ _PRIORITY: tuple[str, ...] = (
     "l6_decontaminate_against_eval",
     "l6_sequence_packing",
     "l7_training_corpus_pipeline",
-    "t5_tumbling_window_counts",
     "t5_sliding_window_counts",
     "t6_session_windows",
     "t7_stream_dedup_within_watermark",
     "t8_stateful_user_stats",
-    "t9_stream_stream_join",
     "t2_weather_stream_upsert",
     "s5_catalog_weather_roundtrip",
     "s7_csv_roundtrip",
-    "s8_partitioned_scan",
     "p4_null_guard",
+    "a17_sketch_rollup",
 )
 
 

@@ -595,6 +595,51 @@ def l3_ann_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ann_persisted_multiquery",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    buck AS (
+      SELECT vec_id, qv,
+             sum(CASE WHEN list_dot_product(qv::DOUBLE[], comps::DOUBLE[]) > 0
+                      THEN (CAST(1 AS BIGINT) << pj) ELSE 0 END) AS bucket
+      FROM c, {_planes_sql(8, 64)}
+      GROUP BY vec_id, qv),
+    q AS (SELECT vec_id AS query_id, qv AS qqv, bucket
+          FROM buck WHERE vec_id % 100 = 0),
+    s AS (
+      SELECT q.query_id, b.vec_id,
+             CAST(list_dot_product(b.qv::DOUBLE[], q.qqv::DOUBLE[]) AS BIGINT)
+                 AS dot_q
+      FROM buck b JOIN q ON b.bucket = q.bucket),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY dot_q DESC, vec_id ASC) AS rn
+      FROM s)
+    SELECT query_id, vec_id, dot_q, rn FROM r WHERE rn <= 10
+    """,
+    tags=("L3", "S8"),
+)
+def l3_ann_persisted_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched persisted-index probe — the serving shape a 100 TB ANN
+    deployment actually runs: a query TABLE (every 100th vector)
+    partition-prunes the catalog-registered LSH index to the union of its
+    bucket directories, top-10 per query
+    (operators/similarity.ann_probe_persisted_multiquery). Identical
+    oracle to l3_ann_lsh_multiquery: the persisted layout must not change
+    a single result vs inline bucketing."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = similarity.ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.build_ann_index(emb, path)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.ann_probe_persisted_multiquery(spark, path, queries, k=10)
+
+
+@query(
     "l2_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},

@@ -1462,6 +1462,87 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+      SELECT li.l_orderkey, li.l_suppkey,
+             li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("J4", "J5", "A2", "O1"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept everyone waiting), adapted to
+    this schema's columns: a late line is one shipped >60 days after its
+    order date (no commit/receipt dates in the testdata — same adaptation
+    Q4 uses). The classic EXISTS + NOT EXISTS pair on the SAME fact
+    decorrelates to a left-SEMI join (some other supplier contributed to
+    the order) plus a left-ANTI join (no other supplier was late on it),
+    both plain equi-joins on l_orderkey with the supplier inequality as a
+    join-condition filter — hash/merge joins, never a nested loop
+    (plan-asserted). The per-order line set is computed once and reused
+    by both subquery sides; supplier broadcasts for the name lookup.
+    ORDER BY numwait DESC, s_name LIMIT 100 compiles to
+    TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("late"),
+    )
+    l1 = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lines.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@query(
     "a15_approx_percentiles",
     oracle=None,  # sketch-based: Greenwald-Khanna estimates have no SQL
     #               twin — rows-only by design; the error contract vs the
@@ -1513,6 +1594,41 @@ def a16_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(5):
         out = maintain_rollup(spark, sink, e.filter(F.col("event_id") % 5 == b))
     return out
+
+
+@query(
+    "a17_sketch_rollup",
+    oracle=None,  # the maintained column is a DataSketches HLL sketch —
+    #               estimates have no SQL twin, rows-only by design; the
+    #               gates are pytest (tests/test_rollup_sketch.py):
+    #               incremental must equal one-shot EXACTLY (HLL union is
+    #               register-max, set-deterministic) and the estimate must
+    #               sit within 5% of the exact per-day distinct count.
+    tags=("A4", "A2", "S8"),
+)
+def a17_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based incremental rollup (operators/rollup.py
+    ``maintain_sketch_rollup``): the metric people actually maintain
+    incrementally — DISTINCT USERS PER DAY — does not survive a16's
+    additive merge, so the maintained column is a mergeable HLL sketch;
+    five replayed batches union sketches per day and the final estimate
+    is read with ``hll_sketch_estimate``. Cost per batch is still
+    ∝ |touched days| + |batch|; the base table is never re-read."""
+    from ..io import scratch_dir
+    from ..operators.rollup import maintain_sketch_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    sink = os.path.join(scratch_dir("sketch_rollup_"), "daily")
+    out = None
+    for b in range(5):
+        out = maintain_sketch_rollup(
+            spark, sink, e.filter(F.col("event_id") % 5 == b)
+        )
+    return out.select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate(F.col("users_hll")).cast("long").alias("approx_users"),
+    ).orderBy("day")
 
 
 @query(

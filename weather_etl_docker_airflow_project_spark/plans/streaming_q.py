@@ -236,12 +236,14 @@ def t11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with its errors-within-1h, and clicks with NO error emit a
     null-padded row — but only once the state can never match again. The
     oracle encodes the exact emission rule (validated empirically at two
-    SFs): the combined watermark is min over both inputs of max(event
-    time) - 1h, and an unmatched click emits iff its latest possible
-    match time (c_ts + 1h) is strictly below it — i.e.
-    ``c_ts + 2h < min(max_c, max_e)``. The watermark + time bound are
-    what make outer results emittable at all on unbounded input: without
-    them "no match" is undecidable."""
+    SFs AND pinned at the exact boundary by
+    tests/test_stream_outer_boundary.py, so a Spark semantics drift fails
+    a named pytest instead of an opaque oracle hash): the combined
+    watermark is min over both inputs of max(event time) - 1h, and an
+    unmatched click emits iff its latest possible match time (c_ts + 1h)
+    is strictly below it — i.e. ``c_ts + 2h < min(max_c, max_e)``. The
+    watermark + time bound are what make outer results emittable at all
+    on unbounded input: without them "no match" is undecidable."""
     clicks = (
         windows.stream_events(spark, sf_dir)
         .filter((F.col("event_type") == "click") & (F.col("user_id") < 20))
@@ -273,6 +275,89 @@ def t11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         F.col("c_ts").alias("click_ts"),
         "error_id",
+    )
+    return windows.run_available_now(joined)
+
+
+@query(
+    "t12_stream_full_outer_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id cid, user_id u, ts cts FROM events
+      WHERE event_type = 'click' AND user_id < 15),
+    errors AS (
+      SELECT event_id eid, user_id u, ts ets FROM events
+      WHERE event_type = 'error' AND user_id < 15),
+    m AS (SELECT least((SELECT max(cts) FROM clicks),
+                       (SELECT max(ets) FROM errors)) AS mn),
+    pairs AS (
+      SELECT c.cid, c.cts, e.eid, e.ets, c.u
+      FROM clicks c JOIN errors e
+        ON e.u = c.u AND e.ets >= c.cts
+       AND e.ets <= c.cts + INTERVAL 1 HOUR),
+    un_c AS (
+      SELECT c.cid, c.cts, NULL::BIGINT AS eid, NULL::TIMESTAMP AS ets, c.u
+      FROM clicks c, m
+      WHERE c.cid NOT IN (SELECT cid FROM pairs)
+        AND c.cts + INTERVAL 2 HOUR < m.mn),
+    un_e AS (
+      SELECT NULL::BIGINT AS cid, NULL::TIMESTAMP AS cts, e.eid, e.ets, e.u
+      FROM errors e, m
+      WHERE e.eid NOT IN (SELECT eid FROM pairs)
+        AND e.ets + INTERVAL 1 HOUR < m.mn)
+    SELECT cid AS click_id, eid AS error_id, u AS user_id,
+           cts AS click_ts, ets AS error_ts
+    FROM (SELECT * FROM pairs UNION ALL SELECT * FROM un_c
+          UNION ALL SELECT * FROM un_e)
+    """,
+    tags=("T4", "T5", "J2"),
+)
+def t12_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — the last streaming-join variant
+    (t9 inner, t11 left): matched pairs plus BOTH sides' unmatched rows,
+    each emitted only when its state can never match again. The oracle
+    encodes the two watermark-eviction rules, pinned by a boundary-exact
+    fixture (tests/test_stream_outer_boundary.py) rather than only
+    validated on natural data: with the combined watermark base
+    mn = min(max click ts, max error ts) and 1h delays both sides,
+    an unmatched CLICK emits iff c_ts + 2h < mn (its last matchable
+    error time c_ts+1h must fall strictly below the watermark mn - 1h)
+    and an unmatched ERROR emits iff e_ts + 1h < mn (a matching click
+    needs c_ts in [e_ts-1h, e_ts]; once the watermark passes e_ts no
+    such click can arrive). Both inequalities are STRICT — the boundary
+    rows in the pinning test prove it."""
+    clicks = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 15))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("user_id") < 15))
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "error_id",
+        F.coalesce(F.col("c_user"), F.col("e_user")).alias("user_id"),
+        F.col("c_ts").alias("click_ts"),
+        F.col("e_ts").alias("error_ts"),
     )
     return windows.run_available_now(joined)
 
