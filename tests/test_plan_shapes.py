@@ -66,6 +66,13 @@ def test_ann_persisted_probe_prunes_partitions(spark):
     assert "dynamicpruning" in mplan
     assert "CartesianProduct" not in mplan
     assert "BroadcastNestedLoopJoin" not in mplan
+    # the IVF twin: same pruning property on the celled-table scan (its
+    # bounded query x seed cross join is the broadcast-seed pattern, so
+    # only assert no cartesian on the CORPUS side: the celled scan must
+    # carry the dynamic filter)
+    ivfmq = catalog.REGISTRY["l3_ivf_persisted_multiquery"].fn(spark, SF)
+    iplan = ivfmq._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in iplan
     neardup = catalog.REGISTRY["l2_embedding_neardup_pairs"].fn(spark, SF)
     nplan = neardup._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in nplan

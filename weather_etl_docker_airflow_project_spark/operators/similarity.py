@@ -756,6 +756,63 @@ def ann_probe_persisted_multiquery(
     )
 
 
+def ivf_probe_persisted_multiquery(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Batched probe of the persisted IVF index — the IVF twin of
+    :func:`ann_probe_persisted_multiquery`: every query in the TABLE
+    ranks the (tiny, broadcast) seed-centroid table by exact integer
+    dot, keeps its ``n_probe`` nearest cells, and the (query, cell,
+    qvec) probe set joins the catalog-registered celled table on its
+    BIGINT partition column — dynamic partition pruning reads only the
+    union of probed cell directories, and per-query candidate volume
+    stays n_probe cells regardless of batch size. Top-k per query via
+    grouped top-k over candidates only."""
+    from pyspark.sql import Window
+
+    cells = _registered_ivf_index(spark, index_path, id_col)
+    seeds = spark.read.parquet(index_path + "/seeds")
+    qv = queries.select(
+        F.col(qid_col), quantize(F.col(vec_col)).alias("query_qv")
+    )
+    ranked = (
+        qv.crossJoin(F.broadcast(seeds))
+        .select(
+            qid_col,
+            "query_qv",
+            "sid",
+            int_dot(F.col("query_qv"), F.col("sv")).alias("sdot"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(qid_col).orderBy(
+                    F.col("sdot").desc(), F.col("sid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select(qid_col, "query_qv", F.col("sid").alias("cell"))
+    )
+    cand = cells.join(F.broadcast(ranked), "cell").select(
+        F.col(qid_col),
+        F.col(id_col),
+        int_dot(F.col("qv"), F.col("query_qv")).alias("dot_q"),
+    )
+    from .topk import grouped_top_k
+
+    return grouped_top_k(
+        cand, [qid_col], [F.col("dot_q").desc(), F.col(id_col).asc()], k
+    )
+
+
 def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
     """LSH bucket id: sign bits of dot products with n_planes deterministic
     pseudo-random hyperplanes (md5-derived literal components via
@@ -877,6 +934,23 @@ def build_ivf_index(
     )
 
 
+def _registered_ivf_index(spark, index_path: str, id_col: str) -> DataFrame:
+    """Register (once) and return the persisted IVF celled table — the
+    IVF twin of :func:`_registered_ann_index`. cell is a SEED VEC_ID
+    (BIGINT), not a bounded bucket number like the LSH index's sign-bit
+    bucket: declaring INT would silently truncate ids >= 2^31 and probe
+    the wrong partition."""
+    tbl = _index_table_name(index_path)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
+            f"({id_col} BIGINT, qv ARRAY<BIGINT>, cell BIGINT) "
+            f"USING parquet PARTITIONED BY (cell) LOCATION '{index_path}/cells'"
+        )
+        spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+    return spark.table(tbl)
+
+
 def ivf_probe_persisted(
     spark,
     index_path: str,
@@ -894,18 +968,7 @@ def ivf_probe_persisted(
     :func:`ann_probe_persisted`)."""
     from pyspark.sql import Window
 
-    tbl = _index_table_name(index_path)
-    if not spark.catalog.tableExists(tbl):
-        # cell is a SEED VEC_ID (BIGINT), not a bounded bucket number like
-        # the LSH index's sign-bit bucket: declaring INT here would
-        # silently truncate ids >= 2^31 and probe the wrong partition
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {tbl} "
-            f"({id_col} BIGINT, qv ARRAY<BIGINT>, cell BIGINT) "
-            f"USING parquet PARTITIONED BY (cell) LOCATION '{index_path}/cells'"
-        )
-        spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
-    cells = spark.table(tbl)
+    cells = _registered_ivf_index(spark, index_path, id_col)
     seeds = spark.read.parquet(index_path + "/seeds")
     qv = query.select(quantize(F.col(vec_col)).alias("query_qv"))
     ranked = (

@@ -89,13 +89,21 @@ _PRIORITY: tuple[str, ...] = (
     "t5_tumbling_window_counts",
     "t9_stream_stream_join",
     "s8_partitioned_scan",
-    # -- round-3-proven canaries (headline families stay fresh)
+    # -- round-4 batch 2: wider TPC-H decorrelation surface + the two
+    #    remaining batched/streaming variants (these take the slots the
+    #    round-3-proven canaries would have used — those all have fresh
+    #    r3 rows already)
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity",
+    "t13_stream_semi_join",
+    "l3_ivf_persisted_multiquery",
+    # ================= PAST THE CUT (positions 51+) ================
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "j5_anti_customers_without_big_orders",
     "a13_salted_skew_agg",
     "w1_top3_orders_per_segment",
-    # ================= PAST THE CUT (positions 51+) ================
     # r5 rotation candidates first: r1-proven queries whose last row is
     # now three rounds old, then the r3-proven block, then rows-only.
     "tpch_q5_local_supplier_volume",

@@ -541,6 +541,60 @@ def l3_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ivf_persisted_multiquery",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM c WHERE vec_id % 125 = 0),
+    assign AS (
+      SELECT c.vec_id, c.qv, s.sid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_DOT.format(a="c.qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM c, seeds s),
+    cells AS (SELECT vec_id, qv, sid AS cell FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, qv AS qqv FROM c WHERE vec_id % 100 = 0),
+    qrank AS (
+      SELECT q.query_id, q.qqv, s.sid AS cell,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_DOT.format(a="q.qqv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM q, seeds s),
+    probe AS (SELECT query_id, qqv, cell FROM qrank WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, cl.vec_id,
+             {_DOT.format(a="cl.qv", b="p.qqv")} AS dot_q
+      FROM cells cl JOIN probe p ON cl.cell = p.cell),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY dot_q DESC, vec_id ASC) AS rn
+      FROM scored)
+    SELECT query_id, vec_id, dot_q, rn FROM r WHERE rn <= 10
+    """,
+    tags=("L3", "S8"),
+)
+def l3_ivf_persisted_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched persisted-IVF probe (operators/similarity.py
+    ``ivf_probe_persisted_multiquery``) — the IVF serving twin of
+    l3_ann_persisted_multiquery: a query TABLE ranks the broadcast seed
+    table per query, keeps its 2 nearest cells, and partition-prunes the
+    catalog-registered celled corpus to the union of probed cells.
+    Per-query candidate volume stays n_probe cells however large the
+    batch; the index build amortizes across every batch."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = similarity.ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        similarity.build_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.ivf_probe_persisted_multiquery(
+        spark, path, queries, k=10, n_probe=2
+    )
+
+
+@query(
     "l3_ivf_kmeans_search",
     oracle=None,  # learned quantizer: KMeans fit is iterative + RNG-seeded,
     #               not SQL-expressible — rows-only check by design; the

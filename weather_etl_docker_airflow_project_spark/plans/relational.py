@@ -1543,6 +1543,189 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'P'
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J2", "A2", "A1"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): the LEFT
+    OUTER join that must KEEP zero-order customers (count(o_orderkey)
+    counts non-null matches only, so they land in the c_count=0 bin —
+    an inner join would silently drop the most interesting bucket), with
+    a join-condition filter standing in for the comment exclusion (this
+    schema has no o_comment; pending-status orders are excluded
+    instead). Two aggregations: per-customer count, then the tiny
+    distribution over counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "P"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                 AS tot,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_acctbal > 0),
+    eligible AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer c, s
+      WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * s.cnt > s.tot
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1998-01-01'))
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal) AS DECIMAL(28,2)) AS totacctbal
+    FROM eligible e JOIN nation n ON n.n_nationkey = e.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("J5", "J3", "A2", "P5"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers who never ordered), grouped by
+    nation (this schema has no phone country code), with dormancy = no
+    order since 1998 (every above-average customer in this corpus has
+    SOME order, which would make the classic no-orders-ever predicate
+    vacuous — 0 rows proves nothing). Two classic decorrelations in one
+    query: the scalar AVG subquery becomes a broadcast (sum, count)
+    pair with the threshold rewritten EXACTLY-in-integers as
+    ``bal * cnt > tot`` (avg division would be engine-specific
+    decimal/double semantics — multiplying through by the count keeps
+    both engines in exact decimal arithmetic), and NOT EXISTS becomes a
+    left-anti join against the date-filtered orders fact (the filter
+    pushes to the orders scan before the anti join). Nation broadcasts
+    for the name."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _dec("c_acctbal").alias("bal")
+    )
+    stats = (
+        cust.filter(F.col("bal") > 0)
+        .agg(
+            F.sum("bal").cast("decimal(28,2)").alias("tot"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    eligible = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal") * F.col("cnt") > F.col("tot"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        eligible.join(F.broadcast(n), eligible.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal").cast("decimal(28,2)").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    WITH v AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             {_REV} AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(rev) AS DECIMAL(28,4)) AS revenue
+    FROM v GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("J1", "J3", "A2", "F5"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral shipping volume between two nations by
+    year): the classic snowflake join — fact lineitem joins orders then
+    BOTH dimension arms (supplier→nation, customer→nation) with the
+    either-direction nation-pair predicate applied after both arms
+    resolve. All four dimension tables broadcast (supplier/customer are
+    modest, nation tiny); the only shuffles left are the two fact-side
+    joins' and the final small aggregate's. Exact decimal revenue."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    v = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            rev.alias("rev"),
+        )
+    )
+    return (
+        v.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").cast("decimal(28,4)").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
     "a15_approx_percentiles",
     oracle=None,  # sketch-based: Greenwald-Khanna estimates have no SQL
     #               twin — rows-only by design; the error contract vs the

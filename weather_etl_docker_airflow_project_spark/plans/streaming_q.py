@@ -363,6 +363,63 @@ def t12_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t13_stream_semi_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click' AND c.user_id < 25
+      AND EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c.user_id
+          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR)
+    """,
+    tags=("T4", "J4"),
+)
+def t13_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream join — the streaming twin of J4: each
+    click emits AT MOST ONCE, when its first error-within-1h arrives
+    (multiple matches never duplicate it). Unlike the outer variants
+    (t11/t12) there is NO watermark emission rule to encode: only
+    matched rows emit, so the drained availableNow result equals the
+    plain EXISTS relation and the oracle needs no least/max watermark
+    arithmetic — the simplest exactly-checkable stream-stream variant.
+    Watermarks + the time bound still govern STATE eviction (unmatched
+    clicks are dropped, not emitted)."""
+    clicks = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 25))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("user_id") < 25))
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.col("c_ts").alias("click_ts"),
+    )
+    return windows.run_available_now(joined)
+
+
+@query(
     "t10_stream_static_enrich",
     oracle="""
     SELECT c.c_mktsegment AS segment, e.event_type,
