@@ -24,6 +24,7 @@ from . import streaming_q  # noqa: F401
 from . import llm_q  # noqa: F401
 from . import io_q  # noqa: F401
 from . import timeseries_q  # noqa: F401
+from . import tpch_q  # noqa: F401
 
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
@@ -185,6 +186,20 @@ _PRIORITY: tuple[str, ...] = (
     "s7_csv_roundtrip",
     "p4_null_guard",
     "a17_sketch_rollup",
+    # round-4 batch 3: TPC-H completion (Q2/Q6/Q8/Q9/Q11/Q12/Q15/Q16/Q17/
+    # Q19/Q20) — verified by the local contract run this round; r5 window
+    # rotation candidates (every TPC-H shape now has a declared twin).
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_classes",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
 )
 
 
