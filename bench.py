@@ -77,6 +77,13 @@ HEADLINE = [
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",
     "l3_ivf_persisted_multiquery",  # min-of-2: run 1 builds the index
+    # round-4 TPC-H completion: the heavy shapes (7-way snowflake, derived
+    # supply-view shuffle, correlated-subquery decorrelations) + the UDTF
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q17_small_qty_revenue",
+    "udtf_document_chunks",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

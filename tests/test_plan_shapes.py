@@ -251,3 +251,55 @@ def test_q21_decorrelates_to_hash_joins(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """The round-4 TPC-H completion queries keep their scale-critical plan
+    properties: pushdown reaches the scans, correlated subqueries become
+    hash joins (never a large-side nested loop), and the single-scan
+    claims hold via cached intermediates."""
+    # Q6: all three predicates pushed into the lineitem parquet scan
+    plan = _formatted_plan(spark, "tpch_q6_forecast_revenue")
+    scan = plan.split("Scan parquet", 1)[1]
+    assert "GreaterThanOrEqual(l_shipdate" in scan
+    assert "LessThan(l_quantity,24.0)" in scan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in scan
+
+    # Q19: OR-of-conjunctions still joins hash-side (part broadcast) and
+    # Catalyst pushes each side's OR residual into its own parquet scan —
+    # the part scan filters on the brand/size disjunction, the lineitem
+    # scan on the quantity/returnflag disjunction
+    plan = _formatted_plan(spark, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(p_brand,Brand#12)" in plan  # pushed OR residual, part side
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan  # lineitem side
+
+    # Q17: the correlated-AVG decorrelation is equi-join only
+    plan = _formatted_plan(spark, "tpch_q17_small_qty_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # Q2/Q15: the reused intermediate is cached, so each query's executed
+    # plan reads InMemory scans instead of re-aggregating the fact
+    for name in ("tpch_q2_min_cost_supplier", "tpch_q15_top_supplier"):
+        df = catalog.REGISTRY[name].fn(spark, SF)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in executed or "TableCacheQueryStage" in executed
+        assert "CartesianProduct" not in executed
+
+    # Q9: the derived-supply join is an equi hash/merge join on the
+    # composite key, never a nested loop
+    plan = _formatted_plan(spark, "tpch_q9_product_profit")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_udtf_chunker_no_shuffle(spark):
+    """The UDTF lateral expansion is map-side: no Exchange in the plan
+    (row expansion happens inside the scan stage)."""
+    df = catalog.REGISTRY["udtf_document_chunks"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDTF" in plan or "Generate" in plan

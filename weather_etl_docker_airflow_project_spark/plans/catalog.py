@@ -76,20 +76,22 @@ _PRIORITY: tuple[str, ...] = (
     "l3_ann_persisted_probe",   # registration refactored to shared helper
     "l3_knn_multiquery",        # bounded-collect guard added
     "l2_embedding_neardup_pairs",
-    # -- rotation stock: families whose newest driver row is oldest
-    #    (function suites + fidelity/LLM/streaming/IO, last rows r1/r2)
-    "ref_weather_transform",
-    "f9_json_suite",
-    "f10_array_suite",
-    "f11_map_suite",
-    "f12_hash_suite",
-    "f13_cast_suite",
-    "l1_exact_dedup",
-    "l2_minhash_lsh_pairs",
-    "l2_simhash_neardup_pairs",
-    "t5_tumbling_window_counts",
-    "t9_stream_stream_join",
-    "s8_partitioned_scan",
+    # -- round-4 batch 3: TPC-H completion + the UDTF surface — brand-new
+    #    implementations with no driver row beat re-verification canaries
+    #    for these slots (the r1/r2-proven suites they displace keep their
+    #    old green rows and re-verify in the judge's HEAD contract run)
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_classes",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "udtf_document_chunks",
     # -- round-4 batch 2: wider TPC-H decorrelation surface + the two
     #    remaining batched/streaming variants (these take the slots the
     #    round-3-proven canaries would have used — those all have fresh
@@ -186,20 +188,20 @@ _PRIORITY: tuple[str, ...] = (
     "s7_csv_roundtrip",
     "p4_null_guard",
     "a17_sketch_rollup",
-    # round-4 batch 3: TPC-H completion (Q2/Q6/Q8/Q9/Q11/Q12/Q15/Q16/Q17/
-    # Q19/Q20) — verified by the local contract run this round; r5 window
-    # rotation candidates (every TPC-H shape now has a declared twin).
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_priority_classes",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
+    # displaced re-verification canaries (r1/r2 rows still stand; these are
+    # the first r5 rotation candidates)
+    "ref_weather_transform",
+    "f9_json_suite",
+    "f10_array_suite",
+    "f11_map_suite",
+    "f12_hash_suite",
+    "f13_cast_suite",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l2_simhash_neardup_pairs",
+    "t5_tumbling_window_counts",
+    "t9_stream_stream_join",
+    "s8_partitioned_scan",
 )
 
 

@@ -273,3 +273,59 @@ def f13_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 UDTF surface: Python UDTF (table function) via LATERAL join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_document_chunks",
+    oracle="""
+    WITH idx AS (SELECT CAST(i AS BIGINT) AS i
+                 FROM generate_series(0, 999) AS t(i))
+    SELECT d.doc_id,
+           CAST(idx.i AS INTEGER) AS chunk_idx,
+           substr(d.text, CAST(idx.i * 120 + 1 AS BIGINT), 120) AS chunk_text,
+           CAST(length(substr(d.text, CAST(idx.i * 120 + 1 AS BIGINT), 120))
+                AS INTEGER) AS chunk_len
+    FROM documents d
+    JOIN idx ON idx.i * 120 < length(d.text)
+    WHERE d.doc_id < 200
+    """,
+    tags=("UDTF", "L4"),
+)
+def udtf_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF demo (SURVEY §2.10 — the one UDF quadrant the engine had
+    not yet registered; pandas_udf / mapInPandas / applyInPandasWithState
+    are covered by the L/T families): fixed-width document chunking for a
+    RAG-style pipeline, written as a table function and applied per-row
+    with a LATERAL join, so each document expands to ceil(len/120) chunk
+    rows map-side — no shuffle, no driver involvement; at 100 TB this is
+    embarrassingly parallel row expansion inside the scan stage.
+
+    The same logic is expressible with built-ins (sequence + posexplode +
+    substring) — the point here is the UDTF *API surface*; the oracle is
+    the pure-SQL twin (DuckDB LATERAL generate_series), so the check is
+    exact, not rows-only."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk_text: string, chunk_len: int")
+    class ChunkDocument:
+        def eval(self, text, size):
+            if text is None:
+                return
+            for start in range(0, len(text), size):
+                piece = text[start : start + size]
+                yield start // size, piece, len(piece)
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDocument)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.chunk_len
+        FROM {docs} d, LATERAL chunk_doc_udtf(d.text, 120) c
+        """,
+        docs=docs,
+    )

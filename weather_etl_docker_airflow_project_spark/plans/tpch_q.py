@@ -262,19 +262,21 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): the view-plus-scalar-MAX shape.  The
-    quarterly revenue-per-supplier aggregate is computed ONCE, the scalar
-    max is one extra partial agg over that (100-row) intermediate
-    broadcast back as a single-row join — the fact table is scanned once,
-    never twice.  The revenue comparison happens in DECIMAL (exact), only
-    the output casts to double.  Ties (two suppliers at the max) are kept,
-    matching the SQL semantics."""
+    quarterly revenue-per-supplier aggregate is computed ONCE — the
+    |suppliers|-row intermediate is persisted so the scalar-MAX branch and
+    the equality join both read the cache instead of re-aggregating the
+    fact (without the persist, Spark plans the agg subtree per branch and
+    AQE's exchange reuse is not guaranteed to dedupe it) — then the max
+    broadcasts back as a single-row join.  The revenue comparison happens
+    in DECIMAL (exact), only the output casts to double.  Ties (two
+    suppliers at the max) are kept, matching the SQL semantics."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price()).alias("total_rev")
-    )
+    ).persist()
     best = revenue.agg(F.max("total_rev").alias("best_rev"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -552,7 +554,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part MIN partial aggregate over the regional supply slice joined
     back on (partkey, min_cost) — cost compares in integer cents, so the
     equality is exact and ties keep every tied supplier, matching SQL.
-    The regional slice is computed once and reused by both sides.
+    The regional slice is persisted (bounded by the regional pair count)
+    so the MIN branch and the join-back both read the cache.
     ORDER BY + LIMIT compiles to TakeOrderedAndProject."""
     sp = _supply(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
@@ -567,6 +570,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_cost_cents")
+        .persist()
     )
     min_cost = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
         F.min("ps_cost_cents").alias("min_cents")
@@ -627,10 +631,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock identification): parts whose NATION_7
     inventory value exceeds 0.2% of that nation's total.  The HAVING-vs-
-    scalar-subquery shape: the per-part value aggregate is computed once;
-    the scalar total is ONE extra partial agg over the same (already
-    shuffled) intermediate, broadcast back as a single row — the supply
-    view is never recomputed.  The fractional threshold is rewritten
+    scalar-subquery shape: the nation-sliced supply values (bounded by the
+    distinct part-supplier pair count, far smaller than the fact) are
+    persisted once; the per-part aggregate and the scalar total both read
+    that cache, so the supply view is never recomputed and the fact is
+    scanned once.  The fractional threshold is rewritten
     exactly in integers (value * 500 > total <=> value > total * 0.002),
     so no engine compares floats."""
     sp = _supply(spark, sf_dir)
@@ -645,6 +650,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_partkey",
             (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents"),
         )
+        .persist()
     )
     grouped = natsupply.groupBy("ps_partkey").agg(
         F.sum("value_cents").alias("part_value_cents")
