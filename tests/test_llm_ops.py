@@ -932,3 +932,33 @@ def test_fuzzy_blocked_pairs_hot_block_cap(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(10_001, 10_002)}
     assert capped[0]["lev"] == 1
+
+
+def test_pq_search_recall_and_compression(spark):
+    """PQ contract: codes compress to exactly m small ints, encoding is
+    deterministic (same codebooks -> same codes), the ADC+rerank pipeline
+    beats a recall floor vs brute force, and the returned scores are the
+    EXACT integer dots (rerank property: every returned (id, dot) pair
+    must appear identically in the brute-force ranking)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7)
+    brute = {r["vec_id"]: r["dot_q"] for r in similarity.knn_bruteforce(emb, q, k=20).collect()}
+    pq = {r["vec_id"]: r["dot_q"] for r in similarity.pq_search(emb, q, k=20).collect()}
+    # exact-score property: returned dots equal the brute-force dots
+    for vid, dot in pq.items():
+        if vid in brute:
+            assert dot == brute[vid]
+    # self is its own nearest neighbor and survives PQ candidate pruning
+    assert 7 in pq
+    recall = len(set(pq) & set(brute)) / 20
+    assert recall >= 0.5, f"PQ recall@20 collapsed: {recall}"
+
+    # codes: m ints per vector, deterministic across two encode passes
+    sample = np.stack([r[0] for r in emb.select("embedding").collect()]).astype(np.float64)
+    books = similarity._train_pq_codebooks(sample, m=8, ksub=16, seed=7)
+    c1 = dict(emb.select("vec_id", similarity.pq_encode(books).alias("c")).collect())
+    c2 = dict(emb.select("vec_id", similarity.pq_encode(books).alias("c")).collect())
+    assert c1 == c2
+    assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())

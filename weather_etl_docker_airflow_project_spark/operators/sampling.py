@@ -12,7 +12,7 @@ randomness; use them when reproducibility-by-key doesn't matter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.xhash import h32
@@ -201,4 +201,33 @@ def oversample_mix(
             F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)),
         )
         .drop("_n_copies")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global permutation for training-corpus order: every
+    row gets a (shard, shard_pos) address where shard = key-hash mod
+    n_shards and shard_pos ranks the hash within the shard (key as
+    tie-break, so equal 32-bit hashes still order totally).  Reading
+    shards 0..n-1 each in shard_pos order replays the identical
+    pseudo-random document order on any engine, any rerun, any cluster
+    size — the property epoch shuffling needs that ``orderBy(rand())``
+    cannot give.
+
+    Scale: ONE hash shuffle on the uniform shard key + an in-partition
+    sort — never a global sort.  Pick n_shards >= the cluster's write
+    parallelism; the hash is uniform so shards stay balanced."""
+    hv = h32(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    out = df.withColumn("_hv", hv).withColumn(
+        "shard", (F.col("_hv") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_hv", key_col)
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("_hv")
     )

@@ -993,3 +993,137 @@ def ivf_probe_persisted(
         .orderBy(F.col("dot_q").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN with exact rerank
+# ---------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(
+    vecs: np.ndarray, m: int, ksub: int, seed: int, iters: int = 12
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a bounded training sample (plain
+    numpy, fixed seed + fixed iteration count, so the codebooks are a
+    deterministic function of the sample).  Returns (m, ksub, dim/m)."""
+    n, dim = vecs.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = vecs[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=ksub, replace=False)].astype(np.float64)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(codebooks: np.ndarray, vec_col: str = "embedding"):
+    """Arrow-batched PQ encoder: each vector compresses to m codebook
+    indices (argmin L2 per subspace).  64 float32 (256 B) -> m small ints
+    — at m=8 a 32x reduction in what the ANN scan has to read."""
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((V.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            # argmin ||v - c||^2 == argmax (v.c - ||c||^2 / 2)
+            proj = sub @ codebooks[j].T - 0.5 * (codebooks[j] ** 2).sum(axis=1)
+            codes[:, j] = proj.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return _encode(F.col(vec_col))
+
+
+def pq_search(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    fit_mod: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance computation and exact
+    rerank — the third ANN family next to LSH buckets and IVF cells:
+
+    1. TRAIN (driver, bounded): per-subspace k-means codebooks from the
+       deterministic ``id % fit_mod == 0`` sample.  Codebook size is
+       m*ksub*(dim/m) floats (= one vector's worth per subspace) —
+       broadcast to every task as a closure constant, never joined.
+    2. ENCODE (map-side, Arrow): every corpus vector becomes m codebook
+       indices.  At 100 TB this is the point: the ANN scan reads m small
+       ints per vector instead of the raw embedding — encode once,
+       persist the codes table, and the compressed scan is ~32x less IO.
+    3. ADC SCAN (map-side): the query builds an (m x ksub) lookup table
+       of subspace dot products; each corpus vector's approximate score
+       is m table lookups summed — no float multiply per vector.  The
+       batch-local top candidates shuffle (ids + scores only).
+    4. RERANK (exact): the ``k * refine`` ADC candidates join back to the
+       raw vectors (broadcast of a k*refine-row table) and the final
+       top-k orders by the exact quantized integer dot — so the returned
+       scores are exact; PQ only decides WHICH candidates get scored.
+
+    Like the learned-IVF variant, the k-means fit is RNG-seeded and
+    iterative — not SQL-expressible, so the declared query is rows-only
+    checked and the recall gate (vs brute force) lives in pytest.
+
+    Construction is eager like :func:`knn_multiquery` (two bounded
+    collects: the fit sample and the single query vector)."""
+    fit_df = embeddings
+    if fit_mod > 1:
+        fit_df = embeddings.filter(F.col(id_col) % fit_mod == 0)
+    sample = np.stack(
+        [r[0] for r in fit_df.select(vec_col).collect()]
+    ).astype(np.float64)
+    codebooks = _train_pq_codebooks(sample, m, ksub, seed)
+
+    qrow = query.select(vec_col).collect()
+    if len(qrow) != 1:
+        raise ValueError(f"pq_search expects exactly one query vector, got {len(qrow)}")
+    qvec = np.asarray(qrow[0][0], dtype=np.float64)
+    dsub = qvec.shape[0] // m
+    # ADC lookup table: lut[j][c] = q_sub_j . codebook[j][c]
+    lut = np.stack(
+        [codebooks[j] @ qvec[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+
+    codes_df = embeddings.select(F.col(id_col), pq_encode(codebooks, vec_col).alias("codes"))
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        return pd.Series(lut[np.arange(m)[None, :], C].sum(axis=1))
+
+    cands = (
+        codes_df.select(F.col(id_col), _adc(F.col("codes")).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(k * refine)
+        .select(id_col)
+    )
+    q_lit = F.array(*[F.lit(int(round(x * QUANT))) for x in qvec])
+    return (
+        embeddings.join(F.broadcast(cands), id_col)
+        .select(
+            F.col(id_col),
+            int_dot(quantize(F.col(vec_col)), q_lit).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col(id_col))
+        .limit(k)
+    )

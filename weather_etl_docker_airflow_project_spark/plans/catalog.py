@@ -188,8 +188,13 @@ _PRIORITY: tuple[str, ...] = (
     "s7_csv_roundtrip",
     "p4_null_guard",
     "a17_sketch_rollup",
+    # round-4 batch 4: new queries with no driver row yet — first r5
+    # rotation candidates (or window swaps at end-of-round)
+    "l6_deterministic_shuffle",
+    "f14_variant_suite",
+    "l3_pq_search",
     # displaced re-verification canaries (r1/r2 rows still stand; these are
-    # the first r5 rotation candidates)
+    # the next r5 rotation candidates)
     "ref_weather_transform",
     "f9_json_suite",
     "f10_array_suite",

@@ -329,3 +329,53 @@ def udtf_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         docs=docs,
     )
+
+
+# ---------------------------------------------------------------------------
+# F14: semi-structured VARIANT suite (Spark 4 parse_json / variant_get)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f14_variant_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_v,
+           o_orderpriority AS priority_v,
+           o_totalprice AS total_v,
+           CAST(NULL AS INTEGER) AS missing_v
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("F9", "F14"),
+)
+def f14_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT round-trip (Spark 4's open-variant type —
+    the modern replacement for stringly-typed JSON columns): each order
+    serializes to a nested JSON document, parses into a VARIANT, and the
+    declared output re-extracts every field with typed `variant_get`
+    paths (nested object member, array element, top-level key) plus a
+    `try_variant_get` miss that must yield NULL, not an error.  The
+    oracle is the ORIGINAL columns — so the check proves the
+    JSON -> VARIANT -> typed-extraction pipeline is lossless, including
+    the double round-trip (Java's shortest-repr double printing parses
+    back bit-exactly).  VARIANT extraction is JVM-side codegen; at scale
+    this replaces per-row Python JSON parsing entirely."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.struct(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_orderpriority").alias("pri"),
+            ).alias("meta"),
+            F.array(F.col("o_totalprice")).alias("amounts"),
+        )
+    )
+    v = F.parse_json(js)
+    return o.select(
+        F.variant_get(v, "$.k", "bigint").alias("o_orderkey"),
+        F.variant_get(v, "$.meta.st", "string").alias("status_v"),
+        F.variant_get(v, "$.meta.pri", "string").alias("priority_v"),
+        F.variant_get(v, "$.amounts[0]", "double").alias("total_v"),
+        F.try_variant_get(v, "$.nope", "int").alias("missing_v"),
+    )

@@ -12,7 +12,6 @@ format string is the only difference at the call site.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

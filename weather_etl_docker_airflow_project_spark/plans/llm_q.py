@@ -1749,3 +1749,51 @@ def l5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wav = audio.synthesize_audio(docs, "doc_id", "text")
     return audio.audio_features(wav, "doc_id")
+
+
+@query(
+    "l6_deterministic_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS hv
+      FROM documents)
+    SELECT doc_id,
+           CAST(hv % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+                AS BIGINT) AS shard_pos
+    FROM h
+    """,
+    tags=("L6", "W1"),
+)
+def l6_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (operators/sampling.deterministic_
+    shuffle): the pre-training epoch permutation — every document gets a
+    reproducible (shard, shard_pos) address from a salted md5, so the
+    training order is identical across engines, reruns, and cluster
+    sizes.  One uniform hash shuffle + per-shard sort; no global sort, no
+    rand()."""
+    from ..operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", n_shards=8)
+
+
+@query(
+    "l3_pq_search",
+    oracle=None,  # PQ codebooks come from an RNG-seeded iterative k-means
+    #               fit — not SQL-expressible; rows-only check by design,
+    #               recall gate vs brute force in tests/test_llm_ops.py
+    #               (same policy as l3_ivf_kmeans_search)
+    tags=("L3",),
+)
+def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_search): corpus
+    vectors compress to m=8 codebook indices, the query scans the
+    compressed codes with an ADC lookup table, and the top candidates
+    rerank by exact integer dot — compressed-domain scan, exact returned
+    scores. Completes the ANN triad (LSH buckets, IVF cells, PQ codes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.pq_search(emb, q, k=20, m=8, ksub=16, refine=4)

@@ -15,7 +15,6 @@ tests/test_weather_fidelity.py.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
