@@ -1,0 +1,100 @@
+"""Semantics gates for the round-4 batch operators: exact heavy hitters
+(candidate+recount), CDC snapshot differencing, and the time-series
+linear-interpolation identity on crafted inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators.cdc import snapshot_diff
+from weather_etl_docker_airflow_project_spark.operators.heavyhitters import heavy_hitters
+
+
+def test_heavy_hitters_exact_on_skew(spark):
+    # zipf-ish crafted skew: key k appears 2**(10-k) times for k in 0..9,
+    # plus a long tail of singletons
+    rows = [(k,) for k in range(10) for _ in range(2 ** (10 - k))]
+    rows += [(1000 + i,) for i in range(500)]
+    df = spark.createDataFrame(rows, "key long").repartition(8)
+    got = {
+        (r["key"], r["n"])
+        for r in heavy_hitters(df, "key", k=5, capacity=256).collect()
+    }
+    want = {(k, 2 ** (10 - k)) for k in range(5)}
+    assert got == want
+
+
+def test_heavy_hitters_refuses_uncertifiable(spark):
+    # 600 distinct singletons, k=5, capacity 8: kth count 1 <= N/(C+1)
+    df = spark.createDataFrame([(i,) for i in range(600)], "key long").repartition(4)
+    with pytest.raises(ValueError, match="certify"):
+        heavy_hitters(df, "key", k=5, capacity=8)
+
+
+def test_heavy_hitters_tail_never_inflates(spark):
+    # the recount pass must produce EXACT counts even though the candidate
+    # pass undercounts: a key spread thinly across partitions still gets
+    # its true global count if it survives candidacy
+    rows = [(7,)] * 40 + [(i,) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "key long").repartition(8)
+    top = heavy_hitters(df, "key", k=1, capacity=64).collect()
+    assert [(r["key"], r["n"]) for r in top] == [(7, 40)]
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "id long, status string, price string")
+
+
+def test_snapshot_diff_classifies(spark):
+    old = _snap(spark, [(1, "A", "10"), (2, "B", "20"), (3, "C", "30")])
+    new = _snap(spark, [(2, "B", "20"), (3, "X", "30"), (4, "D", "40")])
+    got = {
+        (r["id"], r["change_type"])
+        for r in snapshot_diff(old, new, ["id"], ["status", "price"]).collect()
+    }
+    assert got == {(1, "delete"), (3, "update"), (4, "insert")}
+
+
+def test_snapshot_diff_null_not_empty_collision(spark):
+    # (NULL, 'x') must differ from ('', 'x') and from (' null', 'x') —
+    # the coalesce sentinel keeps the fingerprint injective enough that a
+    # NULL->'' transition is detected as an update
+    old = _snap(spark, [(1, None, "x"), (2, " null", "x")])
+    new = _snap(spark, [(1, "", "x"), (2, " null", "x")])
+    got = {
+        (r["id"], r["change_type"])
+        for r in snapshot_diff(old, new, ["id"], ["status", "price"]).collect()
+    }
+    assert got == {(1, "update")}
+
+
+def test_snapshot_diff_unchanged_is_empty(spark):
+    old = _snap(spark, [(1, "A", "10"), (2, "B", None)])
+    assert snapshot_diff(old, old, ["id"], ["status", "price"]).count() == 0
+
+
+def test_linear_interpolation_crafted(spark):
+    # one user, hours 0,1,2,3 with observations at 0 (v=10) and 3 (v=40):
+    # hours 1,2 must interpolate to 20, 30 exactly
+    from weather_etl_docker_airflow_project_spark.plans.timeseries_q import (
+        ts6_linear_interpolation,
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ts6")
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 03:30:00", 1, "view", 40.0, "{}"),
+        (3, "2024-01-01 03:40:00", 1, "view", 35.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["hr"].hour, r["value_filled"], r["is_interpolated"])
+        for r in ts6_linear_interpolation(spark, d).collect()
+    }
+    assert out == {(0, 10.0, False), (1, 20.0, True), (2, 30.0, True), (3, 40.0, False)}

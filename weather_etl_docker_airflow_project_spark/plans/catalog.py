@@ -193,6 +193,13 @@ _PRIORITY: tuple[str, ...] = (
     "l6_deterministic_shuffle",
     "f14_variant_suite",
     "l3_pq_search",
+    # round-4 batch 5: pipeline-analytics operators (heavy hitters via
+    # Misra-Gries candidate+recount, snapshot-diff CDC, interpolation and
+    # OHLC downsampling) — verified MATCH locally, r5 rotation candidates
+    "a18_heavy_hitters",
+    "cdc1_snapshot_diff",
+    "ts6_linear_interpolation",
+    "ts7_ohlc_bars",
     # displaced re-verification canaries (r1/r2 rows still stand; these are
     # the next r5 rotation candidates)
     "ref_weather_transform",

@@ -1889,3 +1889,102 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
+
+
+@query(
+    "a18_heavy_hitters",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT 20
+    """,
+    tags=("A2", "O3"),
+)
+def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 users by event count via the two-pass heavy-hitters
+    operator (operators/heavyhitters.py): per-partition Misra-Gries
+    candidate generation in one Arrow-batched mapInPandas (≤C keys leave
+    each partition regardless of key cardinality), then an exact recount
+    of the broadcast candidate set. The plain GROUP BY oracle checks it
+    exactly — the operator raises rather than answer if the k-th count
+    can't be certified above the N/(C+1) survival bound, so a green hash
+    here means the certificate held. At THIS cardinality a direct groupBy
+    would be fine; the two-pass shape is what survives a 100 TB fact with
+    billions of distinct keys, where shuffling every distinct key is the
+    bottleneck and only O(partitions x C) candidate rows may move.
+    Construction is eager (two tiny certification jobs run when the plan
+    is built — same bounded-driver contract as knn_multiquery)."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    return heavy_hitters(e, "user_id", k=20, capacity=4096).select(
+        "user_id", F.col("n").cast("long").alias("n_events")
+    )
+
+
+@query(
+    "cdc1_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7),
+    new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus,
+             o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 5),
+    o AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', coalesce(CAST(o_orderstatus AS VARCHAR), ' null'),
+                                coalesce(CAST(o_orderpriority AS VARCHAR), ' null'))) AS fp,
+             1 AS in_old
+      FROM old_snap),
+    n AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', coalesce(CAST(o_orderstatus AS VARCHAR), ' null'),
+                                coalesce(CAST(o_orderpriority AS VARCHAR), ' null'))) AS fp,
+             1 AS in_new
+      FROM new_snap)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.in_old IS NULL THEN 'insert'
+                WHEN n.in_new IS NULL THEN 'delete'
+                WHEN o.fp <> n.fp THEN 'update' END AS change_type
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.in_old IS NULL) OR (n.in_new IS NULL) OR (o.fp <> n.fp)
+    """,
+    tags=("J2", "F12"),
+)
+def cdc1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC by snapshot differencing (operators/cdc.py): two
+    deterministic synthetic snapshots of orders (keys mod-10/mod-13
+    partition into old-only = deletes and new-only = inserts; every third
+    key's status flips to 'X' = updates), diffed with ONE full-outer
+    shuffle on the key and a codegen md5 fingerprint comparison of the
+    tracked columns. Fingerprints are compared only within an engine, so
+    the declared output (key + change_type) is rendering-independent and
+    the oracle hash is exact. At 100 TB: write both snapshots bucketed on
+    the key (S12) and the same diff runs with zero Exchange; the tracked
+    payload never travels past the project that hashes it."""
+    from ..operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old_snap = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % 13 != 5)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    )
+    return snapshot_diff(
+        old_snap,
+        new_snap,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_orderpriority"],
+    )

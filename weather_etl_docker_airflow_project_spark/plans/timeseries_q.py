@@ -300,3 +300,142 @@ def ts5_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
         .select("cohort_week", "week_offset", "n_active")
     )
+
+
+@query(
+    "ts6_linear_interpolation",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, max(value) AS v
+      FROM events GROUP BY 1, 2),
+    hb AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM hb),
+    j AS (
+      SELECT g.user_id, g.hr, epoch_us(g.hr) AS hus, o.v,
+             last_value(o.v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN o.v IS NOT NULL THEN epoch_us(g.hr) END
+                        IGNORE NULLS) OVER wp AS ph,
+             first_value(o.v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN o.v IS NOT NULL THEN epoch_us(g.hr) END
+                         IGNORE NULLS) OVER wn AS nh
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
+      WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hr
+                    ROWS UNBOUNDED PRECEDING),
+             wn AS (PARTITION BY g.user_id ORDER BY g.hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hr,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * (CAST(hus - ph AS DOUBLE)
+                                       / CAST(nh - ph AS DOUBLE)) END
+               AS value_filled,
+           (v IS NULL) AS is_interpolated
+    FROM j
+    """,
+    tags=("W3", "F5", "F7"),
+)
+def ts6_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the densified hourly grid (the numeric
+    upgrade of ts2's forward-fill): missing hours get
+    ``v0 + (v1-v0) * (t-t0)/(t1-t0)`` between the straddling observed
+    points. Exactness by construction: the anchor series is max(value)
+    per hour (selection, no summation), the time ratio is a small-integer
+    microsecond difference cast to double, and the interpolation is four
+    IEEE double ops evaluated in the SAME parse order in both engines —
+    scalar float arithmetic is bit-deterministic, only reductions and
+    libm calls drift, and this uses neither. Grid endpoints are observed
+    by construction so interior gaps always have both anchors.
+
+    Scale: everything is partitioned by user_id — the grid explode, the
+    join, and BOTH window passes share one hash partitioning (Catalyst
+    reuses the Exchange; the forward and backward fills are two Sort
+    passes, no extra shuffle). Per-user grids are bounded by the user's
+    own observed span, so a sparse 100 TB corpus cannot explode into an
+    unbounded calendar."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.max("value").alias("v"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    wp = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    hus = F.unix_micros(F.col("hr"))
+    obs_h = F.when(F.col("v").isNotNull(), hus)
+    j = (
+        grid.join(obs, ["user_id", "hr"], "left")
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(obs_h, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(wn))
+    )
+    ratio = (hus - F.col("ph")).cast("double") / (F.col("nh") - F.col("ph")).cast(
+        "double"
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+        .alias("value_filled"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
+
+
+@query(
+    "ts7_ohlc_bars",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM events)
+    SELECT event_type, hr,
+           max(CASE WHEN rna = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rnd = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM x GROUP BY event_type, hr
+    """,
+    tags=("A2", "O4", "F5"),
+)
+def ts7_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampling to OHLC bars — hourly open/high/low/close of ``value``
+    per event_type, the standard lossy compaction before charting or
+    feature extraction on a tick-shaped stream. open/close are
+    ``min_by``/``max_by`` over the composite (ts, event_id) order (exact
+    selection, unique tie-break key), high/low are plain min/max — no
+    arithmetic on doubles anywhere, so the float outputs hash exactly.
+    The oracle states the same bars with rank-1 row_number picks, because
+    DuckDB's arg_min can't take a composite order key.
+
+    Scale: ONE shuffle on (event_type, hr); min_by/max_by partial-combine
+    map-side like any other aggregate, so the bar table leaving each
+    mapper is bounded by bars-per-mapper, not ticks — the right shape for
+    compacting a 100 TB tick archive to bars."""
+    e = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
