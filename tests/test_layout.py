@@ -108,3 +108,47 @@ def test_dq_rules_count_violations(spark):
 
     with _pytest.raises(ValueError, match="at least one rule"):
         dq.run_checks(df, [])
+
+
+def test_zorder_prunes_trailing_dimension(spark, tmp_path):
+    """The property that justifies Morton over lexicographic clustering:
+    with a high-cardinality leading column, the lexicographic layout's
+    per-file envelopes span the FULL domain of the trailing column (zero
+    pruning), while the Z-order layout keeps both dimensions tight enough
+    that a selective trailing-column predicate skips most files on footer
+    stats alone. Also asserts the rewrite is content-preserving."""
+    from weather_etl_docker_airflow_project_spark.operators.layout import (
+        clustered_write,
+        file_column_envelopes,
+        zorder_write,
+    )
+
+    grid = [(x, y) for x in range(128) for y in range(128)]
+    df = spark.createDataFrame(grid, "x long, y long").repartition(8)
+    lin, zor = str(tmp_path / "lin"), str(tmp_path / "zor")
+    clustered_write(df, lin, ["x", "y"], n_files=16)
+    zorder_write(df, zor, ["x", "y"], n_files=16)
+
+    def prunable(path, lo=0, hi=15):
+        env = file_column_envelopes(path, "y")
+        assert env, "footer stats missing"
+        return sum(1 for mn, mx in env if mx < lo or mn > hi)
+
+    n_lin, n_zor = prunable(lin), prunable(zor)
+    assert n_lin == 0, f"lexicographic layout unexpectedly pruned {n_lin}"
+    assert n_zor >= 8, f"zorder pruned only {n_zor}/16 files for y in [0,15]"
+
+    back = spark.read.parquet(zor)
+    assert back.count() == len(grid)
+    assert back.groupBy().agg({"x": "sum", "y": "sum"}).collect() == \
+        df.groupBy().agg({"x": "sum", "y": "sum"}).collect()
+
+
+def test_zorder_rejects_single_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from weather_etl_docker_airflow_project_spark.operators.layout import zorder_write
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with _pytest.raises(ValueError, match=">= 2"):
+        zorder_write(df, str(tmp_path / "z1"), ["x"])

@@ -231,3 +231,32 @@ def deterministic_shuffle(
         out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .drop("_hv")
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-proportional Bernoulli sampling, EXACT and deterministic:
+    row kept iff ``u * max_w < w * 2^32`` where ``u`` is the md5-derived
+    32-bit uniform of the row's key and ``max_w`` the corpus max weight —
+    i.e. inclusion probability w/max_w, decided by integer
+    cross-multiplication so no float division can disagree at a boundary
+    between engines. This is the quality-weighted document sampling stage
+    of a corpus pipeline (longer / higher-scoring documents kept
+    proportionally more often), reproducible by key like every sampler in
+    this module.
+
+    Scale: the decision is a pure per-row codegen predicate against one
+    broadcast scalar (max_w) — no shuffle, no RNG state, restart-safe.
+    Weights must be non-negative integers (raises otherwise at plan
+    level via the cast contract; floats would reintroduce rounding)."""
+    u = h32(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    mx = df.agg(F.max(F.col(weight_col)).cast("long").alias("_max_w"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(u * F.col("_max_w") < F.col(weight_col).cast("long") * F.lit(2**32))
+        .drop("_max_w")
+    )

@@ -200,6 +200,10 @@ _PRIORITY: tuple[str, ...] = (
     "cdc1_snapshot_diff",
     "ts6_linear_interpolation",
     "ts7_ohlc_bars",
+    "l4_bm25_topk",
+    "l6_weighted_sample",
+    "dq2_iqr_outliers",
+    "s13_zorder_clustered_scan",
     # displaced re-verification canaries (r1/r2 rows still stand; these are
     # the next r5 rotation candidates)
     "ref_weather_transform",

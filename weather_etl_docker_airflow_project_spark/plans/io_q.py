@@ -322,3 +322,115 @@ def dq1_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.unique("o_orderkey"),
         ],
     )
+
+
+@query(
+    "dq2_iqr_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders),
+    bounds AS (
+      SELECT o_orderpriority,
+             quantile_cont(c, 0.25) AS q1,
+             quantile_cont(c, 0.75) AS q3
+      FROM cents GROUP BY o_orderpriority)
+    SELECT c.o_orderpriority,
+           b.q1 - 1.5 * (b.q3 - b.q1) AS lo_cents,
+           b.q3 + 1.5 * (b.q3 - b.q1) AS hi_cents,
+           CAST(sum(CASE WHEN CAST(c.c AS DOUBLE) < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR CAST(c.c AS DOUBLE) > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM cents c JOIN bounds b ON b.o_orderpriority = c.o_orderpriority
+    GROUP BY c.o_orderpriority, b.q1, b.q3
+    """,
+    tags=("DQ", "A2"),
+)
+def dq2_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical data-quality: Tukey-fence (1.5x IQR) outlier counts of
+    order totals per priority — the distribution-drift check that runs
+    next to dq1's declarative rules before a batch is admitted. Exactness
+    by construction: prices become integer CENTS through the decimal
+    path, so the quartile interpolation (both engines: v0 + (v1-v0)*g
+    with g in {0,.25,.5,.75}) multiplies integers by dyadic fractions —
+    every float op is exact and the fences (q +/- 1.5*IQR) stay exact
+    dyadic doubles; the outlier comparison is then deterministic on both
+    engines. Scale: pass 1 reduces to one small per-group quartile table
+    (percentile partial-aggregates map-side), broadcast back for the
+    pass-2 count — the fact shuffles once, on the group key."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    bounds = cents.groupBy("o_orderpriority").agg(
+        F.percentile("c", 0.25).alias("q1"),
+        F.percentile("c", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    flagged = cents.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        lo.alias("lo_cents"),
+        hi.alias("hi_cents"),
+        F.when(
+            (F.col("c").cast("double") < lo) | (F.col("c").cast("double") > hi), 1
+        )
+        .otherwise(0)
+        .alias("is_out"),
+    )
+    return flagged.groupBy("o_orderpriority", "lo_cents", "hi_cents").agg(
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+@query(
+    "s13_zorder_clustered_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id BETWEEN 1000 AND 1999 AND user_id BETWEEN 100 AND 199
+    GROUP BY event_type
+    """,
+    tags=("S10", "S8"),
+)
+def s13_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout maintenance (operators/layout.zorder_write): events
+    rewritten Morton-clustered on (user_id, event_id) — bit-interleaved
+    16-bit min-max buckets, range-partitioned on the Morton key, pure
+    codegen expressions — then scanned back with a predicate on BOTH
+    dimensions. The oracle runs the same predicate on the original table:
+    a green hash proves the rewrite is content-preserving; the pruning
+    property itself (per-file footer envelopes tight on EACH dimension,
+    not just the leading one) is asserted in tests/test_layout.py. At
+    100 TB this is the nightly OPTIMIZE job that makes independent
+    point-range queries on either column skip ~sqrt-fraction of files
+    from footer stats alone."""
+    from ..io import scratch_dir
+    from ..operators.layout import zorder_write
+
+    e = load_table(spark, sf_dir, "events")
+    dst = os.path.join(scratch_dir("zorder"), "events_z")
+    zorder_write(e, dst, ["user_id", "event_id"], n_files=16)
+    scan = spark.read.parquet(dst)
+    return (
+        scan.filter(
+            F.col("event_id").between(1000, 1999)
+            & F.col("user_id").between(100, 199)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+    )

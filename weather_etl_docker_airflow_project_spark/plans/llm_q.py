@@ -1797,3 +1797,55 @@ def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return similarity.pq_search(emb, q, k=20, m=8, ksub=16, refine=4)
+
+
+_BM25_TERMS = ["spark", "join", "window", "vector"]
+
+from ..operators.retrieval import bm25_oracle_sql as _bm25_oracle  # noqa: E402
+
+
+@query(
+    "l4_bm25_topk",
+    oracle=_bm25_oracle(_BM25_TERMS, k=20, toks_sql=_TOKS),
+    tags=("L4", "L3"),
+)
+def l4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: rational-idf BM25 top-20 for the query
+    {spark, join, window, vector} (operators/retrieval.py — the log is
+    dropped from idf because libm ln is not bit-deterministic across
+    engines; every remaining op is exactly-rounded scalar IEEE arithmetic
+    and the per-document score adds per-term contributions in a FIXED
+    written order via pivot columns, never a float SUM aggregate). The
+    oracle SQL is GENERATED from the same term list so both engines state
+    the identical expression tree. Scale: the corpus token stream is
+    filtered to the query vocabulary BEFORE any shuffle; doc-frequency
+    and corpus stats are broadcast single-row sides; top-k compiles to
+    TakeOrderedAndProject."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+
+
+@query(
+    "l6_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    CROSS JOIN (SELECT max(n_chars) AS max_w FROM documents)
+    WHERE {{u}} * max_w < n_chars * 4294967296
+    """.format(u="(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"),
+    tags=("L6", "F12"),
+)
+def l6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling by document length
+    (operators/sampling.weighted_bernoulli_sample): each doc kept with
+    probability n_chars/max(n_chars), decided by integer
+    cross-multiplication of the md5-derived 32-bit uniform — exact on
+    both engines, no float division, no RNG. The sampler the corpus-mix
+    stage uses to upweight long documents without a shuffle: the
+    predicate is per-row codegen against one broadcast scalar."""
+    from ..operators.sampling import weighted_bernoulli_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_bernoulli_sample(docs, "doc_id", "n_chars")
