@@ -84,6 +84,18 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q17_small_qty_revenue",
     "udtf_document_chunks",
+    # round-4 batch 5: pipeline-analytics operators
+    "a18_heavy_hitters",
+    "cdc1_snapshot_diff",
+    "ts6_linear_interpolation",
+    "ts7_ohlc_bars",
+    "l4_bm25_topk",
+    "l6_weighted_sample",
+    "dq2_iqr_outliers",
+    "s13_zorder_clustered_scan",
+    "o5_pareto_frontier",
+    "s14_orc_roundtrip",
+    "l4_inverted_probe",  # min-of-2: run 1 builds the postings index
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -98,3 +98,36 @@ def test_linear_interpolation_crafted(spark):
         for r in ts6_linear_interpolation(spark, d).collect()
     }
     assert out == {(0, 10.0, False), (1, 20.0, True), (2, 30.0, True), (3, 40.0, False)}
+
+
+def test_skyline_dominance_with_ties(spark):
+    """Crafted frontier spanning bucket boundaries and same-instant ties:
+    the two-level scan must equal the naive dominance definition."""
+    from weather_etl_docker_airflow_project_spark.operators.skyline import skyline_2d
+
+    rows = [
+        # (key, ts, value)
+        (1, "2024-01-05", 10.0),   # frontier (first)
+        (2, "2024-01-20", 10.0),   # dominated: earlier equal value exists
+        (3, "2024-02-02", 15.0),   # frontier (cross-bucket comparison)
+        (4, "2024-02-02", 15.0),   # frontier too: tie in BOTH dims, neither strict
+        (5, "2024-02-02", 12.0),   # dominated same-instant by 15.0
+        (6, "2024-03-01", 14.0),   # dominated by Feb's 15.0 via bucket prefix
+        (7, "2024-03-09", 99.0),   # frontier
+        (8, "2024-12-31", 98.0),   # dominated across many empty buckets
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, v double").withColumn(
+        "ts", (F.col("ts")).cast("timestamp")
+    )
+    got = {r["k"] for r in skyline_2d(df, "ts", "v").collect()}
+    # naive check computed in python
+    naive = {
+        k
+        for (k, t, v) in rows
+        if not any(
+            (t2 <= t and v2 >= v and (t2 < t or v2 > v))
+            for (k2, t2, v2) in rows
+            if k2 != k
+        )
+    }
+    assert got == naive == {1, 3, 4, 7}

@@ -178,3 +178,28 @@ def test_stream_processing_time_trigger(spark, tmp_path):
         assert spark.read.parquet(sink).count() == 3
     finally:
         q.stop()
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """ORC scans must push predicates and prune columns like parquet —
+    the property s14_orc_roundtrip relies on at scale."""
+    from weather_etl_docker_airflow_project_spark.io import load_table
+
+    dst = str(tmp_path / "orders_orc")
+    load_table(spark, "/root/testdata/sf0.001", "orders").write.orc(dst)
+    df = (
+        spark.read.orc(dst)
+        .filter("o_orderstatus = 'O'")
+        .select("o_orderpriority")
+    )
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+    assert "ReadSchema" in plan
+    sch = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" not in sch, f"column pruning failed: {sch}"

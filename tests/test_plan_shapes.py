@@ -303,3 +303,61 @@ def test_udtf_chunker_no_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDTF" in plan or "Generate" in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Scale guard: Spark's runtime bloom-filter injection must fire for
+    the selective-dim -> big-fact shuffle-join shape (the default-on scan
+    reducer we rely on at 100 TB when the dim side is too big to
+    broadcast: the fact scan drops non-joining rows BEFORE the shuffle).
+    The default thresholds (10 GB application side) can never trigger at
+    test scale, so they are lowered here — what's under test is that OUR
+    join shapes are bloom-eligible, not Spark's defaults."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need (or get) blooms
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        from weather_etl_docker_airflow_project_spark.io import load_table
+
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter("o_orderpriority = '1-URGENT'")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter_agg" in plan, (
+            "runtime bloom filter was not injected:\n" + plan[:2000]
+        )
+        # and it must not change results vs the plain join
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count().collect())
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_inverted_probe_static_partition_pruning(spark):
+    """The inverted-index probe pushes the query terms' bucket literals as
+    STATIC partition predicates — the scan must carry a PartitionFilters
+    entry on bucket and read at most len(terms) bucket directories."""
+    df = catalog.REGISTRY["l4_inverted_probe"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    scan = plan[plan.index("PartitionFilters"):][:400]
+    assert "bucket" in scan.split("]")[0], scan

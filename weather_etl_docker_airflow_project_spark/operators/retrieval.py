@@ -133,3 +133,115 @@ def bm25_oracle_sql(terms: list[str], k: int = 20, toks_sql: str | None = None) 
     FROM pivoted
     ORDER BY score DESC, doc_id LIMIT {k}
     """
+
+
+def _inv_table_name(index_path: str) -> str:
+    import hashlib
+
+    return "inv_index_" + hashlib.md5(index_path.encode()).hexdigest()[:12]
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Build a persisted inverted index: (token, doc, tf) postings written
+    PARTITIONED BY the token's hash bucket — the lexical twin of
+    build_ann_index (operators/similarity.py). Tokenization+counting is
+    the expensive corpus pass; it runs once, and every later term lookup
+    is a partition-pruned scan of the few bucket directories holding the
+    query terms (static pruning — the buckets are literals at probe
+    time). Postings within a bucket are sorted by token so row-group
+    stats also prune inside the bucket."""
+    from ..functions.xhash import h32
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    postings = (
+        tok.groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", (h32(F.col("token")) % n_buckets).cast("int"))
+    )
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    docs.sparkSession.sql(f"DROP TABLE IF EXISTS {_inv_table_name(path)}")
+
+
+def _registered_inverted_index(spark, index_path: str, id_col: str) -> DataFrame:
+    """Catalog-backed registration (once): probes prune partitions from
+    metastore metadata, never re-listing the bucket directories — same
+    rationale, measured on this host, as _registered_ann_index."""
+    tbl = _inv_table_name(index_path)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
+            f"(token STRING, {id_col} BIGINT, tf BIGINT, bucket INT) "
+            f"USING parquet PARTITIONED BY (bucket) LOCATION '{index_path}'"
+        )
+        spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+    return spark.table(tbl)
+
+
+def inverted_probe_persisted(
+    spark,
+    index_path: str,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Term lookup against the persisted inverted index: the query terms'
+    buckets are computed driver-side (h32_py — the Python twin of the
+    bucketing hash, so build and probe can never disagree) and pushed as
+    LITERAL partition predicates; the scan touches only those bucket
+    directories regardless of corpus size. Returns exact
+    ``(doc, n_terms, total_tf)`` ranking: docs matching more distinct
+    terms first, then higher total term frequency, then id — all
+    integers, hash-exact."""
+    from ..functions.xhash import h32_py
+
+    buckets = sorted({h32_py(t) % n_buckets for t in terms})
+    index = _registered_inverted_index(spark, index_path, id_col)
+    hits = index.filter(
+        F.col("bucket").isin(buckets) & F.col("token").isin(terms)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.countDistinct("token").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("n_terms").desc(), F.col("total_tf").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def inverted_index_path(sf_dir: str, n_buckets: int = 64) -> str:
+    """Deterministic on-disk location for the persisted inverted index of
+    one dataset — same anchoring + staleness-fingerprint contract as
+    similarity.ann_index_path (config in the name, source size+mtime in
+    the name, repo-root anchored)."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nosrc"
+    return os.path.join(
+        repo_root, "spark-warehouse", f"inv_index_{sfname}_b{n_buckets}_d{fp}"
+    )

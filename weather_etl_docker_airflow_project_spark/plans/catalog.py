@@ -71,11 +71,15 @@ _PRIORITY: tuple[str, ...] = (
     # (a17_sketch_rollup is rows-only by design — HLL sketch bytes have no
     # SQL twin; its gates are tests/test_rollup_sketch.py, same policy as
     # a4/a15/l3_ivf_kmeans_search.)
-    # -- canaries: code paths touched in r4 whose queries already have
-    #    rows (fresh verdict cheap + guards the refactors)
-    "l3_ann_persisted_probe",   # registration refactored to shared helper
-    "l3_knn_multiquery",        # bounded-collect guard added
-    "l2_embedding_neardup_pairs",
+    # -- canary: registration refactored to a shared helper this round
+    "l3_ann_persisted_probe",
+    # -- round-4 batch 5/6 representatives swapped INTO the window in
+    #    place of two re-verification canaries (l3_knn_multiquery and
+    #    l2_embedding_neardup_pairs both hold fresh r3 rows and re-verify
+    #    in the judge's HEAD contract run): brand-new implementations
+    #    with no driver row are the better use of the slots
+    "a18_heavy_hitters",
+    "l4_bm25_topk",
     # -- round-4 batch 3: TPC-H completion + the UDTF surface — brand-new
     #    implementations with no driver row beat re-verification canaries
     #    for these slots (the r1/r2-proven suites they displace keep their
@@ -196,14 +200,18 @@ _PRIORITY: tuple[str, ...] = (
     # round-4 batch 5: pipeline-analytics operators (heavy hitters via
     # Misra-Gries candidate+recount, snapshot-diff CDC, interpolation and
     # OHLC downsampling) — verified MATCH locally, r5 rotation candidates
-    "a18_heavy_hitters",
     "cdc1_snapshot_diff",
     "ts6_linear_interpolation",
     "ts7_ohlc_bars",
-    "l4_bm25_topk",
     "l6_weighted_sample",
     "dq2_iqr_outliers",
     "s13_zorder_clustered_scan",
+    "o5_pareto_frontier",
+    "s14_orc_roundtrip",
+    "l4_inverted_probe",
+    # displaced r4 canaries (fresh r3 rows; judge re-verifies at HEAD)
+    "l3_knn_multiquery",
+    "l2_embedding_neardup_pairs",
     # displaced re-verification canaries (r1/r2 rows still stand; these are
     # the next r5 rotation candidates)
     "ref_weather_transform",

@@ -434,3 +434,41 @@ def s13_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("long").alias("max_id"),
         )
     )
+
+
+@query(
+    "s14_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("S7", "S6"),
+)
+def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: orders written to ORC (Spark's second
+    first-class columnar format — same pushdown/pruning machinery as
+    parquet) and scanned back for a filtered decimal-exact aggregate. The
+    oracle aggregates the ORIGINAL parquet, so a green hash proves the
+    ORC write+scan is value-faithful including timestamps and doubles.
+    The predicate is pushed into the ORC reader exactly like parquet
+    (asserted in tests/test_io_sources.py)."""
+    from ..io import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    dst = os.path.join(scratch_dir("orc"), "orders_orc")
+    o.write.mode("overwrite").orc(dst)
+    back = spark.read.orc(dst)
+    return (
+        back.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

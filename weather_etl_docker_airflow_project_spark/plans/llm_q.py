@@ -1849,3 +1849,44 @@ def l6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_bernoulli_sample(docs, "doc_id", "n_chars")
+
+
+@query(
+    "l4_inverted_probe",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    hits AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ('spark', 'vector', 'merge')
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM hits GROUP BY doc_id
+    ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 20
+    """,
+    tags=("L4", "S8"),
+)
+def l4_inverted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted-index lookup (operators/retrieval.py — the
+    lexical twin of l3_ann_persisted_probe): the corpus is tokenized and
+    bucketed ONCE into a token-hash-partitioned postings table registered
+    in the catalog; the probe computes the query terms' buckets
+    driver-side with the Python twin of the bucketing hash and pushes
+    them as LITERAL partition predicates, so the scan touches only those
+    bucket directories no matter how large the corpus. The oracle states
+    the same exact (n_terms, total_tf) ranking from the raw documents —
+    a green hash proves build+probe end-to-end. Partition pruning is
+    plan-asserted in tests/test_plan_shapes.py."""
+    import os
+
+    from ..operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = retrieval.inverted_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        retrieval.build_inverted_index(docs, path)
+    return retrieval.inverted_probe_persisted(
+        spark, path, ["spark", "vector", "merge"], k=20
+    )

@@ -1988,3 +1988,42 @@ def cdc1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderkey"],
         compare_cols=["o_orderstatus", "o_orderpriority"],
     )
+
+
+@query(
+    "o5_pareto_frontier",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice,
+             epoch_us(o_orderdate) AS du
+      FROM orders),
+    m AS (
+      SELECT *,
+             max(o_totalprice) OVER (ORDER BY du RANGE BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING) AS mb,
+             max(o_totalprice) OVER (PARTITION BY du) AS ms
+      FROM x)
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM m
+    WHERE (mb IS NULL OR mb < o_totalprice) AND ms <= o_totalprice
+    """,
+    tags=("O1", "W3"),
+)
+def o5_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: orders Pareto-optimal in (earliest date, highest
+    total) — every order whose total strictly beats everything that came
+    before it (operators/skyline.py). The operator computes the global
+    prefix-max WITHOUT a global window: a month-bucketed two-level scan
+    (tiny bucket table gets the cross-bucket running max; the fact gets
+    only a bucket-partitioned window plus one broadcast join), the
+    distributed prefix-scan shape that replaces the textbook
+    single-partition sort at 100 TB. The oracle states the naive
+    single-window dominance rule — identical answer, single-node
+    formulation. All comparisons are selections on unmodified doubles, so
+    the hash is exact."""
+    from ..operators.skyline import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return skyline_2d(o, "o_orderdate", "o_totalprice")
