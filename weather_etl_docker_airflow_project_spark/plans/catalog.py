@@ -25,6 +25,7 @@ from . import llm_q  # noqa: F401
 from . import io_q  # noqa: F401
 from . import timeseries_q  # noqa: F401
 from . import tpch_q  # noqa: F401
+from . import mining_q  # noqa: F401
 
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 

@@ -1,0 +1,153 @@
+"""Graph + pattern-mining query surface: PageRank over the purchase graph
+and market-basket frequent pairs — the two classic "mining" shapes a
+corpus/feature pipeline runs next to dedup (connected components already
+live in operators/components.py).
+
+Oracle strategy: PageRank is all-BIGINT fixed-point (operators/graph.py —
+integer sums are order-free, so an iterative float algorithm becomes
+hash-exact); frequent pairs is pure integer counting. Ties in every
+top-k are broken by the natural key columns.
+
+Reference parity: the reference (airflow/dags/weather_etl.py, a single
+weather DAG) has no mining surface; this extends the engine per the
+brief's training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.graph import SCALE, pagerank_fixed_point
+from .registry import query
+
+_N_ITER = 4
+_MAX_BASKET = 32  # declared hot-basket cap (same policy as the fuzzy-join
+_MIN_SUPPORT = 2  # and ngram-Jaccard hot-block caps) — bounds the
+#                   per-basket quadratic pair expansion at any scale.
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(%(S)d AS BIGINT) AS r FROM deg)"""
+        % {"S": SCALE}
+    ]
+    for k in range(1, _N_ITER + 1):
+        parts.append(
+            """
+    i%(k)d AS (
+      SELECT e.dst AS node, SUM(r.r // d.outdeg) AS agg
+      FROM edges e
+      JOIN r%(p)d r ON r.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY e.dst),
+    r%(k)d AS (
+      SELECT d.node,
+             CAST(%(T)d + (85 * COALESCE(i.agg, 0)) // 100
+                  AS BIGINT) AS r
+      FROM deg d LEFT JOIN i%(k)d i ON i.node = d.node)"""
+            % {"k": k, "p": k - 1, "T": (15 * SCALE) // 100}
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT node, r AS rank_scaled FROM r{_N_ITER}
+    ORDER BY rank_scaled DESC, node LIMIT 20
+    """
+    )
+
+
+@query(
+    "g1_pagerank_purchase_graph",
+    oracle=_pagerank_oracle(),
+    tags=("J1", "A2", "L2"),
+)
+def g1_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (4 synchronous iterations, damping 0.85) over the
+    undirected customer↔supplier purchase graph, top-20 nodes.
+
+    The iterative float reduction that normally makes PageRank
+    un-oracle-able is made hash-exact by BIGINT fixed-point arithmetic
+    (operators/graph.py — the same "integer sums are order-free"
+    discipline as the a14 sufficient-statistics suite). Edge build is one
+    join + distinct; each iteration is one edge-partitioned join + one
+    groupBy — the minimal shuffle shape, and co-locatable at 100 TB by
+    bucketing the edge table on ``src``. The oracle unrolls the four
+    iterations as CTEs with the SAME integer update rule.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_fixed_point(edges, n_iter=_N_ITER)
+    return ranks.orderBy(F.desc("rank_scaled"), "node").limit(20)
+
+
+@query(
+    "a19_frequent_pairs",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM it GROUP BY l_orderkey
+           HAVING count(*) <= {_MAX_BASKET}),
+    fit AS (SELECT it.l_orderkey, it.l_partkey FROM it JOIN ok USING (l_orderkey)),
+    c AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS support
+      FROM fit a JOIN fit b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT p1, p2, support FROM c WHERE support >= {_MIN_SUPPORT}
+    ORDER BY support DESC, p1, p2 LIMIT 50
+    """,
+    tags=("A2", "J6", "O3"),
+)
+def a19_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent item pairs (the support-counting core of
+    apriori/FP-growth): baskets are orders, items are distinct parts per
+    order; co-occurring pairs with support ≥ {min_sup}, top-50 with ties
+    broken on the pair key.
+
+    Scale shape: the per-basket pair expansion is quadratic in basket
+    size, so baskets larger than the DECLARED cap ({cap}) are dropped
+    before the self-join — the same hot-key policy as the ngram-Jaccard
+    and fuzzy-join caps, mirrored in the oracle. Both sides of the
+    self-join shuffle once on the basket key (identical partitioning —
+    AQE plans a single Exchange per side), the pair count is map-side
+    combinable, and the top-50 compiles to TakeOrderedAndProject (no
+    global sort).
+    """.format(min_sup=_MIN_SUPPORT, cap=_MAX_BASKET)
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.select("l_orderkey", "l_partkey").distinct()
+    ok = it.groupBy("l_orderkey").count().filter(F.col("count") <= _MAX_BASKET).select("l_orderkey")
+    fit = it.join(ok, "l_orderkey")
+    a, b = fit.alias("a"), fit.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _MIN_SUPPORT)
+        .orderBy(F.desc("support"), "p1", "p2")
+        .limit(50)
+    )

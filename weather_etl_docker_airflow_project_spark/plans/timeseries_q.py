@@ -439,3 +439,83 @@ def ts7_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_obs"),
         )
     )
+
+
+# --- ts8: truncated-window EWMA ------------------------------------------
+# alpha = 0.5, so the lag weights (1-alpha)^k are exact powers of two —
+# every constant below is exactly representable and every product/ sum is a
+# single correctly-rounded IEEE op. The EWMA is truncated at 8 lags (weight
+# beyond lag 7 is < 0.4% of the mass) so the whole reduction is a FIXED
+# written-order scalar expression `x + 0.5*lag1 + ... + 0.0078125*lag7`
+# evaluated identically in Spark and DuckDB — no float SUM aggregate, no
+# engine-dependent reduction order. (The same discipline as the a14
+# sufficient-statistics and BM25 fixed-order scoring.)
+_EWMA_WEIGHTS = ["1.0", "0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625", "0.0078125"]
+
+
+def _ewma_num_sql() -> str:
+    terms = ["value"]
+    for k, w in enumerate(_EWMA_WEIGHTS[1:], start=1):
+        terms.append(f"CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0.0 "
+                     f"ELSE {w} * lag(value, {k}) OVER w END")
+    return " + ".join(terms)
+
+
+def _ewma_den_sql() -> str:
+    terms = ["1.0"]
+    for k, w in enumerate(_EWMA_WEIGHTS[1:], start=1):
+        terms.append(f"CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0.0 ELSE {w} END")
+    return " + ".join(terms)
+
+
+@query(
+    "ts8_ewma_smoothing",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             ({_ewma_num_sql()}) / ({_ewma_den_sql()}) AS ewma8,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                 AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, ts, value, ewma8 FROM s WHERE rn <= 3
+    """,
+    tags=("W2", "W3"),
+)
+def ts8_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.5, adjusted form)
+    over each user's event-value series, truncated at 8 lags; returns the
+    3 most recent smoothed points per user.
+
+    Hash-exactness: the EWMA reduction is materialized as a fixed
+    written-order scalar expression over ``lag(value, k)`` columns with
+    power-of-two weights (module comment above) — both engines evaluate
+    the identical IEEE op sequence, so the doubles hash bit-exactly. The
+    adjusted-EWMA denominator drops exactly the weights whose lag is
+    missing at the head of the series.
+
+    Scale shape: ONE shuffle on user_id — the lag window, the recency
+    row_number, and the final filter all reuse the same
+    Exchange+Sort(user_id, ts) (Catalyst plans a single sort for both
+    window specs' partition key; the DESC ordering is a separate Sort but
+    no new Exchange). At 100 TB of events this is the same shape as
+    ts1's sessionizer: per-entity ordered state, never a global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.expr("value")
+    den = F.lit(1.0)
+    for k, wt in enumerate(_EWMA_WEIGHTS[1:], start=1):
+        lagk = F.lag("value", k).over(w)
+        num = num + F.when(lagk.isNull(), F.lit(0.0)).otherwise(F.lit(float(wt)) * lagk)
+        den = den + F.when(lagk.isNull(), F.lit(0.0)).otherwise(F.lit(float(wt)))
+    recency = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select(
+            "user_id", "event_id", "ts", "value",
+            (num / den).alias("ewma8"),
+            F.row_number().over(recency).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
