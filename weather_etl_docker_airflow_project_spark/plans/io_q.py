@@ -472,3 +472,111 @@ def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "s15_python_datasource_feed",
+    oracle="""
+    WITH grid AS (
+      SELECT s.station_id, o.obs_seq
+      FROM (SELECT unnest(generate_series(0, 3)) AS station_id) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 249)) AS obs_seq) o),
+    feed AS (
+      SELECT station_id, obs_seq,
+             (station_id * 1000003 + obs_seq * 7919) % 60000 - 20000 AS temp_c_milli,
+             (station_id * 31 + obs_seq * 17) % 101 AS humidity_pct,
+             ['N','NE','E','SE','S','SW','W','NW'][(station_id + obs_seq) % 8 + 1]
+                 AS wind_dir
+      FROM grid)
+    SELECT CAST(station_id AS BIGINT) AS station_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(min(temp_c_milli) AS BIGINT) AS min_temp,
+           CAST(max(temp_c_milli) AS BIGINT) AS max_temp,
+           CAST(sum(temp_c_milli) AS BIGINT) AS sum_temp,
+           CAST(sum(CASE WHEN wind_dir = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_north
+    FROM feed
+    WHERE station_id >= 1 AND humidity_pct >= 50
+    GROUP BY station_id
+    """,
+    tags=("S1", "S9", "P6"),
+)
+def s15_python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (the Spark 4 DataSource API): the
+    deterministic weather-station feed (sources/pyds.py) read through
+    ``spark.read.format('weather_feed')`` — the engine's Spark-first
+    re-expression of the reference's driver-side REST poll (reference
+    airflow/dags/weather_etl.py:95-117): one InputPartition per station
+    fans the fetch out across executors instead of serializing through
+    the driver, and the ``station_id >= 1`` predicate is PUSHED into the
+    source (``pushFilters``), which prunes station-0's partition at
+    planning time — never generated, never scanned (asserted in
+    tests/test_python_datasource.py). The humidity predicate stays
+    Spark-side (codegen filter). At 100 TB / 10k stations this is the
+    shape that matters: source-side partition pruning + executor-side
+    fetch, zero driver bottleneck.
+
+    The oracle regenerates the same closed-form integer feed from
+    generate_series — all-BIGINT, hash-exact."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    feed = (
+        spark.read.format("weather_feed")
+        .option("stations", "4")
+        .option("obs_per_station", "250")
+        .load()
+    )
+    return (
+        feed.filter((F.col("station_id") >= 1) & (F.col("humidity_pct") >= 50))
+        .groupBy("station_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.min("temp_c_milli").alias("min_temp"),
+            F.max("temp_c_milli").alias("max_temp"),
+            F.sum("temp_c_milli").alias("sum_temp"),
+            F.sum(F.when(F.col("wind_dir") == "N", 1).otherwise(0))
+            .cast("long")
+            .alias("n_north"),
+        )
+    )
+
+
+@query(
+    "s16_python_datasource_sink",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("S3", "S8"),
+)
+def s16_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON SINK exercising the DataSourceWriter COMMIT PROTOCOL
+    (sources/pyds.py ScratchJsonSink): every task writes its partition to
+    a privately-named file and returns a WriterCommitMessage; commit()
+    publishes exactly the committed files into a manifest, so output from
+    failed or speculative task attempts is never observable — the same
+    contract as Spark's file output committer, in pure Python (abort-path
+    asserted in tests/test_python_datasource.py). The round-trip reads
+    ONLY manifest-listed files back (explicit schema, no inference scan)
+    and aggregates; the oracle aggregates the original orders table, so a
+    green hash proves the sink is exactly-once and value-faithful.
+
+    Float-free by construction: the JSON carries only BIGINT/STRING
+    columns, so serialization can't introduce drift."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    dst = scratch_dir("pysink")
+    o.write.format("scratch_jsonl").option("path", dst).mode("append").save()
+    back = spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING").json(
+        pyds.manifest_files(dst)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
