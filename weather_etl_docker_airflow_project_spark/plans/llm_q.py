@@ -1890,3 +1890,39 @@ def l4_inverted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.inverted_probe_persisted(
         spark, path, ["spark", "vector", "merge"], k=20
     )
+
+
+@query(
+    "l3_int8_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             COALESCE(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 0.0) AS max_abs,
+             embedding
+      FROM embeddings)
+    SELECT vec_id, max_abs,
+           CASE WHEN max_abs = 0.0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5)
+                          AS INT))
+           END AS q
+    FROM m
+    """,
+    tags=("L3", "F10"),
+)
+def l3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus via
+    ``mapInArrow`` (operators/quantize.py) — the Arrow-native batch path:
+    the list column quantizes as vectorized numpy ops over the zero-copy
+    flat buffer, no pandas, no per-row Python, no shuffle. The oracle
+    restates the same fixed-order IEEE arithmetic with DuckDB list
+    lambdas; `floor(x + 0.5)` half-up rounding is used on BOTH sides
+    because numpy round() is half-to-even while SQL round() is half-away
+    (module docstring). Hash-green proves the Arrow path bit-faithful.
+    """
+    from ..operators.quantize import int8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize(emb, "vec_id", "embedding")
