@@ -379,3 +379,40 @@ def f14_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.amounts[0]", "double").alias("total_v"),
         F.try_variant_get(v, "$.nope", "int").alias("missing_v"),
     )
+
+
+@query(
+    "f15_xml_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey < 200
+    """,
+    tags=("F9", "S2"),
+)
+def f15_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML function surface (Spark 4 built-ins): a document built with
+    concat is torn back apart with xpath_long/xpath_string, and a
+    to_xml(struct) -> from_xml round-trip recovers the priority field.
+    The output is exactly the source columns, so the identity oracle
+    proves the XML serializer and BOTH parsers (xpath and schema-based
+    from_xml) are value-faithful — any escaping or whitespace bug breaks
+    the hash. All expressions are JVM codegen (no UDFs); at scale this is
+    a pure map stage over the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"), F.col("o_orderstatus"),
+        F.lit("</s></o>"),
+    )
+    roundtrip = F.from_xml(
+        F.to_xml(F.struct(F.col("o_orderpriority").alias("pri"))),
+        "pri STRING",
+    )
+    return o.select(
+        F.expr(
+            "xpath_long(concat('<o><k>', CAST(o_orderkey AS STRING), "
+            "'</k><s>', o_orderstatus, '</s></o>'), '/o/k/text()')"
+        ).alias("o_orderkey"),
+        F.xpath_string(xml, F.lit("/o/s/text()")).alias("o_orderstatus"),
+        roundtrip.getField("pri").alias("o_orderpriority"),
+    )

@@ -2027,3 +2027,83 @@ def o5_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     return skyline_2d(o, "o_orderdate", "o_totalprice")
+
+
+@query(
+    "p8_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+    tags=("P7", "O3", "J1"),
+)
+def p8_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 customers per nation by
+    balance) — the SQL-standard spelling of grouped top-k. Catalyst
+    decorrelates the LATERAL into a DomainJoin and rewrites the
+    per-invocation LIMIT as a rank window over the join — the optimizer
+    path a hand-written window query (w1) skips. One shuffle on the
+    correlation key at any scale; identical SQL runs on both engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation_v n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_v
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )
+
+
+@query(
+    "p9_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-08-01'),
+    agg AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT months.m, COALESCE(agg.n_orders, 0) AS n_orders,
+           COALESCE(agg.revenue, 0.0) AS revenue
+    FROM months LEFT JOIN agg ON agg.m = months.m
+    """,
+    tags=("P5", "A2", "F5"),
+)
+def p9_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4's WITH RECURSIVE): a gap-free monthly
+    calendar spine generated by recursion, left-joined to monthly order
+    aggregates so empty months surface as explicit zero rows — the
+    classic reporting-spine shape, with revenue through the DECIMAL money
+    convention. The spine bounds are fixed literals covering the testdata
+    generator's date range (TESTDATA.md), so the recursion depth is
+    static (~80 iterations over one-row frames — driver-side cost only,
+    nothing scales with the fact table; the monthly aggregate is the one
+    shuffle). Identical SQL runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '2001-08-01'),
+        agg AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders_v GROUP BY 1)
+        SELECT months.m, COALESCE(agg.n_orders, 0L) AS n_orders,
+               COALESCE(agg.revenue, 0.0D) AS revenue
+        FROM months LEFT JOIN agg ON agg.m = months.m
+        """
+    )
