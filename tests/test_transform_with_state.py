@@ -1,0 +1,51 @@
+"""Gate for the transformWithStateInPandas operator
+(streaming/windows.py transform_with_state_stats).
+
+ENV-BOUNDED: the transformWithState Python state-server protocol needs
+``protobuf``, which is not installed in this container — the whole module
+skips cleanly there and runs wherever protobuf exists (any standard
+Spark 4 deployment). The in-contract arbitrary-stateful coverage is T8
+(applyInPandasWithState), which has no protobuf dependency.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytest.importorskip("google.protobuf")
+
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.streaming import windows
+
+
+@pytest.fixture
+def sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_transform_with_state_equals_batch_aggregate(spark, sf_dir):
+    ev = windows.stream_events(spark, sf_dir).filter(F.col("user_id") < 10)
+    got = {
+        r["user_id"]: (r["n_events"], r["id_checksum"], r["max_value"])
+        for r in windows.run_available_now(
+            windows.transform_with_state_stats(ev), output_mode="update"
+        ).collect()
+    }
+    from weather_etl_docker_airflow_project_spark.io import load_table
+
+    want = {
+        r["user_id"]: (r["n"], r["chk"], r["mx"])
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("chk"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -474,3 +474,50 @@ def t2_weather_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pipeline.start_stream(spark, landing, sink, ckpt, available_now=True)
     q.awaitTermination(300)
     return spark.read.parquet(sink)
+
+
+@query(
+    "t15_stream_python_source",
+    oracle="""
+    WITH seq AS (SELECT unnest(generate_series(0, 199)) AS i),
+    feed AS (
+      SELECT (i % 2) AS station_id, (i // 2) AS obs_seq,
+             ((i % 2) * 1000003 + (i // 2) * 7919) % 60000 - 20000 AS temp_c_milli,
+             ['N','NE','E','SE','S','SW','W','NW'][((i % 2) + (i // 2)) % 8 + 1]
+                 AS wind_dir
+      FROM seq)
+    SELECT wind_dir,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(temp_c_milli) AS BIGINT) AS sum_temp,
+           CAST(min(obs_seq) AS BIGINT) AS first_seq
+    FROM feed GROUP BY wind_dir
+    """,
+    tags=("T1", "S1", "T8"),
+)
+def t15_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python data source (SimpleDataSourceStreamReader,
+    sources/pyds.py FeedStreamReader): the closed-form station feed
+    arrives as a stream of cursor-offset micro-batches (the Spark-first
+    re-expression of the reference's 2-minute polling DAG cadence,
+    reference airflow/dags/weather_etl.py:25-32 — the poll loop becomes
+    source offsets); availableNow drains all 200 observations through the
+    offset protocol, a complete-mode aggregate folds them per wind
+    direction, and the all-BIGINT oracle regenerates the same feed from
+    generate_series. Crash-replay determinism (readBetweenOffsets
+    regenerating byte-identical chunks) is what makes the green hash
+    possible at all — a nondeterministic source could never match."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    feed = (
+        spark.readStream.format("weather_feed_stream")
+        .option("stations", "2")
+        .option("obs_per_station", "100")
+        .load()
+    )
+    agg = feed.groupBy("wind_dir").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("temp_c_milli").alias("sum_temp"),
+        F.min("obs_seq").alias("first_seq"),
+    )
+    return windows.run_available_now(agg, output_mode="complete")

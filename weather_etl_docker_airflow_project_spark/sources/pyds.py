@@ -33,6 +33,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    SimpleDataSourceStreamReader,
     DataSourceReader,
     DataSourceWriter,
     EqualTo,
@@ -176,8 +177,60 @@ def register(spark) -> None:
     Python-source filter-pushdown conf (runtime-settable; off by default,
     and the round driver's vanilla session won't have set it)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    for cls in (WeatherFeedDataSource, ScratchJsonSink):
+    for cls in (WeatherFeedDataSource, ScratchJsonSink, WeatherFeedStreamSource):
         try:
             spark.dataSource.register(cls)
         except Exception:
             pass  # already registered on this session
+
+
+class FeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant of the weather feed: offsets are a plain row
+    cursor into the same closed-form (station, seq) space, so replays
+    (``readBetweenOffsets`` after a crash) regenerate byte-identical
+    rows — the property that makes the source exactly-once-capable."""
+
+    def __init__(self, options):
+        self.n_stations = int(options.get("stations", 2))
+        self.obs_per_station = int(options.get("obs_per_station", 100))
+        self.total = self.n_stations * self.obs_per_station
+        # rows returned per read() poll; 0 = everything available. An
+        # availableNow run snapshots ONE prefetched chunk as its end
+        # offset, so the contract query leaves this at 0 (full drain in
+        # one batch); a live processingTime run would set a real rate
+        # limit here.
+        self.chunk = int(options.get("chunk", 0)) or self.total
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # materialized list, not a generator: the engine deep-copies the
+        # prefetched chunk into its offset cache, and generators don't
+        # pickle
+        return [feed_row(i % self.n_stations, i // self.n_stations) for i in range(lo, hi)]
+
+    def read(self, start: dict):
+        lo = start["i"]
+        if lo >= self.total:  # caught up: no rows, offset unchanged
+            return ([], start)
+        hi = min(lo + self.chunk, self.total)
+        return (self._rows(lo, hi), {"i": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], end["i"])
+
+
+class WeatherFeedStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "weather_feed_stream"
+
+    def schema(self) -> str:
+        return (
+            "station_id BIGINT, obs_seq BIGINT, temp_c_milli BIGINT, "
+            "humidity_pct BIGINT, wind_dir STRING"
+        )
+
+    def simpleStreamReader(self, schema) -> FeedStreamReader:
+        return FeedStreamReader(self.options)

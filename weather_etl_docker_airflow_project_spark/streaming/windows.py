@@ -229,3 +229,83 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_stats(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing on the transformWithStateInPandas
+    API (Spark 4's successor to applyInPandasWithState, backed by the
+    RocksDB-ready multi-state runtime): per-user running
+    (count, id-checksum, max) kept in a typed ValueState and emitted each
+    batch. The stats are chosen order-free (BIGINT count/sum + double max)
+    so the emitted values are bit-deterministic under any partitioning.
+    At scale this is the API for serving-grade streaming state: state rows
+    live in the state store keyed by user, not in executor heap.
+
+    ENV-BOUNDED (not in the driver contract): the transformWithState
+    state-server protocol needs the ``protobuf`` Python package, absent
+    from this container (and installs are disallowed) — the same policy
+    as the MySQL JDBC execution gap. The operator is complete and
+    pytest-gated behind ``pytest.importorskip('google.protobuf')``
+    (tests/test_transform_with_state.py); T8's applyInPandasWithState
+    query covers arbitrary stateful processing in the driver window."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState runs only on the RocksDB state store (the
+    # serving-grade provider); the default HDFS-backed store crashes the
+    # state server. Runtime-settable, read at stream start.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("id_checksum", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n BIGINT, chk BIGINT, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, chk, mx = (
+                self._state.get() if self._state.exists() else (0, 0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    chk += int(pdf["event_id"].sum())
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, chk, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "id_checksum": [chk],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
