@@ -96,6 +96,15 @@ HEADLINE = [
     "o5_pareto_frontier",
     "s14_orc_roundtrip",
     "l4_inverted_probe",  # min-of-2: run 1 builds the postings index
+    # round-4 batch 7: mining / Arrow / SQL-surface / custom-source ops
+    "g1_pagerank_purchase_graph",
+    "a19_frequent_pairs",
+    "ts8_ewma_smoothing",
+    "l3_int8_quantize",
+    "p8_lateral_topk",
+    "p9_recursive_month_spine",
+    "s15_python_datasource_feed",
+    "s16_python_datasource_sink",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -107,6 +107,19 @@ _PRIORITY: tuple[str, ...] = (
     "t13_stream_semi_join",
     "l3_ivf_persisted_multiquery",
     # ================= PAST THE CUT (positions 51+) ================
+    # r5 window head: the round-4 session-2 batch — brand-new queries with
+    # no driver row yet (all MATCH under tools/drive_contract.py at HEAD)
+    "g1_pagerank_purchase_graph",
+    "a19_frequent_pairs",
+    "ts8_ewma_smoothing",
+    "l3_int8_quantize",
+    "p8_lateral_topk",
+    "p9_recursive_month_spine",
+    "f15_xml_suite",
+    "s15_python_datasource_feed",
+    "s16_python_datasource_sink",
+    "t15_stream_python_source",
+    # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "j5_anti_customers_without_big_orders",

@@ -580,3 +580,111 @@ def s16_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "dq3_table_fingerprint",
+    oracle="""
+    WITH canon AS (
+      SELECT l_returnflag,
+             concat_ws('|',
+               CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+               CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+               l_returnflag, l_linestatus,
+               CAST(epoch_us(l_shipdate) AS VARCHAR)) AS c
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT))
+                AS DECIMAL(38,0)) AS fingerprint
+    FROM canon GROUP BY l_returnflag
+    """,
+    tags=("A2", "F12"),
+)
+def dq3_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per partition-ish group — the
+    migration-validation primitive: after any copy/engine-swap/layout
+    rewrite, identical (n_rows, fingerprint) pairs prove the table's
+    content survived bit-for-bit, with no row-order assumption (the SUM of
+    per-row md5-prefix integers is commutative). Each row canonicalizes
+    to a '|'-joined string — integers verbatim, the money double through
+    the DECIMAL(18,2) convention, the timestamp as integer microseconds —
+    so both engines hash identical bytes; the 15-hex-digit md5 prefix
+    (< 2^60) is summed as DECIMAL(38,0), overflow-proof past 10^18 rows.
+    Scale: one map stage + one 3-row aggregate; partial sums map-side.
+    The cross-engine twin is the oracle itself (DuckDB parses the same
+    hex via '0x' cast, Spark via conv(...,16,10))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"), F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"), F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("string"),
+        F.col("l_returnflag"), F.col("l_linestatus"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).cast("string"),
+    )
+    row_fp = F.expr(
+        "CAST(CAST(conv(substr(md5(" +
+        "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING), "
+        "CAST(l_suppkey AS STRING), CAST(l_linenumber AS STRING), "
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING), "
+        "l_returnflag, l_linestatus, "
+        "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS STRING))"
+        "), 1, 15), 16, 10) AS BIGINT) AS DECIMAL(38,0))"
+    )
+    _ = canon  # documented Column twin of the SQL expression above
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(row_fp).cast("decimal(38,0)").alias("fingerprint"),
+    )
+
+
+@query(
+    "s17_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("S6", "S2", "L5"),
+)
+def s17_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source round-trip — the ingest shape for raw
+    multimodal corpora (operators/multimodal.py decodes exactly this
+    layout): each document's UTF-8 bytes land as one file (written
+    executor-side in a mapInPandas stage — embarrassingly parallel, no
+    driver loop), then ``spark.read.format('binaryFile')`` scans them
+    back; the key is recovered from the file path and the payload is
+    verified by byte length + md5 over the BINARY content. The oracle
+    computes the same from the source table, so a green hash proves the
+    file write, the binaryFile scan, and the binary md5 are all
+    byte-faithful. At 100 TB this is the layout where binaryFile shines:
+    per-file parallelism, column-pruned metadata-only planning, and
+    ``pathGlobFilter`` pushdown."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dst = scratch_dir("binfiles")
+
+    def write_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                with open(_os.path.join(dst, f"{int(doc_id)}.txt"), "wb") as fh:
+                    fh.write(str(text).encode("utf-8"))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(dst)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

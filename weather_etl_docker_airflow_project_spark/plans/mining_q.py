@@ -88,17 +88,31 @@ def g1_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # BIGINT node encoding (customers even, suppliers odd): integer join
+    # keys iterate ~2× faster than 'c:123' strings; labels are projected
+    # back only on the 20 output rows.
     e0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank_fixed_point(edges, n_iter=_N_ITER)
-    return ranks.orderBy(F.desc("rank_scaled"), "node").limit(20)
+    # the node set is dimension-bounded (customers ∪ suppliers), so the
+    # per-iteration rank join broadcasts — see pagerank_fixed_point.
+    ranks = pagerank_fixed_point(edges, n_iter=_N_ITER, broadcast_ranks=True)
+    labeled = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c:"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("s:"), F.expr("node div 2").cast("string")))
+        .alias("node"),
+        "rank_scaled",
+    )
+    return labeled.orderBy(F.desc("rank_scaled"), "node").limit(20)
 
 
 @query(
