@@ -361,3 +361,43 @@ def test_inverted_probe_static_partition_pruning(spark):
     assert "PartitionFilters" in plan and "bucket" in plan
     scan = plan[plan.index("PartitionFilters"):][:400]
     assert "bucket" in scan.split("]")[0], scan
+
+
+def test_round4_session2_plan_properties(spark):
+    # a19: top-50 compiles to TakeOrderedAndProject, never a global sort,
+    # and the basket self-join is a hash/merge join, never BNL
+    plan = _formatted_plan(spark, "a19_frequent_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # l3_int8: pure Arrow map stage — zero Exchange in the whole plan
+    plan = _formatted_plan(spark, "l3_int8_quantize")
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+    # p8 LATERAL decorrelates: window top-k over one shuffle, no BNL
+    plan = _formatted_plan(spark, "p8_lateral_topk")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # dq3: one aggregate pass; the only Exchanges are the group-by pair
+    # (partial + final around a single shuffle)
+    plan = _formatted_plan(spark, "dq3_table_fingerprint")
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+    # j12: temporal predicate stays a residual on a HASH join on custkey
+    plan = _formatted_plan(spark, "j12_temporal_dim_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_python_source_pushdown_reaches_plan(spark):
+    from weather_etl_docker_airflow_project_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("weather_feed")
+        .option("stations", "6").option("obs_per_station", "10")
+        .load()
+        .filter("station_id >= 4")
+    )
+    # planning-time partition pruning: only 2 of 6 station partitions remain
+    assert df.rdd.getNumPartitions() == 2

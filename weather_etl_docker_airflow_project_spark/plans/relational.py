@@ -2107,3 +2107,89 @@ def p9_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN agg ON agg.m = months.m
         """
     )
+
+
+@query(
+    "j12_temporal_dim_join",
+    oracle="""
+    WITH dim0 AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer),
+    changes AS (
+      SELECT o_custkey AS c_custkey, 'WHALE' AS c_mktsegment,
+             min(o_orderdate) AS change_ts
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey),
+    closed AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+             ch.change_ts AS valid_to
+      FROM dim0 d JOIN changes ch ON d.c_custkey = ch.c_custkey),
+    opened AS (
+      SELECT c_custkey, c_mktsegment, change_ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM changes),
+    untouched AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+      FROM dim0 d ANTI JOIN changes ch ON d.c_custkey = ch.c_custkey),
+    dim AS (
+      SELECT * FROM untouched
+      UNION ALL SELECT * FROM closed
+      UNION ALL SELECT * FROM opened)
+    SELECT dim.c_mktsegment AS segment_at_order,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o
+    JOIN dim ON dim.c_custkey = o.o_custkey
+            AND o.o_orderdate >= dim.valid_from
+            AND (dim.valid_to IS NULL OR o.o_orderdate < dim.valid_to)
+    GROUP BY dim.c_mktsegment
+    """,
+    tags=("J7", "J8", "A2"),
+)
+def j12_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: every order is priced
+    against the SCD2 customer-segment version that was VALID AT the order
+    date — the half-open [valid_from, valid_to) tiling guarantees exactly
+    one version matches per order, so orders placed before a customer's
+    'WHALE' promotion keep the historical segment. This is the consumer
+    side of the scd2_customer_segment dimension (same build, same
+    operators/scd2.py) — together they are the full slowly-changing-
+    dimension lifecycle.
+
+    Scale shape: the join is keyed on c_custkey equality (hash join, one
+    shuffle — or zero against a bucketed dim); the temporal predicate is
+    a residual filter on the matched pairs, never a range-scan
+    explosion. The revenue aggregate rides the DECIMAL money convention."""
+    from ..operators.scd2 import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.min("o_orderdate").alias("change_ts"))
+        .withColumn("c_mktsegment", F.lit("WHALE"))
+    )
+    dim = scd2_apply(
+        dim0, changes, key="c_custkey", tracked=["c_mktsegment"], ts_col="change_ts"
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+    od = F.col("o_orderdate").cast("timestamp")
+    joined = orders.join(
+        dim,
+        (dim["c_custkey"] == orders["o_custkey"])
+        & (od >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (od < dim["valid_to"])),
+    )
+    return joined.groupBy(dim["c_mktsegment"].alias("segment_at_order")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
