@@ -105,6 +105,10 @@ HEADLINE = [
     "p9_recursive_month_spine",
     "s15_python_datasource_feed",
     "s16_python_datasource_sink",
+    "dq3_table_fingerprint",
+    "s17_binaryfile_ingest",
+    "j12_temporal_dim_join",
+    "a21_incremental_join",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

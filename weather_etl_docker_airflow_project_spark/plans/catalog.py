@@ -119,6 +119,10 @@ _PRIORITY: tuple[str, ...] = (
     "s15_python_datasource_feed",
     "s16_python_datasource_sink",
     "t15_stream_python_source",
+    "dq3_table_fingerprint",
+    "s17_binaryfile_ingest",
+    "j12_temporal_dim_join",
+    "a21_incremental_join",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -2193,3 +2193,50 @@ def j12_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "a21_incremental_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("A16", "J1", "A2"),
+)
+def a21_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/ivm.py — the join
+    sibling of a16's rollup IVM): orders arrive in three delta batches
+    and customers in two, each maintenance step applying the exact delta
+    algebra ΔM = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS against parquet-backed
+    accumulators — the materialized join is NEVER recomputed from its
+    base tables. The replayed view must aggregate identically to the
+    one-shot JOIN the oracle runs; every delta join is keyed (co-located
+    against bucketed accumulators at scale), cost ∝ |Δ|, not |R|+|S|."""
+    from ..io import scratch_dir
+    from ..operators.ivm import JoinView
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    view = JoinView(spark, scratch_dir("ivm_join"), on="c_custkey")
+    r_batches = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    s_batches = [customer.filter(F.col("c_custkey") % 2 == i) for i in range(2)]
+    empty_s = customer.limit(0)
+    schedule = [
+        (r_batches[0], s_batches[0]),
+        (r_batches[1], s_batches[1]),
+        (r_batches[2], empty_s),  # late facts against a settled dimension
+    ]
+    for delta_r, delta_s in schedule:
+        view.apply_batch(delta_r, delta_s)
+    return view.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
