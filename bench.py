@@ -109,6 +109,8 @@ HEADLINE = [
     "s17_binaryfile_ingest",
     "j12_temporal_dim_join",
     "a21_incremental_join",
+    "l6_leakage_safe_split",
+    "t16_stream_file_sink",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

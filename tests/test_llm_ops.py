@@ -962,3 +962,15 @@ def test_pq_search_recall_and_compression(spark):
     c2 = dict(emb.select("vec_id", similarity.pq_encode(books).alias("c")).collect())
     assert c1 == c2
     assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from weather_etl_docker_airflow_project_spark.plans.llm_q import l6_leakage_safe_split
+
+    out = l6_leakage_safe_split(spark, "/root/testdata/sf0.001")
+    per_cluster = (
+        out.groupBy("cluster_id").agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits

@@ -123,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "s17_binaryfile_ingest",
     "j12_temporal_dim_join",
     "a21_incremental_join",
+    "l6_leakage_safe_split",
+    "t16_stream_file_sink",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -1926,3 +1926,73 @@ def l3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return int8_quantize(emb, "vec_id", "embedding")
+
+
+@query(
+    "l6_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    sets AS (SELECT doc_id, list(shingle) AS ls, count(*) AS n_sh
+             FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sets a ON a.doc_id = c.id_a
+                  JOIN sets b ON b.doc_id = c.id_b
+      WHERE 100 * len(list_intersect(a.ls, b.ls))
+            >= 60 * (a.n_sh + b.n_sh - len(list_intersect(a.ls, b.ls)))),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+    cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+           FROM reach GROUP BY node),
+    asg AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+    b AS (
+      SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) % 10 AS bkt
+      FROM asg)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("L6", "L2"),
+)
+def l6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents MUST
+    land in the same split (else eval leaks training text), so the split
+    key is the doc's dedup CLUSTER id (LSH → verify → connected
+    components, the full l2 chain), not the doc id — singletons fall back
+    to their own id, and the 80/10/10 assignment hashes the cluster id
+    through md5 (engine-portable). By construction no cluster straddles a
+    split boundary (asserted in tests/test_llm_ops.py). Scale: one hash
+    on a |docs|-sized table after the dedup chain the pipeline already
+    ran; at 100 TB the cluster map is the dedup output you persisted
+    anyway."""
+    from ..operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    verified = l2_neardup_pipeline(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components_star(verified)
+    asg = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    bkt = (
+        F.expr("CAST(conv(substr(md5(CAST(cluster_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+        % 10
+    )
+    return asg.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bkt < 8, "train").when(bkt == 8, "val").otherwise("test").alias("split"),
+    )

@@ -521,3 +521,49 @@ def t15_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("obs_seq").alias("first_seq"),
     )
     return windows.run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "t16_stream_file_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE user_id < 100
+    GROUP BY event_type
+    """,
+    tags=("T2", "S8", "T1"),
+)
+def t16_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FILE sink with the exactly-once manifest protocol: the
+    filtered event stream lands as parquet through writeStream (the
+    `_spark_metadata` transaction log records exactly the committed
+    files — a crashed/retried micro-batch can never double-expose rows,
+    the same committer contract the s16 Python sink reimplements), then a
+    batch read-back aggregates THROUGH the manifest. A green hash against
+    the batch oracle proves end-to-end exactly-once from stream to files
+    to readers. At 100 TB this is the bronze-layer landing shape:
+    append-only parquet + manifest, compacted later by layout management
+    (s10)."""
+    import os as _os
+
+    from ..io import scratch_dir
+    from ..streaming import windows as _w
+
+    ev = _w.stream_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    dst = scratch_dir("stream_sink")
+    out = _os.path.join(dst, "landing")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", _os.path.join(dst, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
