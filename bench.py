@@ -111,6 +111,7 @@ HEADLINE = [
     "a21_incremental_join",
     "l6_leakage_safe_split",
     "t16_stream_file_sink",
+    "l3_mmr_rerank",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

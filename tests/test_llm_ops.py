@@ -974,3 +974,23 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from weather_etl_docker_airflow_project_spark.operators.similarity import mmr_rerank
+
+    # two clumps: A = {1,2,3} nearly identical high-relevance vectors,
+    # B = {4} distinct, slightly lower relevance. Pure top-2 = {1,2};
+    # MMR's redundancy penalty must pick one from each clump.
+    rows = [
+        (1, [1000000, 0, 0], 1000),
+        (2, [999999, 1, 0], 999),
+        (3, [999998, 2, 0], 998),
+        (4, [0, 1000000, 0], 900),
+    ]
+    pool = spark.createDataFrame(rows, "vec_id long, qv array<long>, rel long")
+    got = {
+        r["pick_rank"]: r["id"]
+        for r in mmr_rerank(pool, k=2, id_col="vec_id").collect()
+    }
+    assert got == {1: 1, 2: 4}

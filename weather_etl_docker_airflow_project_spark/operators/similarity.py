@@ -1127,3 +1127,64 @@ def pq_search(
         .orderBy(F.col("dot_q").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank of a (small, already
+    materialized) candidate pool: greedily pick ``k`` results maximizing
+    ``2*rel(d) - max_{s in S} dot(d, s)`` — relevance weighted 2:1
+    against redundancy with the already-selected set. All arithmetic is
+    exact int64 over micro-quantized vectors (``quantize``), so the greedy
+    argmax (tie-break: id) is deterministic and ORACLE-unrollable — the
+    float-free twin of the serving-side diversity re-rank.
+
+    Scale shape: the pool is the OUTPUT of an ANN/kNN stage (tens of
+    rows, bounded by construction), checkpointed once; each of the k
+    rounds is a broadcast join of pool × selected (≤k rows) + one
+    TakeOrdered(1) — driver never sees vectors. The corpus-scale work
+    happened upstream in the ANN probe; MMR cost is O(k · |pool|).
+
+    Returns ``(pick_rank, id, rel)`` for the k selections in pick order.
+    """
+    pool = pool.select(
+        F.col(id_col).alias("id"), F.col(qv_col).alias("v"), F.col(rel_col).alias("rel")
+    ).localCheckpoint()
+    first = (
+        pool.orderBy(F.desc("rel"), "id")
+        .limit(1)
+        .select(F.lit(1).alias("pick_rank"), "id", "v", "rel")
+    ).localCheckpoint()
+    selected = first
+    for step in range(2, k + 1):
+        remaining = pool.join(
+            selected.select(F.col("id").alias("sid")),
+            pool["id"] == F.col("sid"),
+            "left_anti",
+        )
+        sel = F.broadcast(
+            selected.select(F.col("id").alias("sid"), F.col("v").alias("sv"))
+        )
+        scored = (
+            remaining.join(sel)
+            .select("id", "v", "rel", int_dot(F.col("v"), F.col("sv")).alias("div"))
+            .groupBy("id")
+            .agg(
+                F.first("v").alias("v"),
+                F.first("rel").alias("rel"),
+                F.max("div").alias("maxdiv"),
+            )
+            .select("id", "v", "rel", (2 * F.col("rel") - F.col("maxdiv")).alias("score"))
+        )
+        pick = (
+            scored.orderBy(F.desc("score"), "id")
+            .limit(1)
+            .select(F.lit(step).alias("pick_rank"), "id", "v", "rel")
+        ).localCheckpoint()
+        selected = selected.unionByName(pick)
+    return selected.select("pick_rank", F.col("id"), "rel")

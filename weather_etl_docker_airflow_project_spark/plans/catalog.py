@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "a21_incremental_join",
     "l6_leakage_safe_split",
     "t16_stream_file_sink",
+    "f16_sql_udf_suite",
+    "l3_mmr_rerank",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -416,3 +416,55 @@ def f15_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_string(xml, F.lit("/o/s/text()")).alias("o_orderstatus"),
         roundtrip.getField("pri").alias("o_orderpriority"),
     )
+
+
+@query(
+    "f16_sql_udf_suite",
+    oracle="""
+    WITH words AS (
+      SELECT o_orderkey,
+             unnest(list_filter(regexp_split_to_array(o_orderpriority, '-'),
+                                w -> w <> '')) AS w
+      FROM orders WHERE o_orderkey < 500)
+    SELECT o_orderkey, w,
+           CAST(CAST(o_orderkey AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(0.05 AS DECIMAL(3,2)))
+                AS DOUBLE) AS discounted_key
+    FROM words
+    """,
+    tags=("F4", "F6", "P7"),
+)
+def f16_sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN): a
+    scalar SQL UDF carrying the engine's DECIMAL money convention and a
+    SQL TABLE function (RETURNS TABLE + LATERAL) that splits the priority
+    code into words. Both are catalog objects whose bodies Catalyst
+    INLINES into the calling plan — unlike Python UDFs they stay inside
+    whole-stage codegen, so a reused business formula costs nothing at
+    100 TB. The oracle restates the inlined expressions directly; a green
+    hash proves the UDF indirection is semantically transparent."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discounted_money(v DOUBLE)
+        RETURNS DOUBLE
+        RETURN CAST(CAST(v AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(0.05 AS DECIMAL(3,2)))
+                    AS DOUBLE)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION priority_words(s STRING)
+        RETURNS TABLE(w STRING)
+        RETURN SELECT explode(filter(split(s, '-'), w -> w != ''))
+        """
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f16")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.w,
+               discounted_money(CAST(o.o_orderkey AS DOUBLE)) AS discounted_key
+        FROM orders_f16 o, LATERAL priority_words(o.o_orderpriority) t
+        WHERE o.o_orderkey < 500
+        """
+    )

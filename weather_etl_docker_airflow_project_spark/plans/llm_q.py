@@ -1996,3 +1996,71 @@ def l6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(bkt < 8, "train").when(bkt == 8, "val").otherwise("test").alias("split"),
     )
+
+
+def _mmr_oracle(k: int = 4, pool: int = 8) -> str:
+    head = f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    q AS (SELECT qv AS qqv FROM c WHERE vec_id = 0),
+    pool AS (
+      SELECT c.vec_id AS id, c.qv AS v,
+             {_DOT.format(a="q.qqv", b="c.qv")} AS rel
+      FROM c, q WHERE c.vec_id <> 0
+      ORDER BY rel DESC, id LIMIT {pool}),
+    s1 AS (SELECT 1 AS pick_rank, id, v, rel FROM pool
+           ORDER BY rel DESC, id LIMIT 1),
+    sel1 AS (SELECT * FROM s1)"""
+    parts = [head]
+    for step in range(2, k + 1):
+        p = step - 1
+        parts.append(f"""
+    r{step} AS (
+      SELECT p.id, any_value(p.v) AS v, any_value(p.rel) AS rel,
+             max({_DOT.format(a="p.v", b="s.v")}) AS maxdiv
+      FROM pool p, sel{p} s
+      WHERE p.id NOT IN (SELECT id FROM sel{p})
+      GROUP BY p.id),
+    s{step} AS (SELECT {step} AS pick_rank, id, v, rel FROM r{step}
+           ORDER BY (2 * rel - maxdiv) DESC, id LIMIT 1),
+    sel{step} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{step})""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT pick_rank, id AS vec_id, rel FROM sel{k}
+    """
+    )
+
+
+@query(
+    "l3_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("L3", "O3"),
+)
+def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware serving re-rank: Maximal Marginal Relevance over
+    the top-8 ANN pool for query vec 0 — greedy picks maximize
+    ``2*relevance - max similarity to already-picked`` so the 4 returned
+    neighbors cover the query's neighborhood instead of echoing one dense
+    clump (the standard retrieval-augmentation dedup step between ANN and
+    the consumer). Exact int64 arithmetic over micro-quantized vectors
+    end to end (operators/similarity.py mmr_rerank), so the greedy
+    argmax chain is bit-deterministic and the oracle unrolls it as CTE
+    rounds. The corpus-scale work is the upstream kNN; MMR itself is
+    O(k·pool) on a checkpointed pool — rank the pool from the persisted
+    ANN index in production."""
+    from ..operators.similarity import int_dot, mmr_rerank, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    qv = c.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qqv"))
+    pool = (
+        c.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id", "qv", int_dot(F.col("qqv"), F.col("qv")).alias("rel")
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(8)
+    )
+    out = mmr_rerank(pool, k=4, id_col="vec_id", qv_col="qv", rel_col="rel")
+    return out.select("pick_rank", F.col("id").alias("vec_id"), "rel")
