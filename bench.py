@@ -112,6 +112,8 @@ HEADLINE = [
     "l6_leakage_safe_split",
     "t16_stream_file_sink",
     "l3_mmr_rerank",
+    "ts9_rolling_wau",
+    "l4_feature_hash_embed",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

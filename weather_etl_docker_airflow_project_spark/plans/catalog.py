@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "t16_stream_file_sink",
     "f16_sql_udf_suite",
     "l3_mmr_rerank",
+    "ts9_rolling_wau",
+    "l4_feature_hash_embed",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

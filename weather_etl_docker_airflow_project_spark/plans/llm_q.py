@@ -2064,3 +2064,66 @@ def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mmr_rerank(pool, k=4, id_col="vec_id", qv_col="qv", rel_col="rel")
     return out.select("pick_rank", F.col("id").alias("vec_id"), "rel")
+
+
+@query(
+    "l4_feature_hash_embed",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 2)) AS BIGINT) % 32 AS bucket
+      FROM t),
+    c AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM b GROUP BY doc_id, bucket),
+    g AS (SELECT doc_id, list(struct_pack(k := bucket, v := cnt)) AS pairs
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN g.doc_id IS NULL
+                THEN list_transform(generate_series(0, 31), i -> CAST(0 AS BIGINT))
+                ELSE list_transform(generate_series(0, 31), i ->
+                     CAST(coalesce(list_sum(list_transform(pairs,
+                          p -> CASE WHEN p.k = i THEN p.v ELSE 0 END)), 0)
+                          AS BIGINT))
+           END AS fvec
+    FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+    """,
+    tags=("L4", "F10", "F12"),
+)
+def l4_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the 'hashing trick'): every document
+    becomes a dense 32-dim bag-of-words count vector, token→dimension
+    assignment via md5 (engine-portable, no vocabulary to build or ship —
+    THE property that makes this the streaming/100 TB-safe vectorizer:
+    embed any shard independently, no global dictionary shuffle).
+    Pipeline: tokenize→hash→per-(doc,bucket) count (one shuffle,
+    map-side combinable)→densify through a map lookup over a static
+    0..31 sequence. Empty documents embed as explicit zero vectors. All
+    integer — hash-exact against the oracle's list-lambda twin."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    bucket = F.expr("CAST(conv(substr(md5(tok), 1, 2), 16, 10) AS BIGINT) % 32")
+    c = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    g = c.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(31).cast("long")),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+    )
+    zeros = F.expr("array_repeat(CAST(0 AS BIGINT), 32)")
+    return (
+        docs.select("doc_id")
+        .join(g, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("m").isNull(), zeros).otherwise(dense).alias("fvec"),
+        )
+    )

@@ -519,3 +519,43 @@ def ts8_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "ts9_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN ud u
+      ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    GROUP BY d.day
+    """,
+    tags=("W3", "A3", "J7"),
+)
+def ts9_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the metric Spark's
+    window frames cannot express natively (COUNT DISTINCT over a RANGE
+    frame is unsupported), so the Spark-first formulation is explicit:
+    dedupe to (user, day) FIRST (the big shrink — one shuffle over
+    events), then a bounded range self-join of the tiny day spine against
+    the deduped table, then distinct-count per day. The range join fans
+    each (user, day) to ≤7 spine days, so the join output is ≤7×|ud| —
+    bounded regardless of raw event volume; at 100 TB the dedup does all
+    the heavy lifting and everything after runs on day-granular data."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    j = days.alias("d").join(
+        ud.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAY")),
+    )
+    return j.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("u.user_id").cast("long").alias("wau")
+    )
