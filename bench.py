@@ -114,6 +114,7 @@ HEADLINE = [
     "l3_mmr_rerank",
     "ts9_rolling_wau",
     "l4_feature_hash_embed",
+    "s18_dynamic_partition_overwrite",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -42,9 +42,13 @@ def _compat(spark_t: str, arrow_t: str) -> bool:
         return arrow_t.startswith("timestamp")
     if spark_t.startswith("array<"):
         inner_s = spark_t[6:-1]
-        for prefix in ("list<item: ", "large_list<item: "):
-            if arrow_t.startswith(prefix):
-                return _compat(inner_s, arrow_t[len(prefix):-1])
+        # arrow spells the element's FIELD NAME into the type ('item' from
+        # Spark, 'l'/'element' from DuckDB list()/list_transform) — strip
+        # `list<name: ` generically
+        for head in ("list<", "large_list<"):
+            if arrow_t.startswith(head) and ": " in arrow_t:
+                inner_a = arrow_t[len(head):-1].split(": ", 1)[1]
+                return _compat(inner_s, inner_a)
         return False
     return spark_t == arrow_t
 

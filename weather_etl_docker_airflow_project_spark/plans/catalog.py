@@ -129,6 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     "l3_mmr_rerank",
     "ts9_rolling_wau",
     "l4_feature_hash_embed",
+    "u4_schema_drift_union",
+    "s18_dynamic_partition_overwrite",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

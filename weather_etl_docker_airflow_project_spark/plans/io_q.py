@@ -688,3 +688,95 @@ def s17_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("content")).cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "u4_schema_drift_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(value) AS BIGINT) AS n_with_value,
+           CAST(count(session_tag) AS BIGINT) AS n_with_tag
+    FROM (
+      SELECT event_type, value, CAST(NULL AS VARCHAR) AS session_tag
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, CAST(NULL AS DOUBLE) AS value,
+             'v2-' || CAST(user_id % 4 AS VARCHAR) AS session_tag
+      FROM events WHERE event_id % 2 = 1)
+    GROUP BY event_type
+    """,
+    tags=("U1", "S11"),
+)
+def u4_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union (unionByName + allowMissingColumns): a v1 feed
+    carrying ``value`` and a v2 feed carrying ``session_tag`` union
+    without any manual column padding — Spark aligns by NAME and
+    null-fills each side's missing columns (positional unionAll would
+    silently mis-bind here). This is the ingestion shape for rolling
+    producer upgrades; the aggregate counts per column prove exactly
+    which side contributed which fields. Pure map + one aggregate at any
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    v1 = e.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
+    v2 = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_type",
+        F.concat(F.lit("v2-"), (F.col("user_id") % 4).cast("string")).alias(
+            "session_tag"
+        ),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("value").cast("long").alias("n_with_value"),
+        F.count("session_tag").cast("long").alias("n_with_tag"),
+    )
+
+
+@query(
+    "s18_dynamic_partition_overwrite",
+    oracle="""
+    WITH current AS (
+      SELECT event_type, event_id, user_id FROM events
+      WHERE event_type <> 'click'
+      UNION ALL
+      SELECT event_type, event_id, user_id FROM events
+      WHERE event_type = 'click' AND user_id < 50)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM current GROUP BY event_type
+    """,
+    tags=("S8", "S10"),
+)
+def s18_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE with DYNAMIC partition mode: the corrected
+    'click' feed replaces ONLY the click partition directory — every
+    other partition's files are untouched (static mode would wipe the
+    whole table; the conf is set per-query, runtime-scoped). This is the
+    partition-level reprocessing primitive for a 100 TB hive-layout
+    table: rewrite cost ∝ the corrected partition, and concurrent
+    readers of other partitions never see a gap. The read-back aggregate
+    must equal 'all non-click rows + only the corrected clicks' — which
+    is exactly what the oracle states from the source table."""
+    import os as _os
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dst = _os.path.join(scratch_dir("dpo"), "events_part")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(dst)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected = e.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") < 50)
+        )
+        corrected.write.partitionBy("event_type").mode("overwrite").parquet(dst)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(dst)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
