@@ -115,6 +115,7 @@ HEADLINE = [
     "ts9_rolling_wau",
     "l4_feature_hash_embed",
     "s18_dynamic_partition_overwrite",
+    "l5_scene_cuts",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -905,3 +905,36 @@ def byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
+SCENE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_mean", T.LongType()),  # mean byte (uniform frames)
+    ]
+)
+
+
+def frame_means(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame brightness series for scene-cut detection: one
+    mapInPandas walk emits (id, idx, mean byte) scalars — the temporal
+    logic (lag, threshold, aggregation) then runs as JVM window/agg ops
+    on the scalar series, NOT in Python. Same no-payload-shuffle shape as
+    frame_sample."""
+
+    def _means(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, frame in enumerate(decode_video_frames(payload)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    means.append(sum(frame) // max(len(frame), 1))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_mean": means}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_means, SCENE_STATS_SCHEMA)

@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "l4_feature_hash_embed",
     "u4_schema_drift_union",
     "s18_dynamic_partition_overwrite",
+    "l5_scene_cuts",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -2127,3 +2127,67 @@ def l4_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("m").isNull(), zeros).otherwise(dense).alias("fvec"),
         )
     )
+
+
+def _l5_scene_cut_oracle() -> str:
+    mf = multimodal.VID_MAX_FRAMES
+    return f"""
+    WITH f AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+             ascii(substr(text, i, 1)) % 256 AS b
+      FROM documents, generate_series(1, {mf}) t(i)
+      WHERE i <= least(length(text), {mf})),
+    d AS (
+      SELECT doc_id, idx, b,
+             lag(b) OVER (PARTITION BY doc_id ORDER BY idx) AS pb
+      FROM f),
+    c AS (SELECT doc_id, idx FROM d
+          WHERE pb IS NOT NULL AND abs(b - pb) >= 32)
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(coalesce(any_value(nc.n_cuts), 0) AS BIGINT) AS n_cuts,
+           CAST(any_value(nc.first_cut) AS BIGINT) AS first_cut
+    FROM f
+    LEFT JOIN (SELECT doc_id, count(*) AS n_cuts, min(idx) AS first_cut
+               FROM c GROUP BY doc_id) nc ON nc.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    """
+
+
+@query(
+    "l5_scene_cuts",
+    oracle=_l5_scene_cut_oracle(),
+    tags=("L5", "W2"),
+)
+def l5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection: walk each container once in mapInPandas
+    emitting the per-frame brightness series (payload never shuffles),
+    then detect cuts as |mean_i - mean_{i-1}| >= 32 with a JVM lag window
+    over the scalar series and aggregate (frames, cuts, first cut) per
+    video — the decode/temporal split a 100 TB video pipeline wants:
+    Python touches bytes exactly once, all sequence logic is codegen.
+    The fixture's frames are built from the text bytes, so the oracle
+    predicts every cut arithmetically; empty videos report zero frames
+    via the source-side left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    video = multimodal.synthesize_video(docs, "doc_id", "text")
+    means = multimodal.frame_means(video)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = means.withColumn("pb", F.lag("frame_mean").over(w))
+    cuts = d.filter(
+        F.col("pb").isNotNull() & (F.abs(F.col("frame_mean") - F.col("pb")) >= 32)
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cuts"),
+        F.min("frame_idx").alias("first_cut"),
+    )
+    per_doc = means.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    return per_doc.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        F.coalesce(F.col("n_cuts"), F.lit(0).cast("long")).alias("n_cuts"),
+        F.col("first_cut").cast("long").alias("first_cut"),
+    )
