@@ -116,6 +116,10 @@ HEADLINE = [
     "l4_feature_hash_embed",
     "s18_dynamic_partition_overwrite",
     "l5_scene_cuts",
+    "l2_containment_pairs",
+    "l7_mixture_rebalance",
+    "w6_value_streaks",
+    "ts10_rolling_zscore",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

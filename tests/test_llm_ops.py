@@ -994,3 +994,25 @@ def test_mmr_rerank_prefers_diversity(spark):
         for r in mmr_rerank(pool, k=2, id_col="vec_id").collect()
     }
     assert got == {1: 1, 2: 4}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from weather_etl_docker_airflow_project_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    sub = " ".join(f"tok{i}" for i in range(8))
+    sup = sub + " " + " ".join(f"extra{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, sub), (2, sup), (3, other)], "doc_id long, text string"
+    )
+    cp = containment_pairs(docs, "doc_id", "text", threshold_pct=80, min_shingles=5)
+    got = {(r["id_sub"], r["id_sup"]) for r in cp.collect()}
+    assert (1, 2) in got          # the quote IS contained in the article
+    assert (2, 1) not in got      # not vice versa
+    assert not any(3 in p for p in got)
+    # symmetric Jaccard misses the same pair at a comparable threshold
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", threshold_pct=60)
+    assert jac.count() == 0

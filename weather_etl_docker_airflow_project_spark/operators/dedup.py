@@ -396,3 +396,44 @@ def fuzzy_blocked_pairs(
             lev.cast("long").alias("lev"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 80,
+    min_shingles: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: directed pairs where the smaller
+    document's shingle set is >= threshold_pct CONTAINED in the other's
+    (``inter / |sub| >= t``) — catches quote-expansion and
+    template-plus-extra-content duplicates that symmetric Jaccard misses
+    (a tweet quoted inside an article scores high containment, low
+    Jaccard). Same skew discipline as the Jaccard family: hot shingles
+    dropped via the declared document-frequency cap BEFORE the
+    pair-generating self-join; documents below ``min_shingles`` are
+    excluded (trivially contained). Integer threshold arithmetic
+    (100*inter >= t*n_sub) — hash-exact."""
+    sh = _drop_hot_shingles(
+        shingles(df, id_col, text_col), id_col, max_shingle_df
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    left = sh.select(F.col(id_col).alias("id_sub"), "shingle")
+    right = sh.select(F.col(id_col).alias("id_sup"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_sub") != F.col("id_sup"))
+        .groupBy("id_sub", "id_sup")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sub_sz = sizes.select(F.col(id_col).alias("id_sub"), F.col("n_sh").alias("n_sub"))
+    return (
+        inter.join(sub_sz, "id_sub")
+        .filter(
+            (F.col("n_sub") >= min_shingles)
+            & (100 * F.col("inter") >= threshold_pct * F.col("n_sub"))
+        )
+        .select("id_sub", "id_sup", "inter", F.col("n_sub").cast("long"))
+    )

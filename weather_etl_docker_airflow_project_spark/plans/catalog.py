@@ -132,6 +132,10 @@ _PRIORITY: tuple[str, ...] = (
     "u4_schema_drift_union",
     "s18_dynamic_partition_overwrite",
     "l5_scene_cuts",
+    "l2_containment_pairs",
+    "l7_mixture_rebalance",
+    "w6_value_streaks",
+    "ts10_rolling_zscore",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

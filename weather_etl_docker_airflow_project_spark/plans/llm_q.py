@@ -2191,3 +2191,100 @@ def l5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_cuts"), F.lit(0).cast("long")).alias("n_cuts"),
         F.col("first_cut").cast("long").alias("first_cut"),
     )
+
+
+@query(
+    "l2_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    keep AS (
+      SELECT shingle FROM sh
+      GROUP BY shingle HAVING count(*) <= {NGRAM_SHINGLE_DF_CAP}),
+    shc AS (SELECT s.doc_id, s.shingle FROM sh s
+            JOIN keep k ON s.shingle = k.shingle),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS id_sub, r.doc_id AS id_sup,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM shc l JOIN shc r ON l.shingle = r.shingle
+                           AND l.doc_id <> r.doc_id
+      GROUP BY 1, 2)
+    SELECT i.id_sub, i.id_sup, i.inter, CAST(s.n_sh AS BIGINT) AS n_sub
+    FROM inter i JOIN sizes s ON s.doc_id = i.id_sub
+    WHERE s.n_sh >= 5 AND 100 * i.inter >= 80 * s.n_sh
+    """,
+    tags=("L2",),
+)
+def l2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-CONTAINMENT pairs (>= 80% of the sub-document's
+    3-gram set inside the super-document): the asymmetric dedup relation
+    symmetric Jaccard misses — quote expansions and template-plus-content
+    duplicates. Hot-shingle DF cap declared as in l2_ngram_jaccard
+    (operators/dedup.py containment_pairs); all-integer threshold math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", threshold_pct=80, min_shingles=5,
+        max_shingle_df=NGRAM_SHINGLE_DF_CAP,
+    )
+
+
+_MIX_TARGET = {"en": 40, "zh": 20, "de": 15, "es": 15, "fr": 10}
+
+
+@query(
+    "l7_mixture_rebalance",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      tk -> tk <> ''))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT sum(lang_tokens) AS total_tokens FROM lt),
+    tgt AS (SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_TARGET.items())})
+            AS t(lang, target_pct))
+    SELECT lt.lang, lt.n_docs, lt.lang_tokens,
+           CAST(tgt.target_pct AS BIGINT) AS target_pct,
+           CAST(tgt.target_pct * tot.total_tokens AS DOUBLE)
+               / CAST(100 * lt.lang_tokens AS DOUBLE) AS sample_weight
+    FROM lt JOIN tgt ON tgt.lang = lt.lang CROSS JOIN tot
+    """,
+    tags=("L6", "L7", "A2"),
+)
+def l7_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing: given a DECLARED target language mix,
+    compute each language's sampling weight ``target_share /
+    current_share`` (in token space, the unit training mixes are
+    specified in). weight > 1 => oversample (pair with
+    l6_oversample_mix's fractional epochs), < 1 => downsample. The
+    division is a single double op over exact integer token counts —
+    bit-deterministic. One token-count aggregate over the corpus (the
+    same scan l4_token_stats runs), then a 5-row broadcast join; free at
+    any scale."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("lang_tokens"),
+    )
+    total = lt.agg(F.sum("lang_tokens").alias("total_tokens"))
+    tgt = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(_MIX_TARGET.items()), "lang string, target_pct long"
+        )
+    )
+    return (
+        lt.join(tgt, "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "target_pct",
+            (
+                (F.col("target_pct") * F.col("total_tokens")).cast("double")
+                / (100 * F.col("lang_tokens")).cast("double")
+            ).alias("sample_weight"),
+        )
+    )

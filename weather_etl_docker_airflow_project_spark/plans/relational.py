@@ -2240,3 +2240,51 @@ def a21_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "w6_value_streaks",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                       OR value <= lag(value) OVER w
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+      SELECT user_id,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM f),
+    runs AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY user_id
+    """,
+    tags=("W2", "W1", "A2"),
+)
+def w6_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the longest run of strictly-increasing values
+    per user (and how many runs the series breaks into) — the classic
+    streak/island decomposition via break-flag + running sum, the
+    value-domain twin of ts1's time-gap sessionizer. All three window
+    passes and both aggregates share ONE Exchange on user_id (Catalyst
+    reuses the sort); at 100 TB this is per-entity ordered state, the
+    same shape as sessionization."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("value").over(w)
+    brk = F.when(prev.isNull() | (F.col("value") <= prev), 1).otherwise(0)
+    isl = e.withColumn("island", F.sum(brk).over(run).cast("long"))
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )

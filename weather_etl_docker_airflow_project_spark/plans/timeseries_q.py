@@ -559,3 +559,85 @@ def ts9_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("d.day").alias("day")).agg(
         F.countDistinct("u.user_id").cast("long").alias("wau")
     )
+
+
+# --- ts10: rolling z-score anomalies (8-lag fixed-order sufficient stats) --
+# Same cross-engine float discipline as ts8/a14: the trailing window's
+# sufficient statistics (n, sum, sum-of-squares) are FIXED written-order
+# scalar expressions over lag() columns; mean/variance/z follow as single
+# IEEE ops (sqrt is IEEE correctly-rounded in every conforming runtime),
+# so both engines compute bit-identical doubles and take identical
+# branches at the |z| > 2 threshold.
+
+
+def _lag_terms(expr: str, agg: str) -> str:
+    terms = [expr.format(v="value")]
+    for k in range(1, 8):
+        lk = f"lag(value, {k}) OVER w"
+        terms.append(
+            f"CASE WHEN {lk} IS NULL THEN 0.0 ELSE {expr.format(v=lk)} END"
+            if agg == "sum"
+            else f"CASE WHEN {lk} IS NULL THEN 0.0 ELSE 1.0 END"
+        )
+    return " + ".join(terms)
+
+
+_ZS_N = _lag_terms("{v}", "count").replace("value", "1.0", 1)
+_ZS_S = _lag_terms("{v}", "sum")
+_ZS_S2 = _lag_terms("({v} * {v})", "sum")
+
+
+@query(
+    "ts10_rolling_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             ({_ZS_N}) AS n, ({_ZS_S}) AS s, ({_ZS_S2}) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    z AS (
+      SELECT user_id, event_id, ts, value,
+             (s2 - (s * s) / n) / n AS var,
+             (value - s / n) AS dev
+      FROM s WHERE n >= 4.0)
+    SELECT user_id, event_id, ts, value,
+           dev / sqrt(var) AS zscore
+    FROM z
+    WHERE var > 0.0 AND abs(dev / sqrt(var)) > 2.0
+    """,
+    tags=("W3", "A14"),
+)
+def ts10_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against its
+    trailing 8-observation window's mean/variance (computed from
+    fixed-order sufficient statistics — module comment above); rows with
+    |z| > 2 flag as anomalies. Windows shorter than 4 observations are
+    skipped (variance meaningless). ONE shuffle on user_id; every
+    downstream op is a scalar expression on the sorted stream — the
+    standard streaming-compatible anomaly screen for a 100 TB metrics
+    archive."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n = F.lit(1.0)
+    s = F.col("value")
+    s2 = F.col("value") * F.col("value")
+    for k in range(1, 8):
+        lk = F.lag("value", k).over(w)
+        n = n + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
+        s = s + F.when(lk.isNull(), F.lit(0.0)).otherwise(lk)
+        s2 = s2 + F.when(lk.isNull(), F.lit(0.0)).otherwise(lk * lk)
+    base = e.select(
+        "user_id", "event_id", "ts", "value",
+        n.alias("n"), s.alias("s"), s2.alias("s2"),
+    ).filter(F.col("n") >= 4.0)
+    var = (F.col("s2") - (F.col("s") * F.col("s")) / F.col("n")) / F.col("n")
+    dev = F.col("value") - F.col("s") / F.col("n")
+    z = base.select(
+        "user_id", "event_id", "ts", "value",
+        var.alias("var"), dev.alias("dev"),
+    )
+    zscore = F.col("dev") / F.sqrt(F.col("var"))
+    return (
+        z.filter((F.col("var") > 0.0) & (F.abs(zscore) > 2.0))
+        .select("user_id", "event_id", "ts", "value", zscore.alias("zscore"))
+    )
