@@ -120,6 +120,8 @@ HEADLINE = [
     "l7_mixture_rebalance",
     "w6_value_streaks",
     "ts10_rolling_zscore",
+    "cdc2_apply_changelog",
+    "p10_null_safe_join",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -67,3 +67,27 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a keyed change feed (op ∈ {'U', 'D'}: upsert / delete) to a
+    snapshot — the INVERSE of snapshot_diff, and together with it the full
+    batch-CDC cycle: diff produces a changelog, apply replays it. Rows of
+    the base whose key appears in the changelog are dropped (one anti
+    join), then the changelog's upserts (payload columns minus the op
+    marker) are unioned in. Exactly-one-change-per-key is the caller's
+    contract (enforce upstream with a last-wins window if the feed can
+    carry multiples).
+
+    Scale shape: one key-partitioned anti join + a union — with the base
+    bucketed on the key, zero wide shuffle; cost ∝ |base| scan +
+    |changes|, and the union never materializes the base twice."""
+    ch_keys = changes.select(*keys).distinct()
+    survivors = base.join(ch_keys, keys, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "U").drop(op_col)
+    return survivors.unionByName(upserts)

@@ -136,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "l7_mixture_rebalance",
     "w6_value_streaks",
     "ts10_rolling_zscore",
+    "cdc2_apply_changelog",
+    "p10_null_safe_join",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

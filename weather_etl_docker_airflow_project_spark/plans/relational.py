@@ -2288,3 +2288,92 @@ def w6_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
     )
+
+
+@query(
+    "cdc2_apply_changelog",
+    oracle="""
+    WITH changed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 5 IN (3, 4)),
+    survivors AS (
+      SELECT o.o_orderkey, o.o_orderstatus
+      FROM orders o ANTI JOIN changed c ON c.o_orderkey = o.o_orderkey),
+    upserts AS (
+      SELECT o.o_orderkey, 'X' AS o_orderstatus
+      FROM orders o JOIN changed c ON c.o_orderkey = o.o_orderkey
+      WHERE c.op = 'U'),
+    applied AS (
+      SELECT * FROM survivors UNION ALL SELECT * FROM upserts)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM applied GROUP BY o_orderstatus
+    """,
+    tags=("J5", "U1", "A2"),
+)
+def cdc2_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog APPLY (operators/cdc.py apply_changelog — the
+    inverse of cdc1's snapshot diff, completing the batch-CDC cycle): a
+    synthetic change feed deletes every key ≡3 (mod 10) and re-statuses
+    every other key ≡3,4 (mod 5) to 'X'; replaying it over the orders
+    snapshot must produce exactly the oracle's CASE-based final state.
+    One anti join + union — bucketed-base => shuffle-free at scale."""
+    from ..operators.cdc import apply_changelog
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    ch = (
+        o.filter((F.col("o_orderkey") % 5).isin(3, 4))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 3, "D").otherwise("U").alias("op"),
+            F.lit("X").alias("o_orderstatus"),
+        )
+    )
+    applied = apply_changelog(o, ch, keys=["o_orderkey"])
+    return applied.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
+
+
+@query(
+    "p10_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT user_id % 20 AS uk,
+             NULLIF(CAST(floor(value * 10) AS BIGINT) % 5, 0) AS bkt
+      FROM events WHERE event_id % 2 = 0),
+    b AS (
+      SELECT user_id % 20 AS uk,
+             NULLIF(CAST(floor(value * 10) AS BIGINT) % 5, 0) AS bkt
+      FROM events WHERE event_id % 2 = 1)
+    SELECT a.bkt,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM a JOIN b
+      ON a.uk = b.uk AND a.bkt IS NOT DISTINCT FROM b.bkt
+    GROUP BY a.bkt
+    """,
+    tags=("P4", "J1"),
+)
+def p10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): two event
+    halves join on a derived bucket where NULL must match NULL — the
+    semantics a plain = join silently drops (NULL = NULL is NULL, and
+    whole partitions of data vanish when a feed has nullable keys).
+    Spark plans <=> as a regular hash join (the null bucket hashes like
+    any value — it does NOT degrade to BNL), so the shape is one keyed
+    shuffle at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    bkt = F.nullif((F.floor(F.col("value") * 10).cast("long") % 5), F.lit(0))
+    a = e.filter(F.col("event_id") % 2 == 0).select(
+        (F.col("user_id") % 20).alias("uk"), bkt.alias("bkt")
+    )
+    b = e.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("user_id") % 20).alias("uk_b"), bkt.alias("bkt_b")
+    )
+    j = a.join(
+        b, (F.col("uk") == F.col("uk_b")) & F.col("bkt").eqNullSafe(F.col("bkt_b"))
+    )
+    return j.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
