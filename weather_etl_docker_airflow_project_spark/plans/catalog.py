@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts10_rolling_zscore",
     "cdc2_apply_changelog",
     "p10_null_safe_join",
+    "s19_corrupt_record_handling",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

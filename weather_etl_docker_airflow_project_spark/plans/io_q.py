@@ -780,3 +780,50 @@ def s18_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("event_id").cast("long").alias("id_checksum"),
     )
+
+
+@query(
+    "s19_corrupt_record_handling",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 7 THEN 'corrupt' ELSE 'good' END
+               AS record_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderkey % 10 = 7 THEN 0
+                         ELSE o_orderkey END) AS BIGINT) AS good_key_sum
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1
+    """,
+    tags=("S7", "P4", "DQ1"),
+)
+def s19_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-record ingestion: a JSONL feed where
+    every key ≡7 (mod 10) line is truncated mid-object parses with the
+    broken lines CAPTURED in ``_corrupt_record`` instead of killing the
+    job (FAILFAST) or silently vanishing (DROPMALFORMED) — the
+    quarantine-don't-crash contract a 100 TB ingest needs, with the bad
+    rows routed to a dead-letter count. The oracle predicts good/corrupt
+    classes arithmetically from the corruption rule, so a parser that
+    misclassifies either way hash-fails."""
+    import os as _os
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    line = F.when(
+        F.col("o_orderkey") % 10 == 7,
+        # truncated mid-object: unparseable, lands in _corrupt_record
+        F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"), F.lit(', "o_order')),
+    ).otherwise(
+        F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"), F.lit("}")),
+    )
+    dst = _os.path.join(scratch_dir("corrupt"), "feed")
+    o.select(line.alias("value")).write.mode("overwrite").text(dst)
+    back = (
+        spark.read.schema("o_orderkey BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dst)
+    )
+    cls = F.when(F.col("_corrupt_record").isNotNull(), "corrupt").otherwise("good")
+    return back.groupBy(cls.alias("record_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.coalesce(F.col("o_orderkey"), F.lit(0))).cast("long").alias("good_key_sum"),
+    )
