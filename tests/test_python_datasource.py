@@ -107,3 +107,12 @@ def test_stream_source_available_now_drains_all(spark):
 
     out = run_available_now(got.groupBy().count(), output_mode="complete")
     assert out.collect()[0]["count"] == 60
+
+
+def test_pushed_filter_pruning_everything_yields_empty(spark):
+    df = _feed(spark, stations=4, obs_per_station=5)
+    # contradictory / out-of-range pushed predicates prune ALL partitions;
+    # must return zero rows, not crash on the [None] sentinel
+    assert df.filter("station_id > 10").count() == 0
+    assert df.filter("station_id = 99").count() == 0
+    assert df.filter("station_id > 2 AND station_id < 2").count() == 0

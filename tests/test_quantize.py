@@ -54,3 +54,14 @@ def test_partitioned_input_consistent(spark):
         for r in int8_quantize(df.repartition(13)).collect()
     }
     assert a == b  # partitioning-independent
+
+
+def test_null_embedding_rows_stay_null(spark):
+    rows = [(1, [2.0, -1.0]), (2, None), (3, []), (4, [0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in int8_quantize(df).collect()}
+    assert out[2]["q"] is None and out[2]["max_abs"] is None  # NULL in -> NULL out
+    assert out[3]["q"] == [] and out[3]["max_abs"] == 0.0     # empty stays empty
+    # floor(x+0.5) half-up: -63.5 -> -63 (same on the vectorized path)
+    assert out[1]["q"] == [127, -63]
+    assert out[4]["q"] == [127]

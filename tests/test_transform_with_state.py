@@ -28,11 +28,26 @@ def sf_dir() -> str:
 
 def test_transform_with_state_equals_batch_aggregate(spark, sf_dir):
     ev = windows.stream_events(spark, sf_dir).filter(F.col("user_id") < 10)
-    got = {
-        r["user_id"]: (r["n_events"], r["id_checksum"], r["max_value"])
-        for r in windows.run_available_now(
+    # caller contract (see transform_with_state_stats): RocksDB provider
+    # must be active when the stream STARTS; save/restore around the run
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = windows.run_available_now(
             windows.transform_with_state_stats(ev), output_mode="update"
         ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    got = {
+        r["user_id"]: (r["n_events"], r["id_checksum"], r["max_value"])
+        for r in out
     }
     from weather_etl_docker_airflow_project_spark.io import load_table
 

@@ -47,9 +47,41 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
             if isinstance(emb, pa.ChunkedArray):  # pragma: no cover - RecordBatch cols aren't chunked
                 emb = emb.combine_chunks()
             lst = emb
+            if lst.null_count:
+                # NULL list slots break the zero-copy path two ways:
+                # flatten() drops values under null slots (misaligning
+                # np.diff(offsets) against the flat buffer), and a
+                # zero-width null slot would masquerade as a genuinely
+                # empty vector. Correctness first: per-row assembly,
+                # NULL in -> NULL out for both columns.
+                mx_py, q_py = [], []
+                for v in lst.to_pylist():
+                    if v is None:
+                        mx_py.append(None)
+                        q_py.append(None)
+                        continue
+                    a = np.asarray(v, dtype=np.float64)
+                    m = float(np.max(np.abs(a))) if len(a) else 0.0
+                    if m == 0.0:
+                        q_py.append([0] * len(a))
+                    else:
+                        q_py.append(
+                            [int(x) for x in np.floor(a * 127.0 / m + 0.5)]
+                        )
+                    mx_py.append(m)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(mx_py, type=pa.float64()),
+                        pa.array(q_py, type=pa.list_(pa.int32())),
+                    ],
+                    ["vec_id", "max_abs", "q"],
+                )
+                continue
             offsets = np.asarray(lst.offsets)
             # flatten() honors the array's offset/length slice; float64 for
-            # exact float32 widening
+            # exact float32 widening (no nulls on this path, so flatten and
+            # the offsets agree)
             vals = np.asarray(lst.flatten(), dtype=np.float64)
             base = offsets[0]
             starts = (offsets[:-1] - base).astype(np.int64)

@@ -624,16 +624,11 @@ def dq3_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag"), F.col("l_linestatus"),
         F.unix_micros(F.col("l_shipdate").cast("timestamp")).cast("string"),
     )
-    row_fp = F.expr(
-        "CAST(CAST(conv(substr(md5(" +
-        "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING), "
-        "CAST(l_suppkey AS STRING), CAST(l_linenumber AS STRING), "
-        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING), "
-        "l_returnflag, l_linestatus, "
-        "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS STRING))"
-        "), 1, 15), 16, 10) AS BIGINT) AS DECIMAL(38,0))"
+    row_fp = (
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
     )
-    _ = canon  # documented Column twin of the SQL expression above
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(row_fp).cast("decimal(38,0)").alias("fingerprint"),

@@ -136,18 +136,18 @@ def g1_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a19_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent item pairs (the support-counting core of
     apriori/FP-growth): baskets are orders, items are distinct parts per
-    order; co-occurring pairs with support ≥ {min_sup}, top-50 with ties
-    broken on the pair key.
+    order; co-occurring pairs with support ≥ _MIN_SUPPORT (2), top-50
+    with ties broken on the pair key.
 
     Scale shape: the per-basket pair expansion is quadratic in basket
-    size, so baskets larger than the DECLARED cap ({cap}) are dropped
+    size, so baskets larger than the DECLARED cap (_MAX_BASKET, 32) are dropped
     before the self-join — the same hot-key policy as the ngram-Jaccard
     and fuzzy-join caps, mirrored in the oracle. Both sides of the
     self-join shuffle once on the basket key (identical partitioning —
     AQE plans a single Exchange per side), the pair count is map-side
     combinable, and the top-50 compiles to TakeOrderedAndProject (no
     global sort).
-    """.format(min_sup=_MIN_SUPPORT, cap=_MAX_BASKET)
+    """
     li = load_table(spark, sf_dir, "lineitem")
     it = li.select("l_orderkey", "l_partkey").distinct()
     ok = it.groupBy("l_orderkey").count().filter(F.col("count") <= _MAX_BASKET).select("l_orderkey")

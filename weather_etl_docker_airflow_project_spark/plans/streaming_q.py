@@ -561,7 +561,12 @@ def t16_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "file-sink drain did not finish within 300s — refusing to read "
+            "a partially-committed manifest"
+        )
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

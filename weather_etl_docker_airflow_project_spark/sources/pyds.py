@@ -93,10 +93,18 @@ class WeatherFeedReader(DataSourceReader):
                 yield f
 
     def partitions(self):
-        # pushed station bounds prune whole partitions at planning time
+        # pushed station bounds prune whole partitions at planning time.
+        # A contradictory predicate (station_id = 99, >5 AND <3) prunes
+        # EVERYTHING — but PySpark substitutes [None] for an empty
+        # partitions() list and would call read(None), so emit one
+        # explicit empty sentinel instead of [].
+        if self.lo > self.hi:
+            return [_StationPartition(-1)]
         return [_StationPartition(s) for s in range(self.lo, self.hi + 1)]
 
     def read(self, partition: _StationPartition):
+        if partition is None or partition.station < 0:  # pruned-empty sentinel
+            return
         s = partition.station
         for seq in range(self.obs_per_station):
             yield feed_row(s, seq)
@@ -176,12 +184,15 @@ def register(spark) -> None:
     """Idempotently register both sources on the session, and enable the
     Python-source filter-pushdown conf (runtime-settable; off by default,
     and the round driver's vanilla session won't have set it)."""
+    # deliberately left on for the session: it is the feature-enable flag
+    # for ALL Python-source pushdown, not a per-query behavior switch
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     for cls in (WeatherFeedDataSource, ScratchJsonSink, WeatherFeedStreamSource):
         try:
             spark.dataSource.register(cls)
-        except Exception:
-            pass  # already registered on this session
+        except Exception as e:  # re-register on a warm session is fine;
+            if "EXISTS" not in str(e).upper() and "already" not in str(e).lower():
+                raise  # anything else is a real registration failure
 
 
 class FeedStreamReader(SimpleDataSourceStreamReader):

@@ -85,7 +85,12 @@ def run_available_now(stream: DataFrame, output_mode: str = "append") -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain did not finish within 300s — refusing to "
+            "read a partially-written sink"
+        )
     spark = stream.sparkSession
     return spark.table(name)
 
@@ -253,13 +258,12 @@ def transform_with_state_stats(events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    # transformWithState runs only on the RocksDB state store (the
-    # serving-grade provider); the default HDFS-backed store crashes the
-    # state server. Runtime-settable, read at stream start.
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    # CALLER CONTRACT: transformWithState runs only on the RocksDB state
+    # store — set `spark.sql.streaming.stateStore.providerClass` to
+    # RocksDBStateStoreProvider BEFORE starting the stream (the conf is
+    # read at stream start, after this builder returns, so setting it
+    # here would either leak session-wide or get restored too early;
+    # tests/test_transform_with_state.py shows the save/restore pattern).
 
     out_schema = T.StructType(
         [
