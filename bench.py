@@ -122,6 +122,8 @@ HEADLINE = [
     "ts10_rolling_zscore",
     "cdc2_apply_changelog",
     "p10_null_safe_join",
+    "w7_ratio_to_report",
+    "l3_knn_filtered",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

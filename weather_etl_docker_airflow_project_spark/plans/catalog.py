@@ -139,6 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "cdc2_apply_changelog",
     "p10_null_safe_join",
     "s19_corrupt_record_handling",
+    "w7_ratio_to_report",
+    "f17_try_suite",
+    "l3_knn_filtered",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

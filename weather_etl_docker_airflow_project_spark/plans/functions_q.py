@@ -468,3 +468,53 @@ def f16_sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey < 500
         """
     )
+
+
+@query(
+    "f17_try_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST(CAST(o_orderkey AS DECIMAL(18,4))
+                          / CAST(o_orderkey % 7 AS DECIMAL(18,4)) AS DOUBLE)
+           END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+               AS safe_cast,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                         THEN '2024-0' || CAST(o_orderkey % 9 + 1 AS VARCHAR)
+                              || '-15 12:00:00'
+                         ELSE 'nope' END AS TIMESTAMP) AS safe_ts
+    FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("F8", "F13", "P4"),
+)
+def f17_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe function suite: under Spark 4's default ANSI
+    semantics a divide-by-zero or bad cast ABORTS the job, so pipelines
+    quarantining dirty values use the try_* family — try_divide,
+    try_cast, try_to_timestamp all return NULL-on-error instead of
+    failing the stage (the row-level twin of s19's PERMISSIVE file
+    ingestion). Decimal division keeps the money convention; the oracle
+    states the same NULL islands with CASE/TRY_CAST. Pure codegen map
+    stage at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    num = F.col("o_orderkey").cast("decimal(18,4)")
+    den = (F.col("o_orderkey") % 7).cast("decimal(18,4)")
+    bad_str = F.when(F.col("o_orderkey") % 3 == 0, "not-a-number").otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    ts_str = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(
+            F.lit("2024-0"),
+            (F.col("o_orderkey") % 9 + 1).cast("string"),
+            F.lit("-15 12:00:00"),
+        ),
+    ).otherwise(F.lit("nope"))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(num, den).cast("double").alias("safe_div"),
+        bad_str.try_cast("bigint").alias("safe_cast"),
+        F.try_to_timestamp(ts_str).alias("safe_ts"),
+    )

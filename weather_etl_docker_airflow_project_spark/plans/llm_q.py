@@ -2288,3 +2288,43 @@ def l7_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_weight"),
         )
     )
+
+
+@query(
+    "l3_knn_filtered",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, label, {_QUANT_VEC} AS qv FROM embeddings),
+    q AS (SELECT qv FROM c WHERE vec_id = 0)
+    SELECT c.vec_id, c.label,
+           CAST(list_dot_product(c.qv::DOUBLE[], q.qv::DOUBLE[]) AS BIGINT)
+               AS dot_q
+    FROM c, q
+    WHERE c.label = 1 AND c.vec_id <> 0
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 15
+    """,
+    tags=("L3", "P5"),
+)
+def l3_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (the serving feature every vector DB
+    exposes): top-15 neighbors of vec 0 AMONG label=1 vectors only —
+    pre-filtering, so the metadata predicate prunes BEFORE any scoring
+    (pushed to the parquet scan; at 100 TB with a label-partitioned or
+    bucketed corpus the filter prunes files, not rows). Post-filtering
+    (score then filter) under-fills k when the label is selective —
+    declaring the pre-filter semantics in the oracle pins the correct
+    variant. Plan is otherwise knn_bruteforce's: broadcast 1-row query,
+    TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        similarity.quantize(F.col("embedding")).alias("qvec")
+    )
+    cand = emb.filter((F.col("label") == 1) & (F.col("vec_id") != 0))
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        similarity.int_dot(
+            similarity.quantize(F.col("embedding")), F.col("qvec")
+        ).alias("dot_q"),
+    )
+    return scored.orderBy(F.desc("dot_q"), "vec_id").limit(15)

@@ -2377,3 +2377,60 @@ def p10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("uk") == F.col("uk_b")) & F.col("bkt").eqNullSafe(F.col("bkt_b"))
     )
     return j.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+
+
+@query(
+    "w7_ratio_to_report",
+    oracle="""
+    WITH n AS (
+      SELECT n.n_name, r.r_name,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                 AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name)
+    SELECT n_name, r_name,
+           CAST(nation_rev AS DOUBLE) AS nation_rev,
+           CAST(nation_rev AS DOUBLE)
+               / CAST(sum(nation_rev) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS region_share
+    FROM n
+    """,
+    tags=("W3", "A2", "J3"),
+)
+def w7_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's revenue via a
+    windowed sum over the aggregated rows — the percent-of-total pattern.
+    Hash-exactness through the usual money discipline plus one subtlety:
+    the windowed denominator sums DECIMAL (exact, order-free) and only
+    the final share is a single double division — a windowed DOUBLE sum
+    would be engine-reduction-order dependent and could never hash. The
+    window runs on the 25-row aggregate, not the fact table: shuffle
+    cost is the groupBy's, the window is free."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    agg = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("nation_rev_dec")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return agg.select(
+        "n_name",
+        "r_name",
+        F.col("nation_rev_dec").cast("double").alias("nation_rev"),
+        (
+            F.col("nation_rev_dec").cast("double")
+            / F.sum("nation_rev_dec").over(w).cast("double")
+        ).alias("region_share"),
+    )
