@@ -124,6 +124,9 @@ HEADLINE = [
     "p10_null_safe_join",
     "w7_ratio_to_report",
     "l3_knn_filtered",
+    "j14_asof_tolerance",
+    "t17_stream_multibatch",
+    "l6_target_encode",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -142,6 +142,9 @@ _PRIORITY: tuple[str, ...] = (
     "w7_ratio_to_report",
     "f17_try_suite",
     "l3_knn_filtered",
+    "j14_asof_tolerance",
+    "t17_stream_multibatch",
+    "l6_target_encode",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

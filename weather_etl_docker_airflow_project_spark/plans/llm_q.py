@@ -2328,3 +2328,59 @@ def l3_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dot_q"),
     )
     return scored.orderBy(F.desc("dot_q"), "vec_id").limit(15)
+
+
+@query(
+    "l6_target_encode",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS seg_sum
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment),
+    tot AS (SELECT CAST(sum(seg_sum) AS DECIMAL(28,2)) AS g_sum,
+                   CAST(sum(n) AS BIGINT) AS g_n
+            FROM seg)
+    SELECT seg.c_mktsegment, seg.n,
+           (CAST(seg.seg_sum AS DOUBLE)
+            + 20.0 * (CAST(tot.g_sum AS DOUBLE) / CAST(tot.g_n AS DOUBLE)))
+           / (CAST(seg.n AS DOUBLE) + 20.0) AS encoded
+    FROM seg CROSS JOIN tot
+    """,
+    tags=("L6", "A2"),
+)
+def l6_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the m-estimate categorical encoder a
+    feature pipeline applies before gradient models): each segment's code
+    is its mean order value shrunk toward the global mean with m=20
+    pseudo-observations — rare categories collapse to the prior instead
+    of memorizing noise. Float discipline: all sums ride DECIMAL
+    (order-free); the encoding is a fixed-order chain of scalar double
+    ops, so both engines produce bit-identical codes. One aggregate
+    shuffle + a 1-row broadcast; the encoder table is dimension-sized and
+    broadcasts back onto the fact table for application at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("seg_sum"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("seg_sum").cast("decimal(28,2)").alias("g_sum"),
+        F.sum("n").cast("long").alias("g_n"),
+    )
+    enc = (
+        F.col("seg_sum").cast("double")
+        + F.lit(20.0) * (F.col("g_sum").cast("double") / F.col("g_n").cast("double"))
+    ) / (F.col("n").cast("double") + F.lit(20.0))
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment", "n", enc.alias("encoded")
+    )

@@ -2434,3 +2434,46 @@ def w7_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("nation_rev_dec").over(w).cast("double")
         ).alias("region_share"),
     )
+
+
+@query(
+    "j14_asof_tolerance",
+    oracle="""
+    SELECT e.event_id,
+           CASE WHEN c.ts >= e.ts - INTERVAL 30 MINUTE
+                THEN c.event_id ELSE NULL END AS click_id_tol,
+           CASE WHEN c.ts >= e.ts - INTERVAL 30 MINUTE
+                THEN CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT)
+                ELSE NULL END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    tags=("J8",),
+)
+def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE window (pandas merge_asof(tolerance=)
+    parity): each error event picks up the latest prior click by the same
+    user only if it happened within 30 minutes — staler matches null out.
+    The tolerance is a post-match scalar filter over the single-shuffle
+    as-of core (operators/asof.py), so it adds zero distributed cost; the
+    gap is reported in exact integer microseconds. The oracle states the
+    same rule over DuckDB's native ASOF LEFT JOIN — two independent
+    as-of implementations agreeing on match + tolerance semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").withColumnRenamed(
+        "event_id", "click_id"
+    )
+    j = asof_join(
+        errors, clicks, on="ts", by="user_id",
+        right_payload=["click_id", "ts"], suffix="_m",
+    )
+    within = F.col("ts_m") >= F.col("ts") - F.expr("INTERVAL 30 MINUTE")
+    return j.select(
+        "event_id",
+        F.when(within, F.col("click_id_m")).alias("click_id_tol"),
+        F.when(
+            within, F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_m"))
+        ).alias("gap_us"),
+    )

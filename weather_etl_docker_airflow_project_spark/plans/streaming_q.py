@@ -572,3 +572,44 @@ def t16_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("event_id").cast("long").alias("id_checksum"),
     )
+
+
+@query(
+    "t17_stream_multibatch",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE user_id < 100
+    GROUP BY event_type
+    """,
+    tags=("T1", "T5"),
+)
+def t17_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-micro-batch incremental aggregation: the filtered events
+    land as 5 parquet files and the file stream is rate-limited with
+    ``maxFilesPerTrigger=1``, so availableNow drains in ~5 successive
+    micro-batches — unlike the single-batch drains elsewhere, this
+    exercises real cross-batch STATE accumulation in the aggregation
+    (each batch merges into the state store; tests/test_streaming_multibatch.py
+    asserts the batch count). Complete-mode memory sink = the final
+    accumulated snapshot, which must equal the batch aggregate regardless
+    of how the files were batched — the correctness property incremental
+    state maintenance promises at any scale."""
+    import os as _os
+
+    src = _os.path.join(scratch_dir("multibatch"), "files")
+    load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100).repartition(
+        5
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
+    return windows.run_available_now(agg, output_mode="complete")
