@@ -127,6 +127,8 @@ HEADLINE = [
     "j14_asof_tolerance",
     "t17_stream_multibatch",
     "l6_target_encode",
+    "a20_weighted_median",
+    "u5_bag_set_ops",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -145,6 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "j14_asof_tolerance",
     "t17_stream_multibatch",
     "l6_target_encode",
+    "a20_weighted_median",
+    "u5_bag_set_ops",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -2477,3 +2477,109 @@ def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             within, F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_m"))
         ).alias("gap_us"),
     )
+
+
+@query(
+    "a20_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_returnflag
+                       ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                                l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cum_wt,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM lineitem),
+    hit AS (
+      SELECT l_returnflag, price,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cum_wt, price) AS rn
+      FROM w WHERE 2 * cum_wt >= tot_wt)
+    SELECT l_returnflag,
+           CAST(price AS DOUBLE) AS weighted_median_price
+    FROM hit WHERE rn = 1
+    """,
+    tags=("W3", "A10", "O4"),
+)
+def a20_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median: the price at which half the shipped
+    QUANTITY (not half the rows) lies below — the inventory-weighted
+    location statistic plain percentile_cont can't express. Formulation:
+    cumulative weight over the price-sorted stream (unique tie-break
+    key), first row where 2·cum ≥ total. All weights ride DECIMAL
+    (order-free sums; DuckDB windowed segment-tree summation and Spark's
+    sequential accumulation agree because decimal addition is exact), so
+    the hash is bit-deterministic. One shuffle on the group key; both
+    window passes and the filter reuse the same sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    wt = F.col("l_quantity").cast("decimal(18,2)")
+    order = Window.partitionBy("l_returnflag").orderBy(
+        price, "l_orderkey", "l_linenumber"
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    grp = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        price.alias("price"),
+        F.sum(wt).over(run).alias("cum_wt"),
+        F.sum(wt).over(grp).alias("tot_wt"),
+    )
+    hit = w.filter(2 * F.col("cum_wt") >= F.col("tot_wt")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cum_wt", "price")
+        ),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "l_returnflag", F.col("price").cast("double").alias("weighted_median_price")
+    )
+
+
+@query(
+    "u5_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM i
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM x
+    """,
+    tags=("U2", "U3"),
+)
+def u5_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL): the
+    multiplicity-preserving variants — a key appearing 3× in A and 2× in
+    B survives INTERSECT ALL twice and EXCEPT ALL once, which the
+    DISTINCT forms (u2/u3) erase. Spark plans both as a single
+    aggregate-with-counters shuffle (no join explosion); the checksums
+    over the result multiset pin the exact multiplicities against the
+    oracle's native ALL operators."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def stats(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("k").cast("long").alias("n_distinct"),
+            F.sum("k").cast("long").alias("key_sum"),
+        ).select(F.lit(op).alias("op"), "n", "n_distinct", "key_sum")
+
+    return stats(a.intersectAll(b), "intersect_all").unionByName(
+        stats(a.exceptAll(b), "except_all")
+    )
