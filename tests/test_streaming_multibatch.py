@@ -1,31 +1,24 @@
 """Gate for t17: the rate-limited file stream must actually process
 MULTIPLE micro-batches under availableNow (one per file), and the final
 complete-mode snapshot must equal the batch aggregate regardless of the
-batching."""
+batching. Drives the REGISTERED builder (windows.multibatch_event_agg —
+the same construction t17_stream_multibatch drains), so a regression in
+the query's rate limit or file split fails here."""
 
 from __future__ import annotations
 
 import os
-import time
 import uuid
 
 from pyspark.sql import functions as F
 
 from weather_etl_docker_airflow_project_spark.io import load_table, scratch_dir
+from weather_etl_docker_airflow_project_spark.streaming import windows
 
 
 def test_available_now_honors_max_files_per_trigger(spark):
     sf = "/root/testdata/sf0.001"
-    src = os.path.join(scratch_dir("mb_test"), "files")
-    base = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
-    base.repartition(5).write.mode("overwrite").parquet(src)
-
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    agg = windows.multibatch_event_agg(spark, sf, user_cap=50)
     name = f"mb_{uuid.uuid4().hex}"
     q = (
         agg.writeStream.format("memory")
@@ -38,9 +31,18 @@ def test_available_now_honors_max_files_per_trigger(spark):
     assert q.awaitTermination(300)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 5  # one micro-batch per file, not one big drain
-    got = {r["event_type"]: r["n"] for r in spark.table(name).collect()}
+    got = {
+        r["event_type"]: (r["n"], r["id_checksum"])
+        for r in spark.table(name).collect()
+    }
+    base = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
     want = {
-        r["event_type"]: r["n"]
-        for r in base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        r["event_type"]: (r["n"], r["chk"])
+        for r in base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("chk"),
+        )
+        .collect()
     }
     assert got == want

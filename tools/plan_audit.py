@@ -35,7 +35,7 @@ SF = "/root/testdata/sf0.001"
 # audit doubles as the regression gate for that property
 EAGER_PREFIXES = (
     "t2_", "t5_", "t6_", "t7_", "t8_", "t9_", "t10_", "t11_", "t12_",
-    "t13_", "t15_", "t16_",
+    "t13_", "t15_", "t16_", "t17_",
     "s5_", "s7_", "s8_", "s10_", "s11_", "s12_", "s13_", "s14_", "s16_",
     "s17_", "s18_", "s19_",
     "a16_", "a17_", "a21_",
@@ -64,7 +64,7 @@ def summarize(plan: str) -> dict[str, object]:
             joins.append(f"{k.replace('Join', '')}×{n}" if n > 1 else k.replace("Join", ""))
     return {
         "exchanges": len(
-            re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)", plan)
+            re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", plan)
         ),
         "joins": " ".join(joins) or "—",
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
@@ -95,7 +95,8 @@ def main() -> None:
             s = summarize(buf.getvalue())
             rows.append((name, s))
         except Exception as e:  # noqa: BLE001 - audit must list, not die
-            rows.append((name, {"exchanges": "ERR", "joins": str(e)[:60],
+            msg = str(e)[:60].replace("|", "/").replace("\n", " ")
+            rows.append((name, {"exchanges": "ERR", "joins": msg,
                                 "codegen": "", "topk": "", "python": ""}))
     out = [
         "# PLANS — physical-plan shape per query (sf0.001, auto-generated)",
@@ -131,7 +132,11 @@ def main() -> None:
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
-    print(f"wrote PLANS.md: {len(rows)} audited, {len(eager)} eager-skipped")
+    n_err = sum(1 for _, x in rows if x["exchanges"] == "ERR")
+    print(
+        f"wrote PLANS.md: {len(rows) - n_err} audited, {n_err} ERRORED, "
+        f"{len(eager)} eager-skipped"
+    )
 
 
 if __name__ == "__main__":

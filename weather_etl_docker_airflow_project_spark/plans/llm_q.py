@@ -2359,8 +2359,10 @@ def l6_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     of memorizing noise. Float discipline: all sums ride DECIMAL
     (order-free); the encoding is a fixed-order chain of scalar double
     ops, so both engines produce bit-identical codes. One aggregate
-    shuffle + a 1-row broadcast; the encoder table is dimension-sized and
-    broadcasts back onto the fact table for application at any scale."""
+    shuffle; the grand totals ride an empty-partition window over the
+    5-row aggregate (no second fact scan), and the encoder table is
+    dimension-sized — broadcast it back onto the fact table to apply at
+    any scale."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     seg = (
@@ -2373,14 +2375,22 @@ def l6_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seg_sum"),
         )
     )
-    tot = seg.agg(
-        F.sum("seg_sum").cast("decimal(28,2)").alias("g_sum"),
-        F.sum("n").cast("long").alias("g_n"),
+    # grand totals via an empty-partition window over the 5-row aggregate —
+    # ONE pass over the fact join (a separate seg.agg() + crossJoin would
+    # re-evaluate the whole uncached lineage twice); decimal window sums
+    # are exact, so summation order cannot matter
+    from pyspark.sql import Window as W
+
+    g = W.partitionBy()
+    seg2 = seg.select(
+        "c_mktsegment",
+        "n",
+        "seg_sum",
+        F.sum("seg_sum").over(g).cast("decimal(28,2)").alias("g_sum"),
+        F.sum("n").over(g).cast("long").alias("g_n"),
     )
     enc = (
         F.col("seg_sum").cast("double")
         + F.lit(20.0) * (F.col("g_sum").cast("double") / F.col("g_n").cast("double"))
     ) / (F.col("n").cast("double") + F.lit(20.0))
-    return seg.crossJoin(F.broadcast(tot)).select(
-        "c_mktsegment", "n", enc.alias("encoded")
-    )
+    return seg2.select("c_mktsegment", "n", enc.alias("encoded"))

@@ -596,20 +596,5 @@ def t17_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated snapshot, which must equal the batch aggregate regardless
     of how the files were batched — the correctness property incremental
     state maintenance promises at any scale."""
-    import os as _os
-
-    src = _os.path.join(scratch_dir("multibatch"), "files")
-    load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100).repartition(
-        5
-    ).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    agg = stream.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("event_id").cast("long").alias("id_checksum"),
-    )
+    agg = windows.multibatch_event_agg(spark, sf_dir, user_cap=100)
     return windows.run_available_now(agg, output_mode="complete")

@@ -313,3 +313,28 @@ def transform_with_state_stats(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def multibatch_event_agg(spark: SparkSession, sf_dir: str, user_cap: int = 100):
+    """T17's builder, shared with its pytest gate so the gate exercises
+    the REGISTERED construction (not a parallel copy): land the filtered
+    events as 5 parquet files, then a file stream rate-limited to ONE
+    file per trigger — availableNow must drain it in ~5 micro-batches of
+    real cross-batch state accumulation. Returns the streaming aggregate
+    (caller drains it: the query via run_available_now, the test via its
+    own sink so it can count batches)."""
+    from ..io import load_table, scratch_dir
+
+    src = os.path.join(scratch_dir("multibatch"), "files")
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < user_cap
+    ).repartition(5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
