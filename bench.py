@@ -129,6 +129,8 @@ HEADLINE = [
     "l6_target_encode",
     "a20_weighted_median",
     "u5_bag_set_ops",
+    "l5_resize_pixels",
+    "t18_stream_union_fanin",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

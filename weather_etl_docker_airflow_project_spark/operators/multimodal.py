@@ -938,3 +938,37 @@ def frame_means(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_means, SCENE_STATS_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch raster resize: one mapInPandas stage applies
+    :func:`resize_image` (decode → nearest-neighbor sample → re-encode)
+    to every payload. Same no-shuffle discipline as the other media ops:
+    bytes in, bytes out, all within the map stage — at 100 TB the
+    thumbnail pass is embarrassingly parallel and the full-size payload
+    never leaves the stage that read it."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    payload_col: [
+                        resize_image(p, width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema)

@@ -147,6 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "l6_target_encode",
     "a20_weighted_median",
     "u5_bag_set_ops",
+    "l5_resize_pixels",
+    "t18_stream_union_fanin",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

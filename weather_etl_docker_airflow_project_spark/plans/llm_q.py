@@ -2394,3 +2394,46 @@ def l6_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(20.0) * (F.col("g_sum").cast("double") / F.col("g_n").cast("double"))
     ) / (F.col("n").cast("double") + F.lit(20.0))
     return seg2.select("c_mktsegment", "n", enc.alias("encoded"))
+
+
+@query(
+    "l5_resize_pixels",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, length(text) % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + ((x.x * d.w) // 8) * 3
+              + ((y.y * d.h) // 6) * 5) % 256 AS r,
+             (d.doc_id * 7 + ((x.x * d.w) // 8) * 3
+              + ((y.y * d.h) // 6) * 5 + 11) % 256 AS g,
+             (d.doc_id * 7 + ((x.x * d.w) // 8) * 3
+              + ((y.y * d.h) // 6) * 5 + 22) % 256 AS b
+      FROM dims d, generate_series(0, 7) x(x), generate_series(0, 5) y(y))
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CAST(48 AS BIGINT) AS n_pixels,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("L5",),
+)
+def l5_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE end-to-end (the brief's decode/resize/feature chain):
+    every synthesized PNG is thumbnailed to 8×6 by real decode →
+    nearest-neighbor sample → re-ENCODE (operators/multimodal.resize_image,
+    applied batch-wise in one mapInPandas stage), then the resized
+    payload is decoded AGAIN by the independent pixel_features pass. The
+    oracle predicts the thumbnail's channel sums purely arithmetically
+    (source index = target·src // dst, the NN mapping), so an off-by-one
+    in the sampling grid, a filter bug in the re-encode, or a stale
+    dimension header all hash-fail. Two Python map stages, zero
+    shuffles of pixel data."""
+    docs = load_table(spark, sf_dir, "documents")
+    png = multimodal.synthesize_png(docs, "doc_id", "text")
+    small = multimodal.resize_images(png, 8, 6)
+    return multimodal.pixel_features(small, "doc_id")

@@ -598,3 +598,48 @@ def t17_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     state maintenance promises at any scale."""
     agg = windows.multibatch_event_agg(spark, sf_dir, user_cap=100)
     return windows.run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "t18_stream_union_fanin",
+    oracle="""
+    WITH u AS (
+      SELECT 'clicks' AS feed, event_id, user_id FROM events
+      WHERE event_type = 'click' AND user_id < 200
+      UNION ALL
+      SELECT 'errors' AS feed, event_id, user_id FROM events
+      WHERE event_type = 'error' AND user_id < 200)
+    SELECT feed,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM u GROUP BY feed
+    """,
+    tags=("T5", "U1"),
+)
+def t18_stream_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source FAN-IN topology: two independent file streams (the
+    click feed and the error feed, each with its own source node and
+    filter) union into ONE streaming aggregation — the merge shape every
+    multi-region/multi-topic ingestion uses. Spark tracks offsets per
+    source under the one query; the unioned aggregate accumulates state
+    across both. availableNow drains both sources; the oracle is the
+    batch union. At scale each source scales independently and the union
+    adds no shuffle of its own (the aggregate's Exchange is the only
+    one)."""
+    clicks = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 200))
+        .select(F.lit("clicks").alias("feed"), "event_id", "user_id")
+    )
+    errors = (
+        windows.stream_events(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("user_id") < 200))
+        .select(F.lit("errors").alias("feed"), "event_id", "user_id")
+    )
+    agg = clicks.unionByName(errors).groupBy("feed").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )
+    return windows.run_available_now(agg, output_mode="complete")
