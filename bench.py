@@ -131,6 +131,9 @@ HEADLINE = [
     "u5_bag_set_ops",
     "l5_resize_pixels",
     "t18_stream_union_fanin",
+    "a22_approx_topk",
+    "p11_collation_group",
+    "f18_variant_explode",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -149,6 +149,9 @@ _PRIORITY: tuple[str, ...] = (
     "u5_bag_set_ops",
     "l5_resize_pixels",
     "t18_stream_union_fanin",
+    "a22_approx_topk",
+    "p11_collation_group",
+    "f18_variant_explode",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -518,3 +518,38 @@ def f17_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad_str.try_cast("bigint").alias("safe_cast"),
         F.try_to_timestamp(ts_str).alias("safe_ts"),
     )
+
+
+@query(
+    "f18_variant_explode",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, 0 AS pos, o_orderpriority AS v
+      FROM orders WHERE o_orderkey < 300
+      UNION ALL
+      SELECT o_orderkey, 1 AS pos, o_orderstatus AS v
+      FROM orders WHERE o_orderkey < 300)
+    SELECT o_orderkey, CAST(pos AS INT) AS pos, v
+    FROM u
+    """,
+    tags=("F14", "F9"),
+)
+def f18_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT table function (variant_explode, Spark 4): each order's
+    fields travel as a semi-structured JSON array parsed to VARIANT, and
+    the LATERAL variant_explode unnests it back to (pos, value) rows —
+    the shredding path for ingesting heterogeneous semi-structured
+    feeds without a fixed schema. The identity oracle proves the whole
+    parse → variant → explode → cast chain lossless; complements f14's
+    scalar variant_get paths with the table-function surface."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    o.createOrReplaceTempView("orders_f18")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.pos, CAST(t.value AS STRING) AS v
+        FROM orders_f18 o,
+        LATERAL variant_explode(
+          parse_json(concat('["', o.o_orderpriority, '","', o.o_orderstatus, '"]'))
+        ) t
+        """
+    )

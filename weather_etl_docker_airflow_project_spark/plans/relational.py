@@ -2583,3 +2583,70 @@ def u5_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(a.intersectAll(b), "intersect_all").unionByName(
         stats(a.exceptAll(b), "except_all")
     )
+
+
+@query(
+    "a22_approx_topk",
+    oracle="""
+    SELECT o_orderpriority AS item,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY n DESC, item LIMIT 4
+    """,
+    tags=("A4", "A18", "O3"),
+)
+def a22_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (the DataSketches frequent-items aggregate, Spark 4):
+    single-pass mergeable top-k over the priority column. Exactness
+    argument — the same one that lets this query carry an EXACT oracle:
+    with maxItemsTracked (1024 here) ≥ the true distinct count (5), the
+    sketch degenerates to exact counting, so the declared result equals
+    plain GROUP BY. At 100 TB cardinalities ABOVE capacity, the same
+    plan keeps working with the documented approximation error — the
+    graceful-degradation property exact heavy hitters (a18) trade away.
+    The sketch's array output is exploded and re-sorted with a full
+    tie-break so ordering inside the sketch can't leak into the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 4, 1024)").alias("topk")
+    )
+    flat = sk.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("n")
+    )
+    return flat.orderBy(F.desc("n"), "item").limit(4)
+
+
+@query(
+    "p11_collation_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS pr
+      FROM orders)
+    SELECT lower(pr) AS priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM mixed GROUP BY lower(pr)
+    """,
+    tags=("F6", "A2"),
+)
+def p11_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware grouping (Spark 4 collations): a case-mangled feed
+    groups under UTF8_LCASE so 'URGENT' and 'urgent' land in one group —
+    declared on the COLUMN TYPE, not hand-lowered in every expression
+    (the point of engine collations: comparisons, joins and aggregations
+    all inherit the semantics). The output key is re-collated to binary
+    and lowercased so the hash compares plain strings; the oracle states
+    the equivalent lower()-keyed aggregate (identical for this ASCII
+    domain)."""
+    o = load_table(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority"))
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pr")
+    )
+    ci = mixed.select(F.expr("collate(pr, 'UTF8_LCASE')").alias("pr"))
+    g = ci.groupBy("pr").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return g.select(
+        F.expr("CAST(collate(lower(pr), 'UTF8_BINARY') AS STRING)").alias("priority"),
+        "n",
+    )
