@@ -134,6 +134,7 @@ HEADLINE = [
     "a22_approx_topk",
     "p11_collation_group",
     "f18_variant_explode",
+    "j15_cogroup_merge",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

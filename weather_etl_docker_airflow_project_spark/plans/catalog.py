@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "a22_approx_topk",
     "p11_collation_group",
     "f18_variant_explode",
+    "j15_cogroup_merge",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

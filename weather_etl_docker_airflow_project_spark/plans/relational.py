@@ -2650,3 +2650,63 @@ def p11_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(collate(lower(pr), 'UTF8_BINARY') AS STRING)").alias("priority"),
         "n",
     )
+
+
+@query(
+    "j15_cogroup_merge",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+             CAST(max(event_id) AS BIGINT) AS max_click_id
+      FROM events WHERE event_type = 'click' AND user_id < 60
+      GROUP BY user_id),
+    e AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors,
+             CAST(max(event_id) AS BIGINT) AS max_error_id
+      FROM events WHERE event_type = 'error' AND user_id < 60
+      GROUP BY user_id)
+    SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(e.n_errors, 0) AS n_errors,
+           c.max_click_id, e.max_error_id
+    FROM c FULL OUTER JOIN e ON c.user_id = e.user_id
+    """,
+    tags=("J2", "A2"),
+)
+def j15_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas (the §2.10 API surface's last member):
+    each user's click rows and error rows arrive as a PAIR of pandas
+    frames in one Python call — the escape hatch for per-key merge logic
+    no join expresses (custom reconciliation, interleaved replay,
+    model-based matching). Here the merge computes per-side counts and
+    maxima with empty-side handling, so the FULL-OUTER-shaped oracle
+    pins the cogroup contract: a user present on one side only still
+    yields one output row (the missing side's frame is empty, not
+    absent). One co-partitioned shuffle of both inputs; Arrow-batched
+    like every Python stage in the engine."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id")
+
+    def merge(key, c_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(c_pdf)],
+                "n_errors": [len(e_pdf)],
+                "max_click_id": [c_pdf["event_id"].max() if len(c_pdf) else None],
+                "max_error_id": [e_pdf["event_id"].max() if len(e_pdf) else None],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_clicks bigint, n_errors bigint, "
+            "max_click_id bigint, max_error_id bigint",
+        )
+    )
