@@ -135,6 +135,8 @@ HEADLINE = [
     "p11_collation_group",
     "f18_variant_explode",
     "j15_cogroup_merge",
+    "dq4_observed_metrics",
+    "p12_parameterized_sql",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

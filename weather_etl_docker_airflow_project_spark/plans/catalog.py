@@ -153,6 +153,8 @@ _PRIORITY: tuple[str, ...] = (
     "p11_collation_group",
     "f18_variant_explode",
     "j15_cogroup_merge",
+    "dq4_observed_metrics",
+    "p12_parameterized_sql",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

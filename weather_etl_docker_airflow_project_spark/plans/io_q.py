@@ -822,3 +822,92 @@ def s19_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.coalesce(F.col("o_orderkey"), F.lit(0))).cast("long").alias("good_key_sum"),
     )
+
+
+@query(
+    "dq4_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice > 400000 THEN 1 END) AS BIGINT)
+               AS n_big,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+    tags=("DQ1", "A1"),
+)
+def dq4_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API (df.observe): data-quality metrics PIGGYBACK on a
+    pass the pipeline already makes — counts, a conditional count, the
+    decimal-exact total, and key bounds are accumulated inside the scan
+    as observed metrics, NOT as a second aggregation job (at 100 TB the
+    difference between observe and a separate DQ query is a full extra
+    table scan). The observed values are surfaced as a one-row DataFrame
+    and must hash-match the oracle's direct aggregate — proving the
+    metric accumulation path is exact, not approximate."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq4")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 400000, 1)).cast("long").alias("n_big"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+    # the pass the metrics ride on (any downstream action works; count is
+    # the cheapest full-scan action)
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"], m["n_big"], m["total"], m["min_key"], m["max_key"],
+            )
+        ],
+        "n_rows bigint, n_big bigint, total double, min_key bigint, max_key bigint",
+    )
+
+
+@query(
+    "p12_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_totalprice > 250000
+    GROUP BY o_orderpriority
+    """,
+    tags=("P5", "A2"),
+)
+def p12_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 4 named parameters + IDENTIFIER()): the
+    query text carries :named placeholders for values and an
+    IDENTIFIER(:tbl) for the relation — the injection-safe templating
+    surface a query service exposes instead of string concatenation
+    (parameters are bound as literals by the PARSER, so a hostile value
+    can never splice syntax). Catalyst folds the bound literals exactly
+    like inline ones — pushdown and pruning are unaffected."""
+    import datetime
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_p12")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "tbl": "orders_p12",
+            "cutoff": datetime.datetime(1996, 1, 1),
+            "floor": 250000,
+        },
+    )
