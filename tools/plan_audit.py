@@ -38,7 +38,7 @@ EAGER_PREFIXES = (
     "t13_", "t15_", "t16_", "t17_",
     "s5_", "s7_", "s8_", "s10_", "s11_", "s12_", "s13_", "s14_", "s16_",
     "s17_", "s18_", "s19_",
-    "a16_", "a17_", "a21_",
+    "a16_", "a17_", "a21_", "dq4_",
     "l3_ann_persisted", "l3_ivf_persisted", "l4_inverted_probe",
     "l3_pq_search", "l3_ivf_kmeans", "l3_mmr",  # driver-fit / checkpointed pools
     "g1_",  # adjacency localCheckpoint
