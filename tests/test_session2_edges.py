@@ -85,3 +85,23 @@ def test_streak_extremes(spark):
     assert got[1] == (5, 1)  # one unbroken run
     assert got[2] == (1, 5)  # every step breaks
     assert got[3] == (1, 4)  # constants are not strict increases
+
+
+def test_parameterized_sql_binds_literals_not_syntax(spark):
+    """A hostile parameter value must bind as a LITERAL, never splice
+    SQL — the property that makes :named parameters injection-safe."""
+    from weather_etl_docker_airflow_project_spark.io import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "orders").createOrReplaceTempView(
+        "orders_inj"
+    )
+    clean = spark.sql(
+        "SELECT count(*) AS n FROM orders_inj WHERE o_orderstatus = :s",
+        args={"s": "O"},
+    ).collect()[0]["n"]
+    # classic injection payload: as a bound literal it matches NOTHING
+    hostile = spark.sql(
+        "SELECT count(*) AS n FROM orders_inj WHERE o_orderstatus = :s",
+        args={"s": "O' OR '1'='1"},
+    ).collect()[0]["n"]
+    assert clean > 0 and hostile == 0
