@@ -2691,13 +2691,21 @@ def j15_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id")
 
     def merge(key, c_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        # when the caller only counts the output, Catalyst column-prunes
+        # the UDF inputs to zero columns (rows survive, schema doesn't) —
+        # guard the column access so the row-count path stays valid
+        def mx(pdf: pd.DataFrame):
+            if "event_id" in pdf.columns and len(pdf):
+                return pdf["event_id"].max()
+            return None
+
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_clicks": [len(c_pdf)],
                 "n_errors": [len(e_pdf)],
-                "max_click_id": [c_pdf["event_id"].max() if len(c_pdf) else None],
-                "max_error_id": [e_pdf["event_id"].max() if len(e_pdf) else None],
+                "max_click_id": [mx(c_pdf)],
+                "max_error_id": [mx(e_pdf)],
             }
         )
 
