@@ -43,10 +43,12 @@ def compat(spark_t: str, arrow_t: str) -> bool:
     if spark_t.startswith("timestamp"):
         return arrow_t.startswith("timestamp")
     if spark_t.startswith("array<"):
-        inner_s, inner_a = spark_t[6:-1], arrow_t
-        for prefix in ("list<item: ", "large_list<item: "):
-            if inner_a.startswith(prefix):
-                return compat(inner_s, inner_a[len(prefix):-1])
+        # arrow spells the element FIELD NAME into the type ('item' from
+        # Spark, 'l'/'element' from DuckDB lambdas) — strip generically
+        inner_s = spark_t[6:-1]
+        for head in ("list<", "large_list<"):
+            if arrow_t.startswith(head) and ": " in arrow_t:
+                return compat(inner_s, arrow_t[len(head):-1].split(": ", 1)[1])
         return False
     return spark_t == arrow_t  # conservative
 
