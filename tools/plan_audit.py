@@ -35,7 +35,7 @@ SF = "/root/testdata/sf0.001"
 # audit doubles as the regression gate for that property
 EAGER_PREFIXES = (
     "t2_", "t5_", "t6_", "t7_", "t8_", "t9_", "t10_", "t11_", "t12_",
-    "t13_", "t15_", "t16_", "t17_",
+    "t13_", "t15_", "t16_", "t17_", "t18_",
     "s5_", "s7_", "s8_", "s10_", "s11_", "s12_", "s13_", "s14_", "s16_",
     "s17_", "s18_", "s19_",
     "a16_", "a17_", "a21_", "dq4_",

@@ -2591,29 +2591,30 @@ def u5_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority AS item,
            CAST(count(*) AS BIGINT) AS n
     FROM orders GROUP BY o_orderpriority
-    ORDER BY n DESC, item LIMIT 4
+    ORDER BY n DESC, item LIMIT 5
     """,
-    tags=("A4", "A18", "O3"),
+    tags=("A4", "A2", "O3"),
 )
 def a22_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_top_k (the DataSketches frequent-items aggregate, Spark 4):
     single-pass mergeable top-k over the priority column. Exactness
     argument — the same one that lets this query carry an EXACT oracle:
     with maxItemsTracked (1024 here) ≥ the true distinct count (5), the
-    sketch degenerates to exact counting, so the declared result equals
-    plain GROUP BY. At 100 TB cardinalities ABOVE capacity, the same
+    sketch degenerates to exact counting, AND k equals the cardinality so
+    the returned item SET cannot depend on how the sketch breaks a count
+    tie at the k-boundary — the declared result equals plain GROUP BY. At 100 TB cardinalities ABOVE capacity, the same
     plan keeps working with the documented approximation error — the
     graceful-degradation property exact heavy hitters (a18) trade away.
     The sketch's array output is exploded and re-sorted with a full
     tie-break so ordering inside the sketch can't leak into the hash."""
     o = load_table(spark, sf_dir, "orders")
     sk = o.agg(
-        F.expr("approx_top_k(o_orderpriority, 4, 1024)").alias("topk")
+        F.expr("approx_top_k(o_orderpriority, 5, 1024)").alias("topk")
     )
     flat = sk.select(F.explode("topk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("n")
     )
-    return flat.orderBy(F.desc("n"), "item").limit(4)
+    return flat.orderBy(F.desc("n"), "item").limit(5)
 
 
 @query(
