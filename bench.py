@@ -137,6 +137,7 @@ HEADLINE = [
     "j15_cogroup_merge",
     "dq4_observed_metrics",
     "p12_parameterized_sql",
+    "l4_bpe_train",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -41,6 +41,7 @@ EAGER_PREFIXES = (
     "a16_", "a17_", "a21_", "dq4_",
     "l3_ann_persisted", "l3_ivf_persisted", "l4_inverted_probe",
     "l3_pq_search", "l3_ivf_kmeans", "l3_mmr",  # driver-fit / checkpointed pools
+    "l4_bpe_train",  # iterative driver-argmax rounds
     "g1_",  # adjacency localCheckpoint
     "cdc1_",  # snapshot writes
     "l6_deterministic_shuffle",

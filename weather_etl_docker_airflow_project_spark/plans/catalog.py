@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "j15_cogroup_merge",
     "dq4_observed_metrics",
     "p12_parameterized_sql",
+    "l4_bpe_train",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -2437,3 +2437,30 @@ def l5_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = multimodal.synthesize_png(docs, "doc_id", "text")
     small = multimodal.resize_images(png, 8, 6)
     return multimodal.pixel_features(small, "doc_id")
+
+
+@query(
+    "l4_bpe_train",
+    oracle=None,  # iterative leftmost-merge semantics are not
+    # SQL-expressible (same rows-only policy as l3_ivf_kmeans);
+    # tests/test_bpe_train.py pins the merge table against a pure-Python
+    # reference implementation byte for byte
+    tags=("L4",),
+)
+def l4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING at corpus scale (operators/bpe.py): learn a
+    12-entry merge table from the documents table. The corpus collapses
+    to deduplicated (word, freq) after ONE shuffle — the classic BPE fit
+    trick — so every round costs a vocabulary-sized pair count (map-side
+    combinable) plus an Arrow-batched merge rewrite; the per-round argmax
+    is a driver-side top-1. Deterministic: exact integer pair counts with
+    (left, right) tie-breaks. Rows-only by design; the pytest gate
+    replays the identical corpus through a pure-Python BPE and requires
+    the identical merge table."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = bpe_train(docs, "text", n_merges=12)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq long"
+    )
