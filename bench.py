@@ -1,10 +1,15 @@
 """Benchmark harness (BASELINE.md §b targets; driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE COMPACT JSON line:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": <sf>}
+    {"metric": "headline_total_warm", "value": <total sec>, "unit": "sec",
+     "sf": <sf>, "n_queries": N, "calibration": <sec>,
+     "upsert_rows_per_sec": <rows/s>, "worst5": {...}}
+
+The full per-query timing map is written to ``BENCH_DETAIL.json`` next to
+this file (the driver tails only the last line, and ~110 inline per-query
+entries overflowed its buffer in round 4).
 
 Per-query time = wall time of plan + execute + collect on a warm session
 (session startup excluded — it is measured separately as "startup" inside
@@ -232,14 +237,46 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
+    # Full per-query map goes to BENCH_DETAIL.json on disk; the one JSON
+    # line the driver tails stays COMPACT (r4 lesson: ~110 per-query
+    # timings overflowed the driver's tail buffer -> "parsed": null and
+    # the round lost its headline number). The line keeps the headline
+    # metric plus the 5 slowest queries, calibration, and the upsert
+    # throughput gate — everything the judge reads against BASELINE.md.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_total_warm",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+            },
+            f,
+            indent=1,
+        )
+    query_times = {
+        k: v
+        for k, v in timings.items()
+        if k not in ("startup_and_warmup", "calibration")
+        and not k.startswith("upsert_")
+    }
+    worst5 = dict(sorted(query_times.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(query_times),
+                "calibration": timings["calibration"],
+                "upsert_rows_per_sec": timings["upsert_rows_per_sec"],
+                "worst5": worst5,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -30,85 +30,21 @@ from . import mining_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-4 WINDOW (first 50) =================
-    # The r3 verdict's top instruction: every round-3 query that has never
-    # had a DRIVER correctness row rotates INTO the window (the r3 judge's
-    # own HEAD contract run says they all MATCH — these should be free
-    # green rows, but the driver's row is the hard currency), plus the
-    # three round-4 queries, plus canaries for code touched this round.
+    # ================= ROUND-5 WINDOW (first 50) =================
+    # Consolidation round (r4 verdict #1/#2): positions 2-4 are the three
+    # r4 red rows, re-pinned after their outputs were hash-canonicalized
+    # (raw DECIMAL declared columns -> the driver-proven BIGINT/DOUBLE
+    # patterns; all three MATCH under tools/drive_contract.py at HEAD).
+    # Positions 5-50 are the round-4 session-2 batch — 46 oracle queries
+    # that have never had a driver correctness row, in the rotation order
+    # NOTES.md recorded for this exact purpose.
     # -- entry() flagship must stay first
     "flagship",
-    # -- the 26 round-3 queries with no driver row in any round
-    "ts1_batch_sessionize",
-    "ts2_gap_fill_hourly",
-    "ts3_funnel_steps",
-    "ts4_cumulative_distinct_users",
-    "ts5_weekly_retention_cohorts",
-    "a14_stats_suite",
-    "a16_incremental_rollup",
-    "tpch_q4_order_priority",
+    # -- r4 hash-fail retries (outputs re-typed this round)
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
-    "j10_fuzzy_blocked_join",   # code changed r4: cap now declared + oracle
-    "j11_salted_skew_join",
-    "dq1_orders_quality",       # code changed r4: NULL-violation policy
     "s10_clustered_compact_scan",
-    "s11_schema_evolution_scan",
-    "s12_bucketed_colocated_join",
-    "t10_stream_static_enrich",
-    "t11_stream_outer_join",
-    "l5_gif_pixel_features",
-    "l5_jpeg_pixel_features",
-    "l5_audio_features",
-    "l5_mixed_pixel_features",
-    "l6_oversample_mix",
-    "l4_bpe_pretokens",
-    "w5_distribution_windows",
-    "l3_ivf_persisted_probe",   # code changed r4: cell BIGINT (id-safe)
-    # -- new in round 4: fresh hash verdict required
-    "l3_ann_persisted_multiquery",  # batched partition-pruned index probe
-    "t12_stream_full_outer_join",   # both-sides emission rule in oracle
-    "tpch_q21_waiting_suppliers",   # EXISTS + NOT EXISTS on one fact
-    # (a17_sketch_rollup is rows-only by design — HLL sketch bytes have no
-    # SQL twin; its gates are tests/test_rollup_sketch.py, same policy as
-    # a4/a15/l3_ivf_kmeans_search.)
-    # -- canary: registration refactored to a shared helper this round
-    "l3_ann_persisted_probe",
-    # -- round-4 batch 5/6 representatives swapped INTO the window in
-    #    place of two re-verification canaries (l3_knn_multiquery and
-    #    l2_embedding_neardup_pairs both hold fresh r3 rows and re-verify
-    #    in the judge's HEAD contract run): brand-new implementations
-    #    with no driver row are the better use of the slots
-    "a18_heavy_hitters",
-    "l4_bm25_topk",
-    # -- round-4 batch 3: TPC-H completion + the UDTF surface — brand-new
-    #    implementations with no driver row beat re-verification canaries
-    #    for these slots (the r1/r2-proven suites they displace keep their
-    #    old green rows and re-verify in the judge's HEAD contract run)
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_priority_classes",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
-    "udtf_document_chunks",
-    # -- round-4 batch 2: wider TPC-H decorrelation surface + the two
-    #    remaining batched/streaming variants (these take the slots the
-    #    round-3-proven canaries would have used — those all have fresh
-    #    r3 rows already)
-    "tpch_q7_volume_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q22_global_sales_opportunity",
-    "t13_stream_semi_join",
-    "l3_ivf_persisted_multiquery",
-    # ================= PAST THE CUT (positions 51+) ================
-    # r5 window head: the round-4 session-2 batch — brand-new queries with
-    # no driver row yet (all MATCH under tools/drive_contract.py at HEAD)
+    # -- the 46 never-driver-checked session-2 queries
     "g1_pagerank_purchase_graph",
     "a19_frequent_pairs",
     "ts8_ewma_smoothing",
@@ -119,7 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     "s15_python_datasource_feed",
     "s16_python_datasource_sink",
     "t15_stream_python_source",
-    "dq3_table_fingerprint",
+    "dq3_table_fingerprint",    # output re-typed r5: DECIMAL(38,0) -> string
     "s17_binaryfile_ingest",
     "j12_temporal_dim_join",
     "a21_incremental_join",
@@ -155,15 +91,80 @@ _PRIORITY: tuple[str, ...] = (
     "j15_cogroup_merge",
     "dq4_observed_metrics",
     "p12_parameterized_sql",
-    "l4_bpe_train",
+    # ================= PAST THE CUT (positions 51+) ================
+    # r6 window head: the 16 remaining never-driver-checked queries
+    # (11 oracle + 5 rows-only by design) — rotate these in next round.
+    "l6_deterministic_shuffle",
+    "f14_variant_suite",
+    "cdc1_snapshot_diff",
+    "ts6_linear_interpolation",
+    "ts7_ohlc_bars",
+    "l6_weighted_sample",
+    "dq2_iqr_outliers",
+    "s13_zorder_clustered_scan",
+    "o5_pareto_frontier",
+    "s14_orc_roundtrip",
+    "l4_inverted_probe",
+    "l4_bpe_train",             # rows-only by design
+    "a17_sketch_rollup",        # rows-only by design
+    "l3_pq_search",             # rows-only by design
+    "a15_approx_percentiles",   # rows-only by design
+    "l3_ivf_kmeans_search",     # rows-only by design
+    # then the round-4 window (all green r4 except the three retried
+    # at the head of this window) — freshest rows, lowest priority
+    "ts1_batch_sessionize",
+    "ts2_gap_fill_hourly",
+    "ts3_funnel_steps",
+    "ts4_cumulative_distinct_users",
+    "ts5_weekly_retention_cohorts",
+    "a14_stats_suite",
+    "a16_incremental_rollup",
+    "tpch_q4_order_priority",
+    "j10_fuzzy_blocked_join",
+    "j11_salted_skew_join",
+    "dq1_orders_quality",
+    "s11_schema_evolution_scan",
+    "s12_bucketed_colocated_join",
+    "t10_stream_static_enrich",
+    "t11_stream_outer_join",
+    "l5_gif_pixel_features",
+    "l5_jpeg_pixel_features",
+    "l5_audio_features",
+    "l5_mixed_pixel_features",
+    "l6_oversample_mix",
+    "l4_bpe_pretokens",
+    "w5_distribution_windows",
+    "l3_ivf_persisted_probe",
+    "l3_ann_persisted_multiquery",
+    "t12_stream_full_outer_join",
+    "tpch_q21_waiting_suppliers",
+    "l3_ann_persisted_probe",
+    "a18_heavy_hitters",
+    "l4_bm25_topk",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_classes",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "udtf_document_chunks",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity",
+    "t13_stream_semi_join",
+    "l3_ivf_persisted_multiquery",
     # then the r1-proven relational canaries whose rows are aging
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "j5_anti_customers_without_big_orders",
     "a13_salted_skew_agg",
     "w1_top3_orders_per_segment",
-    # r5 rotation candidates first: r1-proven queries whose last row is
-    # now three rounds old, then the r3-proven block, then rows-only.
+    # aging r1-proven queries, then the r3-proven block, then rows-only.
     "tpch_q5_local_supplier_volume",
     "a5_cube_order_grid",
     "j2_full_outer_nation_presence",
@@ -242,24 +243,6 @@ _PRIORITY: tuple[str, ...] = (
     "s5_catalog_weather_roundtrip",
     "s7_csv_roundtrip",
     "p4_null_guard",
-    "a17_sketch_rollup",
-    # round-4 batch 4: new queries with no driver row yet — first r5
-    # rotation candidates (or window swaps at end-of-round)
-    "l6_deterministic_shuffle",
-    "f14_variant_suite",
-    "l3_pq_search",
-    # round-4 batch 5: pipeline-analytics operators (heavy hitters via
-    # Misra-Gries candidate+recount, snapshot-diff CDC, interpolation and
-    # OHLC downsampling) — verified MATCH locally, r5 rotation candidates
-    "cdc1_snapshot_diff",
-    "ts6_linear_interpolation",
-    "ts7_ohlc_bars",
-    "l6_weighted_sample",
-    "dq2_iqr_outliers",
-    "s13_zorder_clustered_scan",
-    "o5_pareto_frontier",
-    "s14_orc_roundtrip",
-    "l4_inverted_probe",
     # displaced r4 canaries (fresh r3 rows; judge re-verifies at HEAD)
     "l3_knn_multiquery",
     "l2_embedding_neardup_pairs",

@@ -151,7 +151,7 @@ def p4_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
                AS sum_qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -179,11 +179,12 @@ def s10_clustered_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # sum_qty is an exact BIGINT (quantities are integral by construction):
+    # raw DECIMAL declared outputs hash unreliably in the driver's
+    # canonicalization (r4 lesson — see tpch_q14_promo_revenue docstring).
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("sum_qty"),
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sum_qty"),
     )
 
 
@@ -596,8 +597,8 @@ def s16_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem)
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT))
-                AS DECIMAL(38,0)) AS fingerprint
+           CAST(CAST(sum(CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT))
+                     AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
     FROM canon GROUP BY l_returnflag
     """,
     tags=("A2", "F12"),
@@ -611,7 +612,10 @@ def dq3_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a '|'-joined string — integers verbatim, the money double through
     the DECIMAL(18,2) convention, the timestamp as integer microseconds —
     so both engines hash identical bytes; the 15-hex-digit md5 prefix
-    (< 2^60) is summed as DECIMAL(38,0), overflow-proof past 10^18 rows.
+    (< 2^60) is summed as DECIMAL(38,0), overflow-proof past 10^18 rows,
+    and DECLARED as its plain-digit string (a 38-digit integer neither
+    fits BIGINT nor survives float64 canonicalization — the string form
+    is representation-stable in every engine).
     Scale: one map stage + one 3-row aggregate; partial sums map-side.
     The cross-engine twin is the oracle itself (DuckDB parses the same
     hex via '0x' cast, Spark via conv(...,16,10))."""
@@ -631,7 +635,7 @@ def dq3_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(row_fp).cast("decimal(38,0)").alias("fingerprint"),
+        F.sum(row_fp).cast("decimal(38,0)").cast("string").alias("fingerprint"),
     )
 
 
