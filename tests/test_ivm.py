@@ -42,3 +42,38 @@ def test_delta_delta_term_not_double_counted(spark):
     assert _rows(view.read()) == _rows(
         r.unionByName(r2).join(s, "k")
     )
+
+
+def test_torn_batch_replay_is_idempotent(spark):
+    """Stage-then-manifest gate: a batch that staged data but never landed
+    its manifest marker (crash between write and commit) must be invisible
+    to readers, and replaying it must produce exactly-once content — no
+    double counting of the torn attempt's rows."""
+    import os
+    import shutil
+
+    r = spark.createDataFrame([(1, "a"), (2, "b")], "k long, rv string")
+    s = spark.createDataFrame([(1, "x"), (2, "y")], "k long, sv string")
+    base = scratch_dir("ivm_torn")
+    view = JoinView(spark, base, on="k")
+    view.apply_batch(r.filter("k = 1"), s.filter("k = 1"))
+    settled = _rows(view.read())
+
+    # simulate a torn batch 1: stage all three families, then "crash"
+    # before the manifest marker by deleting it
+    view.apply_batch(r.filter("k = 2"), s.filter("k = 2"))
+    os.remove(os.path.join(base, "_commits", "1"))
+    # reader sees only the committed prefix
+    assert _rows(view.read()) == settled
+    assert view.committed_batches() == [0]
+
+    # replay of the torn batch id overwrites its own partial staging
+    replayed = view.apply_batch(r.filter("k = 2"), s.filter("k = 2"), batch_id=1)
+    assert replayed == 1
+    assert _rows(view.read()) == _rows(r.join(s, "k"))
+
+    # replaying an ALREADY-committed id is a durable no-op
+    again = view.apply_batch(r.filter("k = 2"), s.filter("k = 2"), batch_id=1)
+    assert again == 1
+    assert _rows(view.read()) == _rows(r.join(s, "k"))
+    shutil.rmtree(base, ignore_errors=True)

@@ -964,6 +964,29 @@ def test_pq_search_recall_and_compression(spark):
     assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
 
 
+def test_pq_search_fit_collect_is_capped(spark):
+    """The codebook fit collect must be HARD-capped (r4 verdict: the one
+    genuine scale-killer — an uncapped fit_mod=1 collect is a driver OOM
+    at corpus scale). Overflow raises with the fix named; a thinned
+    deterministic sample under the cap still clears the recall floor."""
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7)
+    with pytest.raises(ValueError, match="max_fit_rows"):
+        similarity.pq_search(emb, q, k=5, max_fit_rows=10)
+    # the declared-query posture: explicit fit_mod thinning under the cap
+    brute = {r["vec_id"] for r in similarity.knn_bruteforce(emb, q, k=20).collect()}
+    pq = {
+        r["vec_id"]
+        for r in similarity.pq_search(
+            emb, q, k=20, fit_mod=4, max_fit_rows=50_000
+        ).collect()
+    }
+    assert 7 in pq
+    assert len(pq & brute) / 20 >= 0.5
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     from weather_etl_docker_airflow_project_spark.plans.llm_q import l6_leakage_safe_split
 

@@ -86,7 +86,25 @@ def apply_changelog(
 
     Scale shape: one key-partitioned anti join + a union — with the base
     bucketed on the key, zero wide shuffle; cost ∝ |base| scan +
-    |changes|, and the union never materializes the base twice."""
+    |changes|, and the union never materializes the base twice.
+
+    Op validation: any op outside {'U','D'} RAISES before a single base
+    row is touched. Without this gate an unexpected op (say 'I' from a
+    Debezium-style feed) would be anti-joined out of the base and then
+    silently dropped — data loss with no error. The check is one
+    aggregate over the (small) changelog, not a scan of the base."""
+    bad = (
+        changes.select(op_col)
+        .filter(~F.col(op_col).isin("U", "D"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"apply_changelog: unexpected op {bad[0][0]!r} in changelog "
+            f"(expected 'U' or 'D'); map or quarantine upstream ops before "
+            f"applying — unknown ops would silently delete their keys"
+        )
     ch_keys = changes.select(*keys).distinct()
     survivors = base.join(ch_keys, keys, "left_anti")
     upserts = changes.filter(F.col(op_col) == "U").drop(op_col)

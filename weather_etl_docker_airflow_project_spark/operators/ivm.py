@@ -15,11 +15,23 @@ cost ∝ |Δ| × matched rows, never ∝ |R| + |S|. Deletes/updates need the
 counting (multiplicity) extension — documented out of scope here, exactly
 like the rollup's non-additive caveat.
 
+Commit protocol (stage-then-manifest): each batch writes its ΔM/ΔR/ΔS
+into batch-scoped directories in OVERWRITE mode, then lands a per-batch
+manifest marker LAST. Readers union only manifested batches, so a failure
+anywhere mid-batch leaves the view exactly at the previous batch boundary,
+and replaying the torn batch overwrites its own partial output — never
+double-counts (the r4 advice item: three raw appends with no atomicity
+left a crashed batch permanently inconsistent). Manifest markers and
+staging paths use the driver-visible filesystem — single-node/local-FS
+here; on a real cluster point ``sink_dir`` at a shared filesystem (S3/
+HDFS), where the same protocol holds (marker visibility is the commit).
+
 Determinism: maintenance is pure relational algebra over exact values — no
 floats are produced by the operator itself — so an N-batch replay is
 row-identical to the one-shot join (``a21_incremental_join`` proves it
 against a plain JOIN oracle; tests/test_ivm.py replays crafted batch
-splits, including empty deltas and delta×delta matches).
+splits, including empty deltas, delta×delta matches, and a torn-batch
+replay).
 """
 
 from __future__ import annotations
@@ -31,43 +43,86 @@ from pyspark.sql import DataFrame, SparkSession
 
 class JoinView:
     """Parquet-backed maintained join view. ``sink_dir`` holds three
-    tables: ``r_acc``, ``s_acc`` (accumulated inputs) and ``m_acc`` (the
-    materialized join). Each ``apply_batch`` runs the delta algebra above
-    and appends; readers see the view via :meth:`read`."""
+    table families (``r_acc``, ``s_acc``, ``m_acc``), each a set of
+    batch-scoped directories ``<family>/batch_<id>/``, plus a
+    ``_commits/<id>`` manifest marker per durably applied batch. Each
+    :meth:`apply_batch` runs the delta algebra above under the
+    stage-then-manifest protocol; readers see exactly the committed
+    prefix via :meth:`read`."""
 
     def __init__(self, spark: SparkSession, sink_dir: str, on: str):
         self.spark = spark
         self.dir = sink_dir
         self.on = on
+        self._commits = os.path.join(sink_dir, "_commits")
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.dir, name)
+    def _batch_path(self, family: str, batch_id: int) -> str:
+        return os.path.join(self.dir, family, f"batch_{batch_id}")
 
-    def _read(self, name: str, schema_of: DataFrame) -> DataFrame:
-        p = self._path(name)
-        if os.path.exists(os.path.join(p, "_SUCCESS")):
-            return self.spark.read.parquet(p)
-        return self.spark.createDataFrame([], schema_of.schema)
+    def committed_batches(self) -> list[int]:
+        """Sorted ids of durably applied batches — the high-water mark is
+        the last element. A batch id absent here was never applied or was
+        torn mid-write; either way :meth:`apply_batch` with that id is
+        safe to (re)run."""
+        if not os.path.isdir(self._commits):
+            return []
+        return sorted(int(f) for f in os.listdir(self._commits) if f.isdigit())
 
-    def apply_batch(self, delta_r: DataFrame, delta_s: DataFrame) -> None:
-        """One maintenance step. The deltas are localCheckpointed so the
-        three delta joins and the two accumulator appends share one
-        materialization (and the append below can't re-read a moving
-        input)."""
+    def _read_family(
+        self, family: str, schema_of: DataFrame, committed: list[int]
+    ) -> DataFrame:
+        paths = [
+            p
+            for p in (self._batch_path(family, b) for b in committed)
+            if os.path.exists(p)
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema_of.schema)
+        return self.spark.read.parquet(*paths)
+
+    def apply_batch(
+        self,
+        delta_r: DataFrame,
+        delta_s: DataFrame,
+        batch_id: int | None = None,
+    ) -> int:
+        """One maintenance step; returns the batch id it committed (or
+        found already committed — replaying a committed id is a no-op, so
+        an at-least-once scheduler gets exactly-once view content). The
+        deltas are localCheckpointed so the three delta joins and the two
+        accumulator writes share one materialization."""
+        committed = self.committed_batches()
+        if batch_id is None:
+            batch_id = committed[-1] + 1 if committed else 0
+        elif batch_id in committed:
+            return batch_id
         delta_r = delta_r.localCheckpoint()
         delta_s = delta_s.localCheckpoint()
-        r_old = self._read("r_acc", delta_r)
-        s_old = self._read("s_acc", delta_s)
+        r_old = self._read_family("r_acc", delta_r, committed)
+        s_old = self._read_family("s_acc", delta_s, committed)
         m_new = (
             delta_r.join(s_old, self.on)
             .unionByName(r_old.join(delta_s, self.on))
             .unionByName(delta_r.join(delta_s, self.on))
         )
-        # append ΔM first (reads r_acc/s_acc BEFORE they grow), then fold
-        # the deltas into the accumulators
-        m_new.write.mode("append").parquet(self._path("m_acc"))
-        delta_r.write.mode("append").parquet(self._path("r_acc"))
-        delta_s.write.mode("append").parquet(self._path("s_acc"))
+        # STAGE: batch-scoped overwrite — a torn earlier attempt of this
+        # id is replaced wholesale, never accreted onto
+        m_new.write.mode("overwrite").parquet(self._batch_path("m_acc", batch_id))
+        delta_r.write.mode("overwrite").parquet(self._batch_path("r_acc", batch_id))
+        delta_s.write.mode("overwrite").parquet(self._batch_path("s_acc", batch_id))
+        # MANIFEST: the batch exists only once this marker lands
+        os.makedirs(self._commits, exist_ok=True)
+        with open(os.path.join(self._commits, str(batch_id)), "w") as f:
+            f.write("committed")
+        return batch_id
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._path("m_acc"))
+        committed = self.committed_batches()
+        paths = [
+            p
+            for p in (self._batch_path("m_acc", b) for b in committed)
+            if os.path.exists(p)
+        ]
+        if not paths:
+            raise ValueError(f"JoinView at {self.dir} has no committed batches")
+        return self.spark.read.parquet(*paths)

@@ -1057,6 +1057,7 @@ def pq_search(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """PQ-compressed ANN with asymmetric distance computation and exact
     rerank — the third ANN family next to LSH buckets and IVF cells:
@@ -1083,13 +1084,24 @@ def pq_search(
     checked and the recall gate (vs brute force) lives in pytest.
 
     Construction is eager like :func:`knn_multiquery` (two bounded
-    collects: the fit sample and the single query vector)."""
+    collects: the fit sample and the single query vector).
+    ``max_fit_rows`` hard-caps the fit collect the same way
+    :func:`knn_multiquery`'s ``max_queries`` does: the scan stops at
+    cap+1 rows (``limit`` bounds driver transfer BEFORE the collect)
+    and overflow RAISES with the fix spelled out — a k-means codebook
+    needs a bounded sample, never the corpus; at 100 TB an uncapped
+    ``fit_mod=1`` collect is a driver OOM."""
     fit_df = embeddings
     if fit_mod > 1:
         fit_df = embeddings.filter(F.col(id_col) % fit_mod == 0)
-    sample = np.stack(
-        [r[0] for r in fit_df.select(vec_col).collect()]
-    ).astype(np.float64)
+    fit_rows = fit_df.select(vec_col).limit(max_fit_rows + 1).collect()
+    if len(fit_rows) > max_fit_rows:
+        raise ValueError(
+            f"pq_search codebook fit sample exceeds max_fit_rows={max_fit_rows}; "
+            f"raise fit_mod to thin the deterministic id % fit_mod sample "
+            f"(or raise max_fit_rows deliberately)"
+        )
+    sample = np.stack([r[0] for r in fit_rows]).astype(np.float64)
     codebooks = _train_pq_codebooks(sample, m, ksub, seed)
 
     qrow = query.select(vec_col).collect()

@@ -661,7 +661,11 @@ def s17_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     file write, the binaryFile scan, and the binary md5 are all
     byte-faithful. At 100 TB this is the layout where binaryFile shines:
     per-file parallelism, column-pruned metadata-only planning, and
-    ``pathGlobFilter`` pushdown."""
+    ``pathGlobFilter`` pushdown. NOTE the task-side open() targets a
+    driver-visible path — fine in local mode (tasks share the driver's
+    filesystem); on a multi-node cluster ``dst`` must be a shared
+    filesystem mount or the binaryFile scan would miss executor-local
+    files."""
     import os as _os
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -1793,10 +1793,15 @@ def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors compress to m=8 codebook indices, the query scans the
     compressed codes with an ADC lookup table, and the top candidates
     rerank by exact integer dot — compressed-domain scan, exact returned
-    scores. Completes the ANN triad (LSH buckets, IVF cells, PQ codes)."""
+    scores. Completes the ANN triad (LSH buckets, IVF cells, PQ codes).
+    The codebook fit uses an EXPLICIT deterministic thinning (fit_mod=4)
+    under a hard max_fit_rows cap — the declared query demonstrates the
+    bounded-fit posture, never a whole-corpus collect."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
-    return similarity.pq_search(emb, q, k=20, m=8, ksub=16, refine=4)
+    return similarity.pq_search(
+        emb, q, k=20, m=8, ksub=16, refine=4, fit_mod=4, max_fit_rows=50_000
+    )
 
 
 _BM25_TERMS = ["spark", "join", "window", "vector"]

@@ -74,8 +74,19 @@ class WeatherFeedReader(DataSourceReader):
     def pushFilters(self, filters):
         for f in filters:
             col = getattr(f, "attribute", None)
-            if col == ("station_id",) and isinstance(
-                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            if (
+                col == ("station_id",)
+                and isinstance(
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+                )
+                # only claim the filter when the comparison value has the
+                # shape the bounds arithmetic expects — a null literal or
+                # non-int value (v + 1 would TypeError at planning time)
+                # yields back to Spark-side filtering instead (bool is an
+                # int subclass but not a station id)
+                and isinstance(f.value, int)
+                and not isinstance(f.value, bool)
             ):
                 v = f.value
                 if isinstance(f, EqualTo):
@@ -132,6 +143,15 @@ class _FileCommit(WriterCommitMessage):
 
 
 class ScratchJsonWriter(DataSourceWriter):
+    """Commit-protocol demonstration sink. write() runs in TASK context
+    and targets ``options["path"]`` directly — correct here because
+    local-mode tasks share the driver's filesystem. On a multi-node
+    cluster this path MUST be a shared filesystem (NFS/S3/HDFS mount
+    visible under one namespace from every executor); with executor-local
+    disks the driver-side manifest would silently reference files it
+    cannot see. The commit protocol itself (private staging names,
+    manifest-published visibility, abort cleanup) is the portable part."""
+
     def __init__(self, options):
         self.dir = options["path"]
 
