@@ -56,3 +56,57 @@ def test_merge_word_leftmost_non_overlapping():
     assert merge_word(list("abab"), "a", "b") == ["ab", "ab"]
     assert merge_word(["x"], "a", "b") == ["x"]
     assert merge_word([], "a", "b") == []
+
+
+def test_safe_merge_batch_prefix_rule():
+    """Unit gates for the multi-merge batch selector: prefix stops at the
+    FIRST conflict (not skip-and-continue), the boundary count filter is
+    strict, and an all-tied head degrades to the sequential top-1."""
+    from weather_etl_docker_airflow_project_spark.operators.bpe import _safe_merge_batch
+
+    # disjoint prefix, conflict at rank 3 (shares 'b'): batch = first two,
+    # both counts above the conflict's 5
+    assert _safe_merge_batch(
+        [("a", "b", 10), ("c", "d", 8), ("b", "e", 5), ("f", "g", 4)], 0
+    ) == [("a", "b", 10), ("c", "d", 8)]
+    # conflict count TIES an accepted pair -> strict filter drops it
+    assert _safe_merge_batch(
+        [("a", "b", 10), ("c", "d", 8), ("b", "e", 8)], 0
+    ) == [("a", "b", 10)]
+    # conflict ties the TOP pair -> fallback to sequential top-1
+    assert _safe_merge_batch([("a", "b", 10), ("a", "c", 10)], 0) == [
+        ("a", "b", 10)
+    ]
+    # no conflict but window exhausted: unseen boundary filters the tail
+    assert _safe_merge_batch(
+        [("a", "b", 10), ("c", "d", 6)], 6
+    ) == [("a", "b", 10)]
+    # self-pair occupies its symbol
+    assert _safe_merge_batch([("z", "z", 9), ("z", "y", 7), ("w", "x", 6)], 0) == [
+        ("z", "z", 9)
+    ]
+
+
+def test_multi_merge_parity_randomized(spark):
+    """Randomized adversarial parity: tiny alphabets make nearly every
+    pair share symbols (worst case for batching), larger ones let real
+    multi-pair batches form; both must stay byte-identical to the
+    sequential pure-Python reference, at several batch widths."""
+    import random
+
+    for seed, alphabet in [(1, "ab"), (2, "abc"), (3, "abcdef"), (4, "abcdefgh")]:
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(25)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want = _py_bpe(texts, 10)
+        for width in (1, 4, 8):
+            got = bpe_train(docs, "text", n_merges=10, max_merges_per_round=width)
+            assert got == want, f"seed={seed} width={width}"

