@@ -233,8 +233,8 @@ def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
-               AS total_price
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(28,2)) AS DOUBLE) AS total_price
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -276,6 +276,7 @@ def s12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(28,2)")
+            .cast("double")
             .alias("total_price"),
         )
     )

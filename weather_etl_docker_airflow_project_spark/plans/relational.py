@@ -1614,7 +1614,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderdate >= TIMESTAMP '1998-01-01'))
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(bal) AS DECIMAL(28,2)) AS totacctbal
+           CAST(CAST(sum(bal) AS DECIMAL(28,2)) AS DOUBLE) AS totacctbal
     FROM eligible e JOIN nation n ON n.n_nationkey = e.c_nationkey
     GROUP BY n.n_name
     ORDER BY n.n_name
@@ -1661,7 +1661,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("numcust"),
-            F.sum("bal").cast("decimal(28,2)").alias("totacctbal"),
+            F.sum("bal").cast("decimal(28,2)").cast("double").alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -1685,7 +1685,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         AND l.l_shipdate >= TIMESTAMP '1996-01-01'
         AND l.l_shipdate <  TIMESTAMP '1998-01-01')
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(rev) AS DECIMAL(28,4)) AS revenue
+           CAST(CAST(sum(rev) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
     FROM v GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
@@ -1731,7 +1731,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("rev").cast("decimal(28,4)").alias("revenue"))
+        .agg(
+            F.sum("rev").cast("decimal(28,4)").cast("double").alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
