@@ -275,6 +275,10 @@ def main() -> None:
                 "n_queries": len(query_times),
                 "calibration": timings["calibration"],
                 "upsert_rows_per_sec": timings["upsert_rows_per_sec"],
+                # value = sum(query times) + these two, so the line's
+                # decomposition adds up without opening the detail file
+                "upsert_fresh": timings["upsert_fresh"],
+                "upsert_redeliver": timings["upsert_redeliver"],
                 "worst5": worst5,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -50,7 +50,6 @@ def test_torn_batch_replay_is_idempotent(spark):
     to readers, and replaying it must produce exactly-once content — no
     double counting of the torn attempt's rows."""
     import os
-    import shutil
 
     r = spark.createDataFrame([(1, "a"), (2, "b")], "k long, rv string")
     s = spark.createDataFrame([(1, "x"), (2, "y")], "k long, sv string")
@@ -76,4 +75,22 @@ def test_torn_batch_replay_is_idempotent(spark):
     again = view.apply_batch(r.filter("k = 2"), s.filter("k = 2"), batch_id=1)
     assert again == 1
     assert _rows(view.read()) == _rows(r.join(s, "k"))
-    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_committed_batch_with_missing_data_raises(spark):
+    """A manifest marker guarantees its staged dirs exist; if one goes
+    missing (external cleanup, wrong sink contents) the view must fail
+    LOUDLY rather than silently serve a smaller-but-plausible result."""
+    import os
+    import shutil
+
+    import pytest
+
+    r = spark.createDataFrame([(1, "a")], "k long, rv string")
+    s = spark.createDataFrame([(1, "x")], "k long, sv string")
+    base = scratch_dir("ivm_corrupt")
+    view = JoinView(spark, base, on="k")
+    view.apply_batch(r, s)
+    shutil.rmtree(os.path.join(base, "m_acc", "batch_0"))
+    with pytest.raises(ValueError, match="committed batch data missing"):
+        view.read()

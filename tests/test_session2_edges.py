@@ -33,6 +33,26 @@ def test_apply_changelog_edge_feeds(spark):
     assert _rows(apply_changelog(base, ch.limit(0), keys=["k"])) == _rows(base)
 
 
+def test_apply_changelog_rejects_unknown_and_null_ops(spark):
+    """Op gate (r5 review): an op outside {'U','D'} raises BEFORE any base
+    row is touched — including NULL, which three-valued isin() logic would
+    otherwise slide past — because an unknown op would silently delete its
+    key (anti-joined out, never re-inserted)."""
+    import pytest
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ch_i = spark.createDataFrame(
+        [(1, "I", "x")], "k long, op string, v string"
+    )
+    with pytest.raises(ValueError, match="unexpected op 'I'"):
+        apply_changelog(base, ch_i, keys=["k"])
+    ch_null = spark.createDataFrame(
+        [(2, None, "y")], "k long, op string, v string"
+    )
+    with pytest.raises(ValueError, match="unexpected op"):
+        apply_changelog(base, ch_null, keys=["k"])
+
+
 def test_asof_tolerance_boundary(spark):
     from weather_etl_docker_airflow_project_spark.operators.asof import asof_join
 

@@ -88,14 +88,21 @@ def apply_changelog(
     bucketed on the key, zero wide shuffle; cost ∝ |base| scan +
     |changes|, and the union never materializes the base twice.
 
-    Op validation: any op outside {'U','D'} RAISES before a single base
-    row is touched. Without this gate an unexpected op (say 'I' from a
-    Debezium-style feed) would be anti-joined out of the base and then
-    silently dropped — data loss with no error. The check is one
-    aggregate over the (small) changelog, not a scan of the base."""
+    Op validation: any op outside {'U','D'} — including NULL, which
+    three-valued logic would otherwise slide past an isin() test —
+    RAISES before a single base row is touched. Without this gate an
+    unexpected op (say 'I' from a Debezium-style feed) would be
+    anti-joined out of the base and then silently dropped — data loss
+    with no error. The changelog is localCheckpointed first so its
+    upstream lineage runs ONCE (the gate scan and the two downstream
+    reads all hit the materialized delta — delta-sized by contract,
+    never base-sized)."""
+    changes = changes.localCheckpoint()
     bad = (
         changes.select(op_col)
-        .filter(~F.col(op_col).isin("U", "D"))
+        .filter(
+            ~F.col(op_col).isin("U", "D") | F.col(op_col).isNull()
+        )
         .limit(1)
         .collect()
     )

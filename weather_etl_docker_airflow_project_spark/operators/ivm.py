@@ -68,14 +68,25 @@ class JoinView:
             return []
         return sorted(int(f) for f in os.listdir(self._commits) if f.isdigit())
 
+    def _family_paths(self, family: str, committed: list[int]) -> list[str]:
+        """Paths of every committed batch's data dir for one family. A
+        manifest marker GUARANTEES the staged dirs exist (the marker lands
+        last), so a committed-but-missing dir is corruption — raise loudly
+        instead of silently serving a smaller-but-plausible view."""
+        paths = [self._batch_path(family, b) for b in committed]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"JoinView at {self.dir}: committed batch data missing for "
+                f"{family}: {missing} — the sink was externally modified; "
+                f"restore the batch dirs or rebuild the view"
+            )
+        return paths
+
     def _read_family(
         self, family: str, schema_of: DataFrame, committed: list[int]
     ) -> DataFrame:
-        paths = [
-            p
-            for p in (self._batch_path(family, b) for b in committed)
-            if os.path.exists(p)
-        ]
+        paths = self._family_paths(family, committed)
         if not paths:
             return self.spark.createDataFrame([], schema_of.schema)
         return self.spark.read.parquet(*paths)
@@ -118,11 +129,7 @@ class JoinView:
 
     def read(self) -> DataFrame:
         committed = self.committed_batches()
-        paths = [
-            p
-            for p in (self._batch_path("m_acc", b) for b in committed)
-            if os.path.exists(p)
-        ]
+        paths = self._family_paths("m_acc", committed)
         if not paths:
             raise ValueError(f"JoinView at {self.dir} has no committed batches")
         return self.spark.read.parquet(*paths)
