@@ -594,7 +594,7 @@ def s16_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
                l_returnflag, l_linestatus,
-               CAST(epoch_us(l_shipdate) AS VARCHAR)) AS c
+               strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS c
       FROM lineitem)
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_rows,
@@ -627,7 +627,13 @@ def dq3_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("string"), F.col("l_linenumber").cast("string"),
         F.col("l_quantity").cast("decimal(18,2)").cast("string"),
         F.col("l_returnflag"), F.col("l_linestatus"),
-        F.unix_micros(F.col("l_shipdate").cast("timestamp")).cast("string"),
+        # wall-clock rendering, NOT epoch: unix_micros of a naive
+        # timestamp is session-TZ-dependent (Spark localizes, DuckDB's
+        # epoch_us treats naive as UTC) — the formatted literal is the
+        # same string under any driver timezone
+        F.date_format(
+            F.col("l_shipdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+        ),
     )
     row_fp = (
         F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
