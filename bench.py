@@ -183,6 +183,11 @@ def _calibration(spark) -> float:
 
 
 def main() -> None:
+    # fail fast and loud on a renamed/unregistered headline query —
+    # a mid-run KeyError would lose the whole round's headline line
+    unknown = [n for n in HEADLINE if n not in catalog.REGISTRY]
+    if unknown:
+        raise SystemExit(f"bench HEADLINE names missing from registry: {unknown}")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     t0 = time.time()
     spark = build_session(app_name="weather-etl-spark-bench")
