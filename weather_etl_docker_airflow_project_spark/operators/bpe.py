@@ -116,8 +116,8 @@ def bpe_train(
     ).localCheckpoint()
 
     merges: list[tuple[int, str, str, int]] = []
+    window = max(1, max_merges_per_round)
     while len(merges) < n_merges:
-        window = max(1, max_merges_per_round)
         pairs = (
             words.select(
                 F.explode(
@@ -142,8 +142,6 @@ def bpe_train(
             merges.append((len(merges) + 1, left, right, n))
 
         def apply_merges(batches, _ms=tuple(batch)):
-            import pandas as pd  # noqa: F401
-
             for pdf in batches:
                 out = []
                 for s in pdf["syms"]:
