@@ -143,6 +143,9 @@ HEADLINE = [
     "dq4_observed_metrics",
     "p12_parameterized_sql",
     "l4_bpe_train",
+    # round-5 additions
+    "l4_ngram_lm",
+    "l3_ivf_add",  # min-of-2: both runs build+grow+probe a fresh index
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

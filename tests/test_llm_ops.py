@@ -1039,3 +1039,62 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # symmetric Jaccard misses the same pair at a comparable threshold
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", threshold_pct=60)
     assert jac.count() == 0
+
+
+def test_ngram_lm_exact_counts_and_probs(spark):
+    """Crafted-corpus semantics for the bigram LM table: counts, left
+    continuation mass, and integer-division conditional probabilities are
+    exact; docs with <2 tokens contribute nothing; top-k ties break on
+    (l, r)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),     # bigrams: ab, ba, ab, bc
+            (1, "a b"),           # ab
+            (2, "solo"),          # no bigram
+            (3, ""),              # no bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["l"], r["r"]): (r["cnt"], r["left_total"], r["prob_micros"])
+        for r in text.ngram_counts(docs, "doc_id", "text", top_k=10).collect()
+    }
+    # c(a,b)=3; left 'a' appears as bigram-left 3 times -> P(b|a)=1.0
+    assert out[("a", "b")] == (3, 3, 1_000_000)
+    # c(b,a)=1, c(b,c)=1; left 'b' mass = 2 -> each P = 0.5 exactly
+    assert out[("b", "a")] == (1, 2, 500_000)
+    assert out[("b", "c")] == (1, 2, 500_000)
+    assert len(out) == 3
+
+
+def test_ivf_add_grows_without_rewriting_and_matches_one_shot(spark):
+    """Incremental IVF growth contract: (a) the add APPENDS — every cell
+    file from the initial build is still on disk afterwards; (b) a probe
+    over the grown index is row-identical to ivf_search over the full
+    corpus (frozen-quantizer equality: the initial build held all seed
+    ids)."""
+    import glob
+    import os
+
+    from weather_etl_docker_airflow_project_spark.io import scratch_dir
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter((F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 125 == 0))
+    delta = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 125 != 0))
+    path = os.path.join(scratch_dir("ivf_add_t"), "index")
+    similarity.build_ivf_index(base, path)
+    before = set(glob.glob(path + "/cells/cell=*/*.parquet"))
+    similarity.ivf_add(spark, path, delta)
+    after = set(glob.glob(path + "/cells/cell=*/*.parquet"))
+    assert before <= after and len(after) > len(before)
+
+    q = emb.filter(F.col("vec_id") == 7)
+    grown = [
+        (r["vec_id"], r["dot_q"])
+        for r in similarity.ivf_probe_persisted(spark, path, q, k=10, n_probe=2).collect()
+    ]
+    one_shot = [
+        (r["vec_id"], r["dot_q"])
+        for r in similarity.ivf_search(emb, q, k=10, n_probe=2).collect()
+    ]
+    assert grown == one_shot

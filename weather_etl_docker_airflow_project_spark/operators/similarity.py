@@ -934,6 +934,51 @@ def build_ivf_index(
     )
 
 
+def ivf_add(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign NEW vectors to the
+    EXISTING seed centroids (read from the index's own ``seeds`` table —
+    the coarse quantizer is frozen, the standard IVF grow path) and
+    APPEND their celled rows into the per-cell partition directories.
+
+    The existing celled data is never read or rewritten — cost is
+    |new| × |seeds| map-side scoring plus one |new|-sized partitioned
+    append, so a daily embedding-corpus increment costs the increment,
+    not the corpus. Because assignment is per-vector deterministic given
+    the seed set, a grown index is row-identical to an index built from
+    the full corpus in one shot whenever the initial build contained
+    every seed id — the exact-equality property ``l3_ivf_add``'s oracle
+    checks and tests/test_llm_ops.py asserts file-level (append must not
+    touch the original cell files). Catalog registration is invalidated
+    (same pattern as :func:`build_ivf_index`) so the next probe
+    re-registers and recovers any newly created cell partitions."""
+    from pyspark.sql import Window
+
+    seeds = spark.read.parquet(index_path + "/seeds")
+    qdf = new_vectors.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    scored = qdf.crossJoin(F.broadcast(seeds)).select(
+        id_col, "qv", "sid", int_dot(F.col("qv"), F.col("sv")).alias("sdot")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sdot").desc(), F.col("sid").asc())
+    celled = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "qv", F.col("sid").alias("cell"))
+    )
+    (
+        celled.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_path + "/cells")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(index_path)}")
+
+
 def _registered_ivf_index(spark, index_path: str, id_col: str) -> DataFrame:
     """Register (once) and return the persisted IVF celled table — the
     IVF twin of :func:`_registered_ann_index`. cell is a SEED VEC_ID

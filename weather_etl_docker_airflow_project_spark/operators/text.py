@@ -314,3 +314,50 @@ def bpe_pretokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("n_marks"),
     )
+
+
+def ngram_counts(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 100
+) -> DataFrame:
+    """Count-based bigram language-model table — the classic corpus
+    statistic behind perplexity-style quality scoring and contamination
+    probes: for the ``top_k`` most frequent bigrams, the bigram count,
+    the left-token continuation mass, and the conditional probability
+    P(r|l) in exact integer micro-units (``(10^6 * cnt) div left_total``
+    — integer division, so both engines agree bit-for-bit; no float ever
+    appears).
+
+    Scale shape: one explode of per-document token arrays into bigram
+    structs (map-side; documents with <2 tokens are filtered before the
+    explode), ONE corpus-scale shuffle for the (l, r) count (map-side
+    combinable), then a vocabulary²-sized window over l for the
+    continuation mass — the base corpus is read exactly once, and the
+    final top-k is a TakeOrderedAndProject, never a global sort. This is
+    the word-frequency-collapse trick again (cf. operators/bpe.py): the
+    expensive aggregate happens at corpus scale once, every derived
+    statistic is computed on the collapsed table."""
+    from pyspark.sql import Window
+
+    bg = (
+        df.select(tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, size(_toks) - 1), "
+                    "(t, i) -> struct(t AS l, _toks[i + 1] AS r))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("l")
+    return (
+        bg.withColumn("left_total", F.sum("cnt").over(w).cast("long"))
+        .withColumn(
+            "prob_micros", F.expr("(1000000 * cnt) div left_total").cast("long")
+        )
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(top_k)
+    )

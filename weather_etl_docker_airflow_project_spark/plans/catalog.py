@@ -110,6 +110,9 @@ _PRIORITY: tuple[str, ...] = (
     "l3_pq_search",             # rows-only by design
     "a15_approx_percentiles",   # rows-only by design
     "l3_ivf_kmeans_search",     # rows-only by design
+    # round-5 additions: new surface queued BEHIND the currency backlog
+    "l4_ngram_lm",
+    "l3_ivf_add",
     # then the round-4 window (all green r4 except the three retried
     # at the head of this window) — freshest rows, lowest priority
     "ts1_batch_sessionize",

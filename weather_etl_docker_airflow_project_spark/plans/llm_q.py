@@ -541,6 +541,56 @@ def l3_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ivf_add",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM c WHERE vec_id % 125 = 0),
+    assign AS (
+      SELECT c.vec_id, c.qv, s.sid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_DOT.format(a="c.qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM c, seeds s),
+    cells AS (SELECT vec_id, qv, sid AS cell FROM assign WHERE rn = 1),
+    q AS (SELECT qv AS query_qv FROM c WHERE vec_id = 0),
+    qrank AS (
+      SELECT s.sid AS cell, q.query_qv,
+             row_number() OVER (
+               ORDER BY {_DOT.format(a="q.query_qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM q, seeds s),
+    probe AS (SELECT cell, query_qv FROM qrank WHERE rn <= 2)
+    SELECT cl.vec_id, {_DOT.format(a="cl.qv", b="p.query_qv")} AS dot_q
+    FROM cells cl JOIN probe p ON cl.cell = p.cell
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3", "S8"),
+)
+def l3_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index growth (operators/similarity.ivf_add): the
+    index is built from HALF the corpus (all seed ids included — the
+    frozen-quantizer precondition), the other half is ADDED as an
+    increment (assign-to-frozen-seeds + per-cell append; existing cell
+    files untouched), and the probe over the grown index must be
+    row-identical to the one-shot full-corpus oracle — proving index
+    maintenance costs the increment, never a rebuild. The oracle is
+    l3_ivf_persisted_probe's full-corpus SQL verbatim: growth must not
+    change a single result."""
+    import os as _os
+
+    from ..io import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter((F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 125 == 0))
+    delta = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 125 != 0))
+    path = _os.path.join(scratch_dir("ivf_add_"), "index")
+    similarity.build_ivf_index(base, path)
+    similarity.ivf_add(spark, path, delta)
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_probe_persisted(spark, path, q, k=20, n_probe=2)
+
+
+@query(
     "l3_ivf_persisted_multiquery",
     oracle=f"""
     WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
@@ -845,6 +895,38 @@ def l4_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term statistics: document + collection frequency."""
     docs = load_table(spark, sf_dir, "documents")
     return text.term_stats(docs, "doc_id", "text")
+
+
+@query(
+    "l4_ngram_lm",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT toks[i] AS l, toks[i + 1] AS r,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      GROUP BY toks[i], toks[i + 1]),
+    wt AS (
+      SELECT l, r, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY l) AS BIGINT) AS left_total
+      FROM bg)
+    SELECT l, r, cnt, left_total,
+           CAST((1000000 * cnt) // left_total AS BIGINT) AS prob_micros
+    FROM wt ORDER BY cnt DESC, l, r LIMIT 100
+    """,
+    tags=("L4", "A2", "W3"),
+)
+def l4_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM table (operators/text.ngram_counts): the
+    top-100 bigrams with exact counts, left-continuation mass, and
+    P(r|l) in integer micro-units — the statistic behind perplexity-ish
+    quality scoring and n-gram contamination probes over a training
+    corpus. One corpus-scale shuffle (map-side-combinable bigram count),
+    then vocabulary-sized work only; integer division keeps both engines
+    bit-identical (no float reaches the output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_counts(docs, "doc_id", "text", top_k=100)
 
 
 _EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
