@@ -85,6 +85,32 @@ def test_safe_merge_batch_prefix_rule():
     assert _safe_merge_batch([("z", "z", 9), ("z", "y", 7), ("w", "x", 6)], 0) == [
         ("z", "z", 9)
     ]
+    # self-pair is a conflict BOUNDARY even against disjoint later pairs:
+    # merging (z,z)->zz creates (zz,z) with count 7 > 6, which sequential
+    # BPE merges before (c,d) — so (c,d) must NOT commit in this round
+    assert _safe_merge_batch([("z", "z", 14), ("c", "d", 6)], 0) == [
+        ("z", "z", 14)
+    ]
+    # pairs ranked ABOVE a self-pair still batch (strictly above its count)
+    assert _safe_merge_batch([("a", "b", 20), ("z", "z", 14), ("c", "d", 6)], 0) == [
+        ("a", "b", 20)
+    ]
+
+
+def test_multi_merge_parity_self_pair_regression(spark):
+    """End-to-end repro from the round-5 advice: {'zzz' x7, 'cd' x6}.
+    Sequential merge order is (z,z,14),(zz,z,7),(c,d,6); a batch that
+    commits (c,d) beside (z,z) reorders it. Must be byte-exact at every
+    batch width."""
+    texts = ["zzz"] * 7 + ["cd"] * 6
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _py_bpe(texts, 3)
+    assert [m[1:3] for m in want] == [("z", "z"), ("zz", "z"), ("c", "d")]
+    for width in (1, 2, 4, 8):
+        got = bpe_train(docs, "text", n_merges=3, max_merges_per_round=width)
+        assert got == want, f"width={width}"
 
 
 def test_multi_merge_parity_randomized(spark):

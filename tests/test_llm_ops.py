@@ -1098,3 +1098,13 @@ def test_ivf_add_grows_without_rewriting_and_matches_one_shot(spark):
         for r in similarity.ivf_search(emb, q, k=10, n_probe=2).collect()
     ]
     assert grown == one_shot
+
+    # replay idempotence (r5 advice): redelivering the same increment —
+    # or an increment overlapping already-indexed ids — must be a no-op,
+    # not a silent row duplication that corrupts probe results
+    n_rows = spark.read.parquet(path + "/cells").count()
+    similarity.ivf_add(spark, path, delta)
+    assert spark.read.parquet(path + "/cells").count() == n_rows
+    overlap = emb.filter(F.col("vec_id") < 50)  # mix of indexed ids only
+    similarity.ivf_add(spark, path, overlap)
+    assert spark.read.parquet(path + "/cells").count() == n_rows

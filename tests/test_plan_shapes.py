@@ -200,7 +200,7 @@ def test_approx_percentile_error_bound(spark):
     from weather_etl_docker_airflow_project_spark.io import load_table
 
     rows = {
-        r["o_orderpriority"]: r["approx_p"]
+        r["o_orderpriority"]: [float(x) for x in r["approx_p_csv"].split(",")]
         for r in catalog.REGISTRY["a15_approx_percentiles"]
         .fn(spark, "/root/testdata/sf0.01")
         .collect()

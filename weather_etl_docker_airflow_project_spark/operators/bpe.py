@@ -56,6 +56,13 @@ def _safe_merge_batch(
        a rejected-but-unaffected pair can outrank the next accepted one).
        Disjointness makes every accepted pair's count invariant under the
        earlier accepted merges, and destroyed pairs only lose count.
+       A SELF-pair (left == right) is itself a conflict boundary: merging
+       (z,z)->zz creates (zz,z)/(z,zz) whose counts are bounded by the
+       self-pair's OWN count — not by the stop boundary — so a created
+       pair can outrank (or lexicographically beat at a tie) anything
+       accepted after it; nothing at or after a self-pair commits in the
+       same round (repro: {'zzz'x7,'cd'x6} — sequential merges
+       (z,z),(zz,z),(c,d); committing (c,d) beside (z,z) diverges).
     2. Truncate to counts STRICTLY above the stop boundary: the first
        conflicting pair's count, or ``boundary_n`` — the count of the
        first rank BEYOND the fetch window (0 when the window held the
@@ -67,20 +74,21 @@ def _safe_merge_batch(
        accepted pair, created-pair counts are zero, and the full prefix
        is safe.
 
-    Falls back to the single top-1 pair (= plain sequential BPE) when
-    the filter empties the batch — progress is always made.
+    Falls back to the single globally-top-ranked pair (= plain
+    sequential BPE) when the filter empties the batch — progress is
+    always made, and a top-ranked self-pair merges alone.
     """
     batch: list[tuple[str, str, int]] = []
     used: set[str] = set()
     stop_n = boundary_n
     for left, right, n in ranked:
-        if left in used or right in used:
+        if left == right or left in used or right in used:
             stop_n = n
             break
         batch.append((left, right, n))
         used.add(left)
         used.add(right)
-    return [p for p in batch if p[2] > stop_n] or batch[:1]
+    return [p for p in batch if p[2] > stop_n] or ranked[:1]
 
 
 def bpe_train(

@@ -121,10 +121,20 @@ class JoinView:
         m_new.write.mode("overwrite").parquet(self._batch_path("m_acc", batch_id))
         delta_r.write.mode("overwrite").parquet(self._batch_path("r_acc", batch_id))
         delta_s.write.mode("overwrite").parquet(self._batch_path("s_acc", batch_id))
-        # MANIFEST: the batch exists only once this marker lands
+        # MANIFEST: the batch exists only once this marker lands. Written
+        # tmp-then-rename (the HDFSMetadataLog/streaming CommitLog
+        # pattern) with an fsync before the rename: an in-place open()/
+        # write() could leave a partial-but-listed marker after an OS
+        # crash, or become durable before the staged parquet under
+        # filesystem reordering. committed_batches() ignores the tmp name
+        # (isdigit filter), and os.rename is atomic within the directory.
         os.makedirs(self._commits, exist_ok=True)
-        with open(os.path.join(self._commits, str(batch_id)), "w") as f:
+        tmp = os.path.join(self._commits, f".{batch_id}.tmp")
+        with open(tmp, "w") as f:
             f.write("committed")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self._commits, str(batch_id)))
         return batch_id
 
     def read(self) -> DataFrame:

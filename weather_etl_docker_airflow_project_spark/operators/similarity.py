@@ -956,10 +956,24 @@ def ivf_add(
     checks and tests/test_llm_ops.py asserts file-level (append must not
     touch the original cell files). Catalog registration is invalidated
     (same pattern as :func:`build_ivf_index`) so the next probe
-    re-registers and recovers any newly created cell partitions."""
+    re-registers and recovers any newly created cell partitions.
+
+    Idempotence: new vectors are LEFT-ANTI-joined against the ids already
+    in the index before the append, so a retried/redelivered increment
+    (or re-running with vectors already indexed) is a no-op instead of
+    silently duplicating rows — and a torn earlier append self-heals (its
+    landed rows are skipped, only the remainder appends). The guard costs
+    one column-pruned scan of the index's id column per increment; for
+    very large indexes where even that scan matters, track increment ids
+    in a JoinView-style commit manifest instead and keep increments
+    disjoint upstream."""
     from pyspark.sql import Window
 
     seeds = spark.read.parquet(index_path + "/seeds")
+    existing_ids = spark.read.parquet(index_path + "/cells").select(
+        F.col(id_col).cast("long").alias(id_col)
+    )
+    new_vectors = new_vectors.join(existing_ids, id_col, "left_anti")
     qdf = new_vectors.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
     scored = qdf.crossJoin(F.broadcast(seeds)).select(
         id_col, "qv", "sid", int_dot(F.col("qv"), F.col("sv")).alias("sdot")

@@ -18,8 +18,6 @@ key read (e.g. restrict existing keys to the incoming batch's date range);
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 
 def dedup_new_rows(incoming: DataFrame, existing_keys: DataFrame, keys: list[str]) -> DataFrame:
@@ -42,11 +40,18 @@ def upsert_parquet(
     number of appended rows. Idempotent: running twice with the same batch
     appends zero the second time (reference semantics,
     ``weather_etl.py:158-187``)."""
-    try:
+    # Probe the sink with the Hadoop FileSystem API rather than a
+    # read-then-catch(AnalysisException): the failed read makes the JVM
+    # log a full stack trace to stderr on every fresh sink (it polluted
+    # the r5 bench tail), and the FS check works identically on local FS,
+    # HDFS, and S3A.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         existing = spark.read.parquet(path).select(*keys)
         if key_pruning_filter is not None:
             existing = existing.filter(key_pruning_filter)
-    except AnalysisException:  # first write: sink does not exist yet
+    else:  # first write: sink does not exist yet
         existing = spark.createDataFrame([], incoming.select(*keys).schema)
 
     new_rows = dedup_new_rows(incoming, existing, keys)

@@ -30,70 +30,20 @@ from . import mining_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-5 WINDOW (first 50) =================
-    # Consolidation round (r4 verdict #1/#2): positions 2-4 are the three
-    # r4 red rows, re-pinned after their outputs were hash-canonicalized
-    # (raw DECIMAL declared columns -> the driver-proven BIGINT/DOUBLE
-    # patterns; all three MATCH under tools/drive_contract.py at HEAD).
-    # Positions 5-50 are the round-4 session-2 batch — 46 oracle queries
-    # that have never had a driver correctness row, in the rotation order
-    # NOTES.md recorded for this exact purpose.
+    # ================= ROUND-6 WINDOW (first 50) =================
+    # Per NOTES.md r6 plan: positions 2-3 retry the r5 red rows (driver
+    # canonicalizer choked on array-typed declared columns — both now
+    # render the vector as a CSV string in engine AND oracle, MATCH under
+    # tools/drive_contract.py at HEAD); then the 16-query backlog that has
+    # never had a driver row (11 oracle + 5 rows-only by design); then the
+    # two r5 surface additions; then aging canaries — the r4-proven block
+    # first, then the r1 relational canaries whose rows are 5 rounds old.
     # -- entry() flagship must stay first
     "flagship",
-    # -- r4 hash-fail retries (outputs re-typed this round)
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "s10_clustered_compact_scan",
-    # -- the 46 never-driver-checked session-2 queries
-    "g1_pagerank_purchase_graph",
-    "a19_frequent_pairs",
-    "ts8_ewma_smoothing",
+    # -- r5 red-row retries (outputs re-typed this round: array -> CSV)
     "l3_int8_quantize",
-    "p8_lateral_topk",
-    "p9_recursive_month_spine",
-    "f15_xml_suite",
-    "s15_python_datasource_feed",
-    "s16_python_datasource_sink",
-    "t15_stream_python_source",
-    "dq3_table_fingerprint",    # output re-typed r5: DECIMAL(38,0) -> string
-    "s17_binaryfile_ingest",
-    "j12_temporal_dim_join",
-    "a21_incremental_join",
-    "l6_leakage_safe_split",
-    "t16_stream_file_sink",
-    "f16_sql_udf_suite",
-    "l3_mmr_rerank",
-    "ts9_rolling_wau",
     "l4_feature_hash_embed",
-    "u4_schema_drift_union",
-    "s18_dynamic_partition_overwrite",
-    "l5_scene_cuts",
-    "l2_containment_pairs",
-    "l7_mixture_rebalance",
-    "w6_value_streaks",
-    "ts10_rolling_zscore",
-    "cdc2_apply_changelog",
-    "p10_null_safe_join",
-    "s19_corrupt_record_handling",
-    "w7_ratio_to_report",
-    "f17_try_suite",
-    "l3_knn_filtered",
-    "j14_asof_tolerance",
-    "t17_stream_multibatch",
-    "l6_target_encode",
-    "a20_weighted_median",
-    "u5_bag_set_ops",
-    "l5_resize_pixels",
-    "t18_stream_union_fanin",
-    "a22_approx_topk",
-    "p11_collation_group",
-    "f18_variant_explode",
-    "j15_cogroup_merge",
-    "dq4_observed_metrics",
-    "p12_parameterized_sql",
-    # ================= PAST THE CUT (positions 51+) ================
-    # r6 window head: the 16 remaining never-driver-checked queries
-    # (11 oracle + 5 rows-only by design) — rotate these in next round.
+    # -- never-driver-checked backlog (11 oracle)
     "l6_deterministic_shuffle",
     "f14_variant_suite",
     "cdc1_snapshot_diff",
@@ -105,16 +55,18 @@ _PRIORITY: tuple[str, ...] = (
     "o5_pareto_frontier",
     "s14_orc_roundtrip",
     "l4_inverted_probe",
-    "l4_bpe_train",             # rows-only by design
-    "a17_sketch_rollup",        # rows-only by design
-    "l3_pq_search",             # rows-only by design
-    "a15_approx_percentiles",   # rows-only by design
-    "l3_ivf_kmeans_search",     # rows-only by design
-    # round-5 additions: new surface queued BEHIND the currency backlog
+    # -- never-driver-checked backlog (5 rows-only by design)
+    "l4_bpe_train",             # + batched-merge self-pair fix this round
+    "a17_sketch_rollup",
+    "l3_pq_search",
+    "a15_approx_percentiles",   # output re-typed r6: array -> CSV
+    "l3_ivf_kmeans_search",
+    # -- r5 surface additions (registered r5, never driver-checked)
     "l4_ngram_lm",
-    "l3_ivf_add",
-    # then the round-4 window (all green r4 except the three retried
-    # at the head of this window) — freshest rows, lowest priority
+    "l3_ivf_add",               # + replay-idempotence guard this round
+    # -- changed-code canary: JoinView commit marker now tmp+rename
+    "a21_incremental_join",
+    # -- aging canaries: the r4-proven block (rows are 2 rounds old)
     "ts1_batch_sessionize",
     "ts2_gap_fill_hourly",
     "ts3_funnel_steps",
@@ -138,6 +90,16 @@ _PRIORITY: tuple[str, ...] = (
     "l4_bpe_pretokens",
     "w5_distribution_windows",
     "l3_ivf_persisted_probe",
+    # -- aging canaries: r1-proven relational rows (5 rounds old)
+    "q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "j5_anti_customers_without_big_orders",
+    "a13_salted_skew_agg",
+    "w1_top3_orders_per_segment",
+    # ================= PAST THE CUT (positions 51+) ================
+    # r7 rotation head: the rest of the r4-proven block, then the aging
+    # r1/r2/r3 rows in rotation order, then the 47 r5-green rows
+    # (freshest, lowest priority).
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",
@@ -161,12 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",
     "t13_stream_semi_join",
     "l3_ivf_persisted_multiquery",
-    # then the r1-proven relational canaries whose rows are aging
-    "q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "j5_anti_customers_without_big_orders",
-    "a13_salted_skew_agg",
-    "w1_top3_orders_per_segment",
     # aging r1-proven queries, then the r3-proven block, then rows-only.
     "tpch_q5_local_supplier_volume",
     "a5_cube_order_grid",
@@ -263,6 +219,55 @@ _PRIORITY: tuple[str, ...] = (
     "t5_tumbling_window_counts",
     "t9_stream_stream_join",
     "s8_partitioned_scan",
+    "a4_approx_count_distinct",
+    # the r5 window's green rows (freshest driver currency — lowest
+    # rotation priority; keep in NOTES order for the eventual re-check)
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "s10_clustered_compact_scan",
+    "g1_pagerank_purchase_graph",
+    "a19_frequent_pairs",
+    "ts8_ewma_smoothing",
+    "p8_lateral_topk",
+    "p9_recursive_month_spine",
+    "f15_xml_suite",
+    "s15_python_datasource_feed",
+    "s16_python_datasource_sink",
+    "t15_stream_python_source",
+    "dq3_table_fingerprint",
+    "s17_binaryfile_ingest",
+    "j12_temporal_dim_join",
+    "l6_leakage_safe_split",
+    "t16_stream_file_sink",
+    "f16_sql_udf_suite",
+    "l3_mmr_rerank",
+    "ts9_rolling_wau",
+    "u4_schema_drift_union",
+    "s18_dynamic_partition_overwrite",
+    "l5_scene_cuts",
+    "l2_containment_pairs",
+    "l7_mixture_rebalance",
+    "w6_value_streaks",
+    "ts10_rolling_zscore",
+    "cdc2_apply_changelog",
+    "p10_null_safe_join",
+    "s19_corrupt_record_handling",
+    "w7_ratio_to_report",
+    "f17_try_suite",
+    "l3_knn_filtered",
+    "j14_asof_tolerance",
+    "t17_stream_multibatch",
+    "l6_target_encode",
+    "a20_weighted_median",
+    "u5_bag_set_ops",
+    "l5_resize_pixels",
+    "t18_stream_union_fanin",
+    "a22_approx_topk",
+    "p11_collation_group",
+    "f18_variant_explode",
+    "j15_cogroup_merge",
+    "dq4_observed_metrics",
+    "p12_parameterized_sql",
 )
 
 

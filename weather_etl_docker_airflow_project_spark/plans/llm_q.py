@@ -1989,12 +1989,13 @@ def l4_inverted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
              embedding
       FROM embeddings)
     SELECT vec_id, max_abs,
-           CASE WHEN max_abs = 0.0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding, x ->
-                     CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5)
-                          AS INT))
-           END AS q
+           array_to_string(
+             CASE WHEN max_abs = 0.0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5)
+                            AS INT))
+             END, ',') AS q_csv
     FROM m
     """,
     tags=("L3", "F10"),
@@ -2008,11 +2009,20 @@ def l3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas; `floor(x + 0.5)` half-up rounding is used on BOTH sides
     because numpy round() is half-to-even while SQL round() is half-away
     (module docstring). Hash-green proves the Arrow path bit-faithful.
+    The DECLARED vector is the CSV rendering of the int8 array (both
+    engines) — the r5 driver canonicalizer cannot sort/hash list-typed
+    columns (repo invariant: scalar-only declared outputs; the operator
+    itself stays array-native for downstream use).
     """
     from ..operators.quantize import int8_quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return int8_quantize(emb, "vec_id", "embedding")
+    q = int8_quantize(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "max_abs",
+        F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",").alias("q_csv"),
+    )
 
 
 @query(
@@ -2167,13 +2177,14 @@ def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT doc_id, list(struct_pack(k := bucket, v := cnt)) AS pairs
           FROM c GROUP BY doc_id)
     SELECT d.doc_id,
-           CASE WHEN g.doc_id IS NULL
-                THEN list_transform(generate_series(0, 31), i -> CAST(0 AS BIGINT))
-                ELSE list_transform(generate_series(0, 31), i ->
-                     CAST(coalesce(list_sum(list_transform(pairs,
-                          p -> CASE WHEN p.k = i THEN p.v ELSE 0 END)), 0)
-                          AS BIGINT))
-           END AS fvec
+           array_to_string(
+             CASE WHEN g.doc_id IS NULL
+                  THEN list_transform(generate_series(0, 31), i -> CAST(0 AS BIGINT))
+                  ELSE list_transform(generate_series(0, 31), i ->
+                       CAST(coalesce(list_sum(list_transform(pairs,
+                            p -> CASE WHEN p.k = i THEN p.v ELSE 0 END)), 0)
+                            AS BIGINT))
+             END, ',') AS fvec_csv
     FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
     """,
     tags=("L4", "F10", "F12"),
@@ -2187,7 +2198,9 @@ def l4_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: tokenize→hash→per-(doc,bucket) count (one shuffle,
     map-side combinable)→densify through a map lookup over a static
     0..31 sequence. Empty documents embed as explicit zero vectors. All
-    integer — hash-exact against the oracle's list-lambda twin."""
+    integer — hash-exact against the oracle's list-lambda twin. The
+    DECLARED vector is the CSV rendering (both engines) — r5 driver
+    canonicalizer cannot hash list columns (scalar-only invariant)."""
     from ..operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2206,12 +2219,15 @@ def l4_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
     )
     zeros = F.expr("array_repeat(CAST(0 AS BIGINT), 32)")
+    fvec = F.when(F.col("m").isNull(), zeros).otherwise(dense)
     return (
         docs.select("doc_id")
         .join(g, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("m").isNull(), zeros).otherwise(dense).alias("fvec"),
+            F.array_join(
+                F.transform(fvec, lambda x: x.cast("string")), ","
+            ).alias("fvec_csv"),
         )
     )
 

@@ -1750,12 +1750,21 @@ def a15_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``approx_percentile`` with accuracy 10000): the single-pass,
     mergeable, bounded-memory path for quantiles over 100 TB — the exact
     sort-based a10 twin costs a full shuffle of the column. Error vs a10
-    is pytest-gated (tests/test_plan_shapes.py)."""
+    is pytest-gated (tests/test_plan_shapes.py). Declared output renders
+    the estimate array as CSV — the driver's rows-only canonicalizer
+    cannot hash list-typed columns (scalar-only declared-output
+    invariant)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.expr(
-            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("approx_p"),
+        F.array_join(
+            F.transform(
+                F.expr(
+                    "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("approx_p_csv"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
 
