@@ -146,6 +146,10 @@ HEADLINE = [
     # round-5 additions
     "l4_ngram_lm",
     "l3_ivf_add",  # min-of-2: both runs build+grow+probe a fresh index
+    # round-6 additions
+    "g2_triangle_counts",
+    "l4_lm_familiarity",
+    "a23_countmin_estimates",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -131,3 +131,50 @@ def test_skyline_dominance_with_ties(spark):
         )
     }
     assert got == naive == {1, 3, 4, 7}
+
+
+def test_countmin_overestimates_and_is_exact_when_collision_free(spark):
+    """CMS contract: estimates never undercount; with width >> keys the
+    probability all 4 rows collide is nil, so estimates are exact; with
+    width=1 every row collides and the estimate equals the total row
+    count."""
+    from pyspark.sql import functions as F
+
+    from weather_etl_docker_airflow_project_spark.operators.heavyhitters import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    data = [(k,) for k in [1] * 10 + [2] * 5 + [3] * 2 + [4] * 1]
+    df = spark.createDataFrame(data, "k long")
+    exact = {1: 10, 2: 5, 3: 2, 4: 1}
+    keys = df.select("k").distinct()
+
+    sk = countmin_sketch(df, "k", depth=4, width=1024)
+    est = {
+        r["k"]: r["n_est"]
+        for r in countmin_estimate(sk, keys, "k", depth=4, width=1024).collect()
+    }
+    assert est == exact  # wide sketch: collision-free -> exact
+
+    sk1 = countmin_sketch(df, "k", depth=4, width=1)
+    est1 = {
+        r["k"]: r["n_est"]
+        for r in countmin_estimate(sk1, keys, "k", depth=4, width=1).collect()
+    }
+    assert all(est1[k] == 18 for k in exact)  # total mass in the one cell
+
+    # sketch is bounded: never more than depth x width cells
+    assert sk.count() <= 4 * 1024 and sk1.count() == 4
+
+    # mergeability: sketch(a ∪ b) == cellwise sum of sketch(a), sketch(b)
+    a = df.filter(F.col("k") <= 2)
+    b = df.filter(F.col("k") > 2)
+    merged = (
+        countmin_sketch(a, "k", 4, 64)
+        .unionByName(countmin_sketch(b, "k", 4, 64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = countmin_sketch(df, "k", 4, 64)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}

@@ -1108,3 +1108,30 @@ def test_ivf_add_grows_without_rewriting_and_matches_one_shot(spark):
     overlap = emb.filter(F.col("vec_id") < 50)  # mix of indexed ids only
     similarity.ivf_add(spark, path, overlap)
     assert spark.read.parquet(path + "/cells").count() == n_rows
+
+
+def test_lm_familiarity_crafted(spark):
+    """Hand-checked bigram LM scoring: LM fits on even doc_ids only;
+    odd docs with unseen bigrams count them; <2-token docs score NULL."""
+    from weather_etl_docker_airflow_project_spark.operators.text import lm_familiarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b"),   # train: bigrams (a,b)x2, (b,a)x1
+            (2, "a b"),       # train: (a,b)
+            (1, "a b c"),     # score: (a,b) seen, (b,c) unseen
+            (3, "x"),         # <2 tokens -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_familiarity(docs, "doc_id", "text").collect()}
+    # LM: (a,b) cnt 3, (b,a) cnt 1 -> P(b|a)=1.0 (left_total 3... (a,*)=3)
+    # -> prob_micros(a,b) = 1000000*3 div 3 = 1000000; (b,a): left b total 1
+    # -> 1000000
+    assert rows[0]["n_bigrams"] == 3 and rows[0]["n_unseen"] == 0
+    assert rows[0]["familiarity_micros"] == 1000000
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["familiarity_micros"] == 1000000
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["n_unseen"] == 1
+    assert rows[1]["familiarity_micros"] == 500000  # (1000000 + 0) div 2
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["n_unseen"] == 0
+    assert rows[3]["familiarity_micros"] is None

@@ -44,3 +44,49 @@ def test_pagerank_star_center_dominates(spark):
     assert ranks["hub"] > max(ranks[leaf] for leaf in leaves)
     # all leaves are symmetric -> identical integer ranks
     assert len({ranks[leaf] for leaf in leaves}) == 1
+
+
+def test_triangle_counts_crafted_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant
+    path 4-5-6 (closes nothing): exact per-node counts, path nodes
+    absent from the output."""
+    from weather_etl_docker_airflow_project_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "a long, b long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # broadcast hint must not change values
+    got_b = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges, broadcast_adj=True).collect()
+    }
+    assert got_b == got
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Randomized parity vs an itertools brute force, including skewed
+    degrees (a hub node) so the orientation path is exercised."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from weather_etl_docker_airflow_project_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    n = 40
+    es = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12}
+    es |= {(0, b) for b in range(1, n, 2)}  # hub
+    adj = {v: set() for v in range(n)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: Counter = Counter()
+    for u, v, w in itertools.combinations(range(n), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            want.update((u, v, w))
+    edges = spark.createDataFrame(sorted(es), "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {k: v for k, v in want.items()}

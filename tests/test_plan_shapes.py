@@ -401,3 +401,22 @@ def test_python_source_pushdown_reaches_plan(spark):
     )
     # planning-time partition pruning: only 2 of 6 station partitions remain
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_round6_query_plan_properties(spark):
+    # g2: both adjacency attaches broadcast (dimension-bounded node set),
+    # never a nested-loop/cartesian fallback; the wedge set is never
+    # materialized (no self-join of the oriented table remains)
+    plan = _formatted_plan(spark, "g2_triangle_counts")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # lm familiarity: LM fit + scoring joins are all hash/merge equi-joins
+    plan = _formatted_plan(spark, "l4_lm_familiarity")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # a23: the sketch probe is a broadcast of the depth x width cell
+    # table — the fact side never reshuffles for estimation
+    plan = _formatted_plan(spark, "a23_countmin_estimates")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

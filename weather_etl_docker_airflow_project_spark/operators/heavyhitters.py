@@ -98,3 +98,64 @@ def heavy_hitters(df: DataFrame, key: str, k: int, capacity: int = 4096) -> Data
             f"<= N/(C+1) = {stats['total']}/{capacity + 1}; raise capacity"
         )
     return topk
+
+
+def countmin_sketch(
+    df: DataFrame, key: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode-Muthukrishnan) of the key column
+    as a ``(row, bucket, c)`` table — ``depth`` hash rows × ``width``
+    buckets, ``c`` = number of input rows hashing there.
+
+    The sketch is THE mergeable bounded-memory frequency summary: the
+    build is one exploded projection (``depth`` probe rows per input row,
+    all map-side) plus one map-side-combinable groupBy whose output is at
+    most ``depth × width`` rows no matter the input cardinality — partial
+    sketches from any partitioning/stream merge by cell-wise addition,
+    which is exactly what the partial-aggregate shuffle does. Estimates
+    overestimate only: ``est(k) = min over rows of cell(row, h_row(k))``
+    ≥ true count, with the classic (e/width, 1-(1/e)^depth) error bound.
+
+    Hashes are md5-derived (``md5(key || '|' || row)`` first 8 hex digits
+    mod width) — engine-portable, so a DuckDB oracle can restate the
+    ENTIRE sketch and the estimates hash-exactly (the repo's determinism
+    rule); no engine-private hash ever reaches declared output.
+    """
+    probes = df.select(
+        F.col(key).cast("string").alias("_k"),
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat(_k, '|', CAST(row AS STRING))), 1, 8), 16, 10) "
+        f"AS BIGINT) % {width}"
+    )
+    return (
+        probes.select(F.col("row").cast("long").alias("row"), bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, keys: DataFrame, key: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query a Count-Min sketch for every row of ``keys``: returns
+    ``keys`` plus ``n_est`` (the min over the sketch's depth rows —
+    never below the true count). The sketch is ≤ depth × width rows, so
+    it BROADCASTS — estimating any number of keys is a map join plus one
+    per-key min, the fact table never reshuffles."""
+    probes = keys.select(
+        F.col(key),
+        F.col(key).cast("string").alias("_k"),
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat(_k, '|', CAST(row AS STRING))), 1, 8), 16, 10) "
+        f"AS BIGINT) % {width}"
+    )
+    joined = probes.select(
+        F.col(key), F.col("row").cast("long").alias("row"), bucket.alias("bucket")
+    ).join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_est")
+    )

@@ -361,3 +361,76 @@ def ngram_counts(
         .orderBy(F.desc("cnt"), "l", "r")
         .limit(top_k)
     )
+
+
+def lm_familiarity(
+    df: DataFrame, id_col: str, text_col: str, train_mod: int = 2
+) -> DataFrame:
+    """Score every document under a bigram LM trained on a held-in slice
+    of the corpus (``id % train_mod == 0``) — the perplexity-style
+    quality signal a training pipeline uses to rank/filter documents,
+    kept hash-exact by staying in integer micro-probability units
+    (``P(r|l)`` as ``(10^6 * cnt) div left_total``; averaging by integer
+    division) instead of log-space floats.
+
+    Per document: ``n_bigrams`` (token bigram occurrences), ``n_unseen``
+    (bigrams absent from the LM — the contamination/novelty counter),
+    and ``familiarity_micros`` = mean micro-probability of its bigrams
+    (unseen bigrams contribute 0; NULL for documents with <2 tokens).
+
+    Scale shape: the LM fit is one corpus-scale map-side-combinable
+    bigram count over the train slice plus a vocabulary-sized window for
+    the left-continuation mass; scoring is ONE equi-join of per-doc
+    bigram occurrences against the vocab²-bounded LM table on ``(l, r)``
+    followed by a per-doc aggregate — the corpus is read once, nothing
+    is quadratic, and the join key is the natural bucketing for a
+    persisted LM table at 100 TB.
+    """
+    bg_doc = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, size(_toks) - 1), "
+                    "(t, i) -> struct(t AS l, _toks[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col(id_col), F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    )
+    from pyspark.sql import Window
+
+    lm = (
+        bg_doc.filter(F.col(id_col) % train_mod == 0)
+        .groupBy("l", "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("l")
+    lm = lm.withColumn("left_total", F.sum("cnt").over(w)).select(
+        "l", "r", F.expr("(1000000 * cnt) div left_total").cast("long").alias("prob_micros")
+    )
+    sc = (
+        bg_doc.join(lm, ["l", "r"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("prob_micros").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen"),
+            F.sum(F.coalesce(F.col("prob_micros"), F.lit(0))).cast("long").alias("_sp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(sc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long").alias("n_unseen"),
+            F.expr("CAST(CASE WHEN n_bigrams > 0 THEN _sp div n_bigrams END AS BIGINT)").alias(
+                "familiarity_micros"
+            ),
+        )
+    )

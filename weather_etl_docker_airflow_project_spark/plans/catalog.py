@@ -97,9 +97,13 @@ _PRIORITY: tuple[str, ...] = (
     "a13_salted_skew_agg",
     "w1_top3_orders_per_segment",
     # ================= PAST THE CUT (positions 51+) ================
-    # r7 rotation head: the rest of the r4-proven block, then the aging
-    # r1/r2/r3 rows in rotation order, then the 47 r5-green rows
-    # (freshest, lowest priority).
+    # r7 rotation head: the round-6 surface additions (never checked),
+    # then the rest of the r4-proven block, then the aging r1/r2/r3 rows
+    # in rotation order, then the 47 r5-green rows (freshest, lowest
+    # priority).
+    "g2_triangle_counts",
+    "l4_lm_familiarity",
+    "a23_countmin_estimates",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

@@ -929,6 +929,52 @@ def l4_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_counts(docs, "doc_id", "text", top_k=100)
 
 
+@query(
+    "l4_lm_familiarity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    db AS (
+      SELECT doc_id, toks[i] AS l, toks[i + 1] AS r
+      FROM tok, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2),
+    lm0 AS (
+      SELECT l, r, CAST(count(*) AS BIGINT) AS cnt
+      FROM db WHERE doc_id % 2 = 0 GROUP BY l, r),
+    lm AS (
+      SELECT l, r,
+             (1000000 * cnt) // CAST(sum(cnt) OVER (PARTITION BY l) AS BIGINT)
+                 AS prob_micros
+      FROM lm0),
+    sc AS (
+      SELECT db.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN lm.prob_micros IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unseen,
+             CAST(sum(COALESCE(lm.prob_micros, 0)) AS BIGINT) AS sp
+      FROM db LEFT JOIN lm ON lm.l = db.l AND lm.r = db.r
+      GROUP BY db.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
+           CAST(CASE WHEN sc.n_bigrams > 0 THEN sc.sp // sc.n_bigrams END
+                AS BIGINT) AS familiarity_micros
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+    tags=("L4", "A2", "J2"),
+)
+def l4_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style document scoring under a bigram LM trained on
+    the even-doc_id half of the corpus (operators/text.lm_familiarity):
+    per document the bigram count, the count of LM-unseen bigrams (the
+    novelty/contamination counter), and the mean bigram probability in
+    exact integer micro-units — the quality signal that ranks documents
+    for training-mix curation without a single float (integer division
+    both engines, so hash-exact). One corpus bigram count for the fit,
+    one (l, r) equi-join + per-doc aggregate for the scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_familiarity(docs, "doc_id", "text", train_mod=2)
+
+
 _EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
 
 

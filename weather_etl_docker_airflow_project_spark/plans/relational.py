@@ -1945,6 +1945,65 @@ def a18_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a23_countmin_estimates",
+    oracle="""
+    WITH rws AS (SELECT unnest(generate_series(0, 3)) AS rw),
+    sk AS (
+      SELECT rw,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+                                      || CAST(rw AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events, rws
+      GROUP BY rw, bucket),
+    ex AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY user_id
+      ORDER BY n_exact DESC, user_id LIMIT 20),
+    pr AS (
+      SELECT ex.user_id, rw,
+             CAST(('0x' || substr(md5(CAST(ex.user_id AS VARCHAR) || '|'
+                                      || CAST(rw AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS bucket
+      FROM ex, rws),
+    est AS (
+      SELECT pr.user_id, CAST(min(s.c) AS BIGINT) AS n_est
+      FROM pr JOIN sk s ON s.rw = pr.rw AND s.bucket = pr.bucket
+      GROUP BY pr.user_id)
+    SELECT ex.user_id, ex.n_exact, est.n_est
+    FROM ex JOIN est ON est.user_id = ex.user_id
+    """,
+    tags=("A4", "A2", "F12"),
+)
+def a23_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + point queries
+    (operators/heavyhitters.countmin_sketch/-_estimate): a 4×256 CMS of
+    the event feed's user column, probed for the exact top-20 users —
+    output pairs each exact count with its sketch estimate (``n_est ≥
+    n_exact`` always; equality when the user's 4 buckets are
+    collision-free). Unlike a18's exact two-pass and a22's engine
+    sketch, the CMS is built from md5-derived hashes, so its entire cell
+    table is DETERMINISTIC and the oracle restates sketch + estimates
+    exactly — the driver hash certifies the sketch algebra end to end.
+    Scale: the build is one map-side ×depth explode into a
+    map-side-combinable groupBy that emits ≤ depth×width rows from any
+    input size; partial sketches merge by cell addition (that IS the
+    shuffle combine), and estimation broadcasts the tiny cell table."""
+    from ..operators.heavyhitters import countmin_estimate, countmin_sketch
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    sk = countmin_sketch(e, "user_id", depth=4, width=256)
+    ex = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(20)
+    )
+    est = countmin_estimate(sk, ex.select("user_id"), "user_id", depth=4, width=256)
+    return ex.join(est, "user_id").select("user_id", "n_exact", "n_est")
+
+
+@query(
     "cdc1_snapshot_diff",
     oracle="""
     WITH old_snap AS (
