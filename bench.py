@@ -150,6 +150,9 @@ HEADLINE = [
     "g2_triangle_counts",
     "l4_lm_familiarity",
     "a23_countmin_estimates",
+    "l5_ahash_buckets",
+    "l6_curriculum_order",
+    "w8_max_concurrency",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

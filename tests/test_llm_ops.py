@@ -1135,3 +1135,34 @@ def test_lm_familiarity_crafted(spark):
     assert rows[1]["familiarity_micros"] == 500000  # (1000000 + 0) div 2
     assert rows[3]["n_bigrams"] == 0 and rows[3]["n_unseen"] == 0
     assert rows[3]["familiarity_micros"] is None
+
+
+def test_ahash_resolution_invariant_buckets(spark):
+    """The perceptual hash must bucket the SAME pattern at different
+    resolutions together (the property that catches resized re-encodes)
+    and separate opposite patterns."""
+    from weather_etl_docker_airflow_project_spark.operators.multimodal import (
+        ahash_bits,
+        encode_png,
+    )
+
+    def half_png(w, h, bright_left):
+        rgb = bytes(
+            (250 if (x < w // 2) == bright_left else 5)
+            for y in range(h)
+            for x in range(w)
+            for _ in range(3)
+        )
+        return encode_png(w, h, rgb)
+
+    rows = [
+        (1, half_png(8, 8, True)),
+        (2, half_png(16, 16, True)),   # same pattern, 2x resolution
+        (3, half_png(12, 8, True)),    # same pattern, non-square
+        (4, half_png(8, 8, False)),    # mirrored pattern
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["ahash_bits"] for r in ahash_bits(df, "doc_id").collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
+    assert set(got[1]) <= {"0", "1"} and len(got[1]) == 16

@@ -202,3 +202,52 @@ def test_incremental_rollup_merges_additively(spark):
     after = {(r["user_id"], r["day"]): (r["n_events"], r["sum_vfloor"])
              for r in maintain_rollup(spark, sink, empty).collect()}
     assert after == want
+
+
+def test_max_concurrency_crafted_and_bruteforce(spark):
+    """Distributed sweep gates: (a) hand-checked overlaps incl. touching
+    intervals (half-open: end == next start is NOT concurrent) and
+    intervals spanning multiple hour buckets (exercises the cross-bucket
+    prefix offset); (b) randomized parity vs a brute-force sweep."""
+    import datetime as dt
+    import random
+
+    from weather_etl_docker_airflow_project_spark.operators.sweep import (
+        max_concurrency,
+    )
+
+    B = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, B + dt.timedelta(minutes=s), B + dt.timedelta(minutes=e))
+             for k, s, e in rows],
+            "k string, t_start timestamp, t_end timestamp",
+        )
+
+    crafted = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 9, 12),     # triple overlap at 9-10
+        ("a", 15, 20),                                  # touches: not concurrent
+        ("b", 0, 300), ("b", 100, 130), ("b", 110, 125),  # spans 5 hour buckets
+        ("c", 0, 5),
+    ]
+    got = {
+        r["k"]: (r["max_concurrent"], r["n_intervals"])
+        for r in max_concurrency(mk(crafted), "k").collect()
+    }
+    assert got == {"a": (3, 4), "b": (3, 3), "c": (1, 1)}
+
+    rng = random.Random(11)
+    rows = [
+        ("x", s, s + rng.randint(1, 400))
+        for s in (rng.randint(0, 600) for _ in range(200))
+    ]
+    events = sorted(
+        [(s, 1) for _, s, _ in rows] + [(e, -1) for _, _, e in rows]
+    )  # (t, delta) with ends before starts at equal t
+    c = best = 0
+    for _, d in events:
+        c += d
+        best = max(best, c)
+    got = max_concurrency(mk(rows), "k").collect()[0]
+    assert (got["max_concurrent"], got["n_intervals"]) == (best, 200)

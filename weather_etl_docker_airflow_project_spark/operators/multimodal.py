@@ -886,6 +886,63 @@ def pixel_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(_feat, PIXEL_FEATURE_SCHEMA)
 
 
+def ahash_bits(df: DataFrame, id_col: str = "doc_id", grid: int = 4) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels — the image twin of the
+    text near-dup signatures (simhash/minhash): full codec decode
+    (``decode_image_pixels``) inside mapInPandas, integer per-pixel
+    intensity (r+g+b, no division), block-downsample to a ``grid × grid``
+    cell mean, and one bit per cell: is the cell's mean intensity at or
+    above the image mean. Resolution-invariant by construction (the cell
+    mapping is ``floor(coord * grid / dim)``), so re-encoded or resized
+    variants of the same picture bucket together.
+
+    Everything is exact BIGINT cross-multiplication —
+    ``cell_sum * n_total >= total_sum * n_cell`` avoids any division —
+    so an arithmetic SQL oracle over closed-form fixture pixels verifies
+    the ENTIRE decode+hash path bit for bit. Returns ``(id, ahash_bits)``
+    with the hash as a row-major '0'/'1' string (scalar declared output
+    per the repo invariant).
+
+    Scale: decode + hash are map-side (payloads never shuffle); grouping
+    by the hash string is the dedup bucket join — same hot-bucket
+    discipline as simhash applies downstream."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, rgb = decode_image_pixels(bytes(payload))
+                arr = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                inten = arr.reshape(h, w, 3).sum(axis=2)
+                cx = (np.arange(w) * grid) // w
+                cy = (np.arange(h) * grid) // h
+                cell_sum = np.zeros((grid, grid), dtype=np.int64)
+                cell_cnt = np.zeros((grid, grid), dtype=np.int64)
+                np.add.at(cell_sum, (cy[:, None], cx[None, :]), inten)
+                np.add.at(
+                    cell_cnt,
+                    (cy[:, None], cx[None, :]),
+                    np.ones((h, w), dtype=np.int64),
+                )
+                bits = cell_sum * (w * h) >= int(inten.sum()) * cell_cnt
+                ids.append(int(doc_id))
+                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "ahash_bits": pd.Series(hashes, dtype="object")}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash_bits", T.StringType()),
+        ]
+    )
+    return df.select(id_col, "payload").mapInPandas(_hash, schema)
+
+
 def byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic byte-level feature extraction over the binary payload
     via mapInPandas (Arrow batches; pandas vectorized inside). Stands in

@@ -104,6 +104,9 @@ _PRIORITY: tuple[str, ...] = (
     "g2_triangle_counts",
     "l4_lm_familiarity",
     "a23_countmin_estimates",
+    "l5_ahash_buckets",
+    "l6_curriculum_order",
+    "w8_max_concurrency",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

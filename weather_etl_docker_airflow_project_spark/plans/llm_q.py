@@ -929,10 +929,10 @@ def l4_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_counts(docs, "doc_id", "text", top_k=100)
 
 
-@query(
-    "l4_lm_familiarity",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# bigram-LM familiarity CTE chain, shared by the l4_lm_familiarity oracle
+# and the curriculum-ordering oracle built on top of it
+_LM_FAM_CTES = f"""
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     db AS (
       SELECT doc_id, toks[i] AS l, toks[i + 1] AS r
       FROM tok, unnest(generate_series(1, len(toks) - 1)) AS u(i)
@@ -952,13 +952,21 @@ def l4_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS n_unseen,
              CAST(sum(COALESCE(lm.prob_micros, 0)) AS BIGINT) AS sp
       FROM db LEFT JOIN lm ON lm.l = db.l AND lm.r = db.r
-      GROUP BY db.doc_id)
-    SELECT d.doc_id,
-           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           CAST(COALESCE(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
-           CAST(CASE WHEN sc.n_bigrams > 0 THEN sc.sp // sc.n_bigrams END
-                AS BIGINT) AS familiarity_micros
-    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      GROUP BY db.doc_id),
+    fam AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
+             CAST(CASE WHEN sc.n_bigrams > 0 THEN sc.sp // sc.n_bigrams END
+                  AS BIGINT) AS familiarity_micros
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"""
+
+
+@query(
+    "l4_lm_familiarity",
+    oracle=f"""
+    WITH {_LM_FAM_CTES}
+    SELECT doc_id, n_bigrams, n_unseen, familiarity_micros FROM fam
     """,
     tags=("L4", "A2", "J2"),
 )
@@ -973,6 +981,66 @@ def l4_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (l, r) equi-join + per-doc aggregate for the scoring."""
     docs = load_table(spark, sf_dir, "documents")
     return text.lm_familiarity(docs, "doc_id", "text", train_mod=2)
+
+
+@query(
+    "l6_curriculum_order",
+    oracle=f"""
+    WITH {_LM_FAM_CTES},
+    tiers AS (
+      SELECT doc_id,
+             CASE WHEN familiarity_micros IS NULL THEN 3
+                  WHEN familiarity_micros >= 200000 THEN 0
+                  WHEN familiarity_micros >= 100000 THEN 1
+                  WHEN familiarity_micros >= 50000 THEN 2
+                  ELSE 3 END AS tier,
+             ('0x' || substr(md5('curriculum:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS hv
+      FROM fam)
+    SELECT doc_id, CAST(tier AS INTEGER) AS tier,
+           CAST(row_number() OVER (ORDER BY tier, hv, doc_id) AS BIGINT)
+               AS train_pos
+    FROM tiers
+    """,
+    tags=("L6", "L4", "W1"),
+)
+def l6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for the training mix: documents sort
+    easy-to-hard by their bigram-LM familiarity TIER (fixed integer
+    thresholds on l4_lm_familiarity's micro-units; unscored/too-short
+    docs train last), with a salted-md5 shuffle INSIDE each tier so the
+    curriculum doesn't impose a spurious within-tier order — the same
+    no-rand() reproducibility discipline as l6_deterministic_shuffle:
+    identical order across engines, reruns, and cluster sizes.
+
+    Scale note: the declared query emits one GLOBAL train_pos (a total
+    order is what a dataloader consumes), which Spark executes as a
+    range-partitioned sort — fine for a curriculum manifest (doc ids +
+    tiers only, never payloads); shard-local positions (the
+    deterministic_shuffle shape) are the dial when even the manifest is
+    too big for one sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fam = text.lm_familiarity(docs, "doc_id", "text", train_mod=2)
+    f = F.col("familiarity_micros")
+    tiered = fam.select(
+        "doc_id",
+        F.when(f.isNull(), 3)
+        .when(f >= 200000, 0)
+        .when(f >= 100000, 1)
+        .when(f >= 50000, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("tier"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('curriculum:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    w = Window.orderBy("tier", "hv", "doc_id")
+    return tiered.select(
+        "doc_id", "tier", F.row_number().over(w).cast("long").alias("train_pos")
+    )
 
 
 _EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
@@ -1690,6 +1758,71 @@ def l5_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     png = multimodal.synthesize_png(docs, "doc_id", "text")
     return multimodal.pixel_features(png, "doc_id")
+
+
+@query(
+    "l5_ahash_buckets",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, length(text) % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.x * 3 + y.y * 5) % 256
+           + (d.doc_id * 7 + x.x * 3 + y.y * 5 + 11) % 256
+           + (d.doc_id * 7 + x.x * 3 + y.y * 5 + 22) % 256 AS inten,
+             (x.x * 4) // d.w AS cx,
+             (y.y * 4) // d.h AS cy
+      FROM dims d
+      JOIN generate_series(0, 19) x(x) ON x.x < d.w
+      JOIN generate_series(0, 15) y(y) ON y.y < d.h),
+    tot AS (
+      SELECT doc_id, CAST(sum(inten) AS BIGINT) AS ts,
+             CAST(count(*) AS BIGINT) AS tn
+      FROM px GROUP BY doc_id),
+    cell AS (
+      SELECT doc_id, cy, cx, CAST(sum(inten) AS BIGINT) AS cs,
+             CAST(count(*) AS BIGINT) AS cn
+      FROM px GROUP BY doc_id, cy, cx),
+    bits AS (
+      SELECT c.doc_id, c.cy, c.cx,
+             CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN '1' ELSE '0' END AS b
+      FROM cell c JOIN tot t USING (doc_id)),
+    hashes AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY cy, cx) AS ahash_bits
+      FROM bits GROUP BY doc_id)
+    SELECT ahash_bits, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM hashes GROUP BY ahash_bits
+    ORDER BY n_docs DESC, ahash_bits LIMIT 20
+    """,
+    tags=("L5", "L2"),
+)
+def l5_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup grouping: perceptual average-hash over REAL
+    decoded PNG pixels (operators/multimodal.ahash_bits — inflate + CRC +
+    unfilter, then integer block-mean thresholding), bucketed by hash,
+    top-20 buckets. The image twin of the text dedup signatures: a
+    re-encoded/resized copy of the same picture lands in the same bucket
+    because the hash block-normalizes resolution and the threshold is a
+    division-free BIGINT cross-multiplication. The oracle recomputes the
+    identical hash arithmetically from the fixture's closed-form pixels
+    (never touching bytes), so a single wrong filter inverse, row
+    offset, or rounding choice anywhere in codec or hash hash-fails.
+    Scale: decode+hash are map-side over the payload column; only the
+    16-char hash shuffles for the bucket count."""
+    docs = load_table(spark, sf_dir, "documents")
+    png = multimodal.synthesize_png(docs, "doc_id", "text")
+    hashes = multimodal.ahash_bits(png, "doc_id")
+    return (
+        hashes.groupBy("ahash_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy(F.desc("n_docs"), "ahash_bits")
+        .limit(20)
+    )
 
 
 @query(

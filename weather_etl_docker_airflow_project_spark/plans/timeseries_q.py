@@ -641,3 +641,57 @@ def ts10_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.filter((F.col("var") > 0.0) & (F.abs(zscore) > 2.0))
         .select("user_id", "event_id", "ts", "value", zscore.alias("zscore"))
     )
+
+
+@query(
+    "w8_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, ts AS t_start,
+             ts + to_minutes(CAST(floor(value) AS BIGINT)) AS t_end
+      FROM events),
+    pts AS (
+      SELECT event_type, t_start AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, t_end AS t, -1 AS delta FROM iv),
+    run AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c
+      FROM pts)
+    SELECT r.event_type,
+           CAST(max(r.c) AS BIGINT) AS max_concurrent,
+           CAST((SELECT count(*) FROM iv i WHERE i.event_type = r.event_type)
+                AS BIGINT) AS n_intervals
+    FROM run r GROUP BY r.event_type
+    """,
+    tags=("W3", "A2", "TS1"),
+)
+def w8_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event opens a half-open
+    session ``[ts, ts + floor(value) minutes)``; the answer is the max
+    number simultaneously open — the sweep-line statistic behind
+    capacity planning and concurrent-sessions SLOs.
+
+    The ENGINE side runs the distributed two-pass prefix sum
+    (operators/sweep.max_concurrency): bucket-local ordered windows in
+    parallel plus one tiny bucket-level prefix — the textbook
+    one-window sweep the ORACLE states would serialize the whole fact
+    through one task per key at scale (event_type has a handful of
+    values), which is exactly the shape this operator exists to avoid.
+    A green hash proves the decomposition exact: prefix sums are
+    associative, and tie order within one instant only permutes equal
+    deltas (ends sort before starts, so touching intervals never
+    overlap)."""
+    from ..operators.sweep import max_concurrency
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("t_start"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, CAST(floor(value) AS INT), 0)"
+        ).alias("t_end"),
+    )
+    return max_concurrency(iv, "event_type")
