@@ -153,6 +153,7 @@ HEADLINE = [
     "l5_ahash_buckets",
     "l6_curriculum_order",
     "w8_max_concurrency",
+    "l2_incremental_neardup",  # min-of-2: run 1 builds the snapshot index
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

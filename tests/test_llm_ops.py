@@ -1166,3 +1166,41 @@ def test_ahash_resolution_invariant_buckets(spark):
     assert got[1] == got[2] == got[3]
     assert got[4] != got[1]
     assert set(got[1]) <= {"0", "1"} and len(got[1]) == 16
+
+
+def test_incremental_neardup_matches_oneshot_and_replays_idempotently(spark, tmp_path):
+    """Increment-vs-index candidate pairs must equal the one-shot LSH
+    pairs restricted to pairs touching the increment; replaying the same
+    increment appends nothing and returns the identical pair set."""
+    import os
+
+    from weather_etl_docker_airflow_project_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = os.path.join(str(tmp_path), "band_index")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    dedup.build_band_index(base, "doc_id", "text", path)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_neardup_pairs(
+            spark, path, inc, "doc_id", "text"
+        ).collect()
+    }
+    oneshot = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    assert got == oneshot
+
+    n_index = spark.read.parquet(path).count()
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_neardup_pairs(
+            spark, path, inc, "doc_id", "text"
+        ).collect()
+    }
+    assert again == got
+    assert spark.read.parquet(path).count() == n_index  # replay appended nothing

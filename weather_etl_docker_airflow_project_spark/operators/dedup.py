@@ -158,12 +158,12 @@ def _drop_hot_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFr
     return buckets.join(keep, ["band", "bucket"], "left_semi")
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, max_bucket_size: int | None = None
-) -> DataFrame:
-    """LSH banding: bucket key = concatenated band values; candidate pairs
-    are distinct (a < b) sharing any band bucket. The self-join is per
-    (band, bucket) — never a global cross join."""
+def band_bucket_table(sig: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding of a minhash-signature table: ``(id, band, bucket)``
+    rows, bucket key = the band's concatenated minhash values. This is
+    the persistable signature-index layout — the pair self-join
+    (:func:`lsh_candidate_pairs`) and the incremental dedup
+    (:func:`incremental_neardup_pairs`) both consume it."""
     bands = F.array(
         *[
             F.struct(
@@ -179,9 +179,18 @@ def lsh_candidate_pairs(
             for b in range(MINHASH_BANDS)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
+    """LSH banding: bucket key = concatenated band values; candidate pairs
+    are distinct (a < b) sharing any band bucket. The self-join is per
+    (band, bucket) — never a global cross join."""
+    buckets = band_bucket_table(sig, id_col)
     # Materialize before the self-join: otherwise BOTH join sides recompute
     # (and re-codegen) the whole shingle->minhash pipeline. At 100 TB this
     # is a persisted signature table; here MEMORY_AND_DISK.
@@ -208,6 +217,70 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return lsh_candidate_pairs(
         minhash_signatures(shingles(df, id_col, text_col), id_col), id_col
     )
+
+
+def build_band_index(
+    df: DataFrame, id_col: str, text_col: str, index_path: str
+) -> None:
+    """Persist the banded minhash signature index of a corpus snapshot —
+    the table incremental dedup joins later arrivals against. Shingle →
+    minhash → band runs ONCE per snapshot; afterwards near-dup checks
+    against this corpus never re-read its text."""
+    band_bucket_table(
+        minhash_signatures(shingles(df, id_col, text_col), id_col), id_col
+    ).write.mode("overwrite").parquet(index_path)
+
+
+def incremental_neardup_pairs(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    append: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: candidate pairs between a NEW
+    document increment and everything already indexed (plus within the
+    increment itself), touching ONLY the increment's text.
+
+    The 100 TB shape: a daily crawl drop must not re-shingle the whole
+    corpus — cost here is |new| shingling + one (band, bucket) equi-join
+    of the new rows against the persisted index. Pairs canonicalize as
+    ``(least, greatest)`` + distinct, so new↔new collisions count once.
+    With ``append=True`` the increment's bucket rows are folded into the
+    index for the next increment — LEFT-ANTI-guarded on id (the
+    :func:`~..similarity.ivf_add` idempotence pattern), so replaying an
+    increment is a no-op and the returned pairs are identical on rerun.
+    """
+    newb = band_bucket_table(
+        minhash_signatures(shingles(new_docs, id_col, text_col), id_col), id_col
+    ).persist()
+    newb.count()
+    old = spark.read.parquet(index_path)
+    all_b = old.unionByName(newb)
+    l, r = newb.alias("l"), all_b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    if append:
+        # materialize pairs BEFORE mutating the index: the pair plan is
+        # lazy and its `old` scan must not pick up the files this append
+        # writes (persist + count pins the result; pairs are tiny)
+        pairs = pairs.persist()
+        pairs.count()
+        fresh = newb.join(old.select(id_col).distinct(), id_col, "left_anti")
+        fresh.write.mode("append").parquet(index_path)
+    return pairs
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -436,4 +509,26 @@ def containment_pairs(
             & (100 * F.col("inter") >= threshold_pct * F.col("n_sub"))
         )
         .select("id_sub", "id_sup", "inter", F.col("n_sub").cast("long"))
+    )
+
+
+def band_index_path(sf_dir: str) -> str:
+    """Deterministic on-disk location for a dataset's persisted minhash
+    band index — same anchoring + staleness-fingerprint contract as
+    retrieval.inverted_index_path (source size+mtime in the name, so a
+    regenerated dataset gets a fresh index)."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nosrc"
+    return os.path.join(
+        repo_root, "spark-warehouse", f"band_index_{sfname}_d{fp}"
     )

@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "l5_ahash_buckets",
     "l6_curriculum_order",
     "w8_max_concurrency",
+    "l2_incremental_neardup",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

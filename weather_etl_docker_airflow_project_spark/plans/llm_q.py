@@ -124,6 +124,45 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_incremental_neardup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()}
+    SELECT DISTINCT CAST(least(l.doc_id, r.doc_id) AS BIGINT) AS id_a,
+                    CAST(greatest(l.doc_id, r.doc_id) AS BIGINT) AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id <> r.doc_id
+    WHERE l.doc_id % 2 = 1 OR r.doc_id % 2 = 1
+    """,
+    tags=("L2", "S8"),
+)
+def l2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (operators/dedup.incremental_neardup_
+    pairs): the even-doc_id half of the corpus is the already-indexed
+    snapshot (its banded minhash index persisted ONCE at
+    band_index_path), the odd half arrives as the increment — only the
+    increment is shingled/hashed, then one (band, bucket) equi-join
+    against the persisted index yields every candidate pair touching a
+    new document. This is the daily-crawl-drop shape at 100 TB: dedup
+    cost ∝ |increment|, the indexed corpus's text is never re-read.
+    Appending the increment's rows back into the index is
+    anti-join-guarded, so a replayed run returns the identical pair set
+    (the oracle restates pairs over the FULL corpus restricted to
+    ≥1 odd member — equality proves increment-vs-index ≡ one-shot)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = dedup.band_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup.build_band_index(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", path
+        )
+    increment = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_neardup_pairs(
+        spark, path, increment, "doc_id", "text"
+    )
+
+
+@query(
     "l2_simhash_signatures",
     oracle=f"""
     WITH tok AS (
