@@ -1204,3 +1204,22 @@ def test_incremental_neardup_matches_oneshot_and_replays_idempotently(spark, tmp
     }
     assert again == got
     assert spark.read.parquet(path).count() == n_index  # replay appended nothing
+
+
+def test_ahash_tiny_image_empty_cells_hash_zero(spark):
+    """Images narrower than the grid leave empty cells — they must hash
+    '0' (not the degenerate 0>=0 '1'), and the hash stays grid² chars."""
+    from weather_etl_docker_airflow_project_spark.operators.multimodal import (
+        ahash_bits,
+        encode_png,
+    )
+
+    rgb = bytes([200] * (2 * 3 * 3))  # uniform 2x3 image
+    df = spark.createDataFrame([(1, encode_png(2, 3, rgb))], "doc_id long, payload binary")
+    h = ahash_bits(df, "doc_id").collect()[0]["ahash_bits"]
+    assert len(h) == 16
+    # grid columns 1 and 3 get no pixels (cx = x*4//2 ∈ {0, 2}) -> '0'
+    rows = [h[i : i + 4] for i in range(0, 16, 4)]
+    assert all(r[1] == "0" and r[3] == "0" for r in rows)
+    # populated cells of a uniform image are all at the mean -> '1'
+    assert all(r[0] == "1" and r[2] == "1" for r in rows[:3])

@@ -114,3 +114,19 @@ def test_extract_fail_fast():
         "http://api.openweathermap.org/data/2.5/weather"
         "?q=Marseille&lang=fr&appid=KEY&units=metric"
     )
+
+
+def test_upsert_self_heals_torn_empty_sink_dir(spark, tmp_path):
+    """A sink directory that exists but holds no readable parquet (killed
+    first write) must be treated as fresh, not wedge every later upsert."""
+    import os
+
+    from weather_etl_docker_airflow_project_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(os.path.join(sink, "_temporary"))  # torn first attempt
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert upsert_parquet(spark, df, sink, ["k"]) == 2
+    assert upsert_parquet(spark, df, sink, ["k"]) == 0  # idempotent after heal

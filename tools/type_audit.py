@@ -65,29 +65,32 @@ def main() -> int:
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         conn.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+    def complex_out(name, stypes, bad) -> None:
+        # one definition for both branches: the driver's canonicalizer
+        # cannot hash complex-typed declared columns (r5 lesson:
+        # l3_int8_quantize / l4_feature_hash_embed red rows were pandas
+        # "unhashable type: 'list'", not value drift) — rows-only queries
+        # face the same canonicalizer, so they are checked too.
+        for cn, st in stypes:
+            if st.startswith(("array", "map", "struct")):
+                bad.append((name, f"COMPLEX-OUT {cn}: {st} — declared outputs must be scalar (render arrays as CSV strings)"))
+
     bad = []
     for name, spec in catalog.REGISTRY.items():
-        if spec.oracle is None:
-            # rows-only queries still face the driver's canonicalizer:
-            # complex-typed declared columns are unhashable there (r5
-            # lesson: l3_int8_quantize / l4_feature_hash_embed red rows
-            # were pandas "unhashable type: 'list'", not value drift).
-            try:
-                sdf = spec.fn(spark, SF)
-            except Exception as e:  # noqa: BLE001
-                bad.append((name, f"ERROR {type(e).__name__}: {str(e)[:100]}"))
-                continue
-            for f in sdf.schema.fields:
-                t = f.dataType.simpleString()
-                if t.startswith(("array", "map", "struct")):
-                    bad.append((name, f"COMPLEX-OUT {f.name}: {t} — declared outputs must be scalar (render arrays as CSV strings)"))
-            continue
+        # NOTE: spec.fn builds the plan, which for the handful of eager
+        # pipelines (BPE training, IVF/PQ fits, rollup replays) runs real
+        # jobs at sf0.01 — the audit costs ~1-2 min of execution beyond
+        # the schema reads; acceptable for a once-per-round gate.
         try:
             sdf = spec.fn(spark, SF)
             stypes = [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields]
-            for cn, st in stypes:
-                if st.startswith(("array", "map", "struct")):
-                    bad.append((name, f"COMPLEX-OUT {cn}: {st} — declared outputs must be scalar (render arrays as CSV strings)"))
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"ERROR {type(e).__name__}: {str(e)[:100]}"))
+            continue
+        complex_out(name, stypes, bad)
+        if spec.oracle is None:
+            continue
+        try:
             # LIMIT 0 still carries the full output schema; skips execution cost
             tbl = conn.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 0").arrow()
             dtypes = [(f.name, str(f.type)) for f in tbl.schema]

@@ -272,14 +272,17 @@ def incremental_neardup_pairs(
         )
         .distinct()
     )
+    # materialize pairs BEFORE any index mutation: the pair plan is lazy
+    # and its `old` scan must not pick up files a later append writes.
+    # localCheckpoint (eager) pins the tiny result AND truncates lineage,
+    # so no recompute can ever reference newb or the index again; its
+    # blocks are released by the ContextCleaner when the result is GC'd
+    # (a bare persist() accumulated pinned copies across bench runs).
+    pairs = pairs.localCheckpoint()
     if append:
-        # materialize pairs BEFORE mutating the index: the pair plan is
-        # lazy and its `old` scan must not pick up the files this append
-        # writes (persist + count pins the result; pairs are tiny)
-        pairs = pairs.persist()
-        pairs.count()
         fresh = newb.join(old.select(id_col).distinct(), id_col, "left_anti")
         fresh.write.mode("append").parquet(index_path)
+    newb.unpersist()
     return pairs
 
 

@@ -100,6 +100,18 @@ def heavy_hitters(df: DataFrame, key: str, k: int, capacity: int = 4096) -> Data
     return topk
 
 
+def _cm_bucket(width: int):
+    """The Count-Min bucket hash over the prepared ``(_k, row)`` columns.
+    ONE definition shared by build and probe — the sketch's entire
+    never-undercount contract depends on both hashing identically, and a
+    drifted copy would silently return near-zero estimates through the
+    probe's left-join coalesce."""
+    return F.expr(
+        "CAST(conv(substr(md5(concat(_k, '|', CAST(row AS STRING))), 1, 8), 16, 10) "
+        f"AS BIGINT) % {width}"
+    )
+
+
 def countmin_sketch(
     df: DataFrame, key: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
@@ -125,12 +137,11 @@ def countmin_sketch(
         F.col(key).cast("string").alias("_k"),
         F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
     )
-    bucket = F.expr(
-        "CAST(conv(substr(md5(concat(_k, '|', CAST(row AS STRING))), 1, 8), 16, 10) "
-        f"AS BIGINT) % {width}"
-    )
     return (
-        probes.select(F.col("row").cast("long").alias("row"), bucket.alias("bucket"))
+        probes.select(
+            F.col("row").cast("long").alias("row"),
+            _cm_bucket(width).alias("bucket"),
+        )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -149,12 +160,10 @@ def countmin_estimate(
         F.col(key).cast("string").alias("_k"),
         F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
     )
-    bucket = F.expr(
-        "CAST(conv(substr(md5(concat(_k, '|', CAST(row AS STRING))), 1, 8), 16, 10) "
-        f"AS BIGINT) % {width}"
-    )
     joined = probes.select(
-        F.col(key), F.col("row").cast("long").alias("row"), bucket.alias("bucket")
+        F.col(key),
+        F.col("row").cast("long").alias("row"),
+        _cm_bucket(width).alias("bucket"),
     ).join(F.broadcast(sketch), ["row", "bucket"], "left")
     return joined.groupBy(key).agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_est")

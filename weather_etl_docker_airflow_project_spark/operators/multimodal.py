@@ -901,7 +901,10 @@ def ahash_bits(df: DataFrame, id_col: str = "doc_id", grid: int = 4) -> DataFram
     so an arithmetic SQL oracle over closed-form fixture pixels verifies
     the ENTIRE decode+hash path bit for bit. Returns ``(id, ahash_bits)``
     with the hash as a row-major '0'/'1' string (scalar declared output
-    per the repo invariant).
+    per the repo invariant). Images narrower than the grid in either
+    dimension leave some cells empty — those hash as '0' (the hash is
+    always ``grid²`` chars); the declared fixture corpus guarantees
+    ``w, h >= grid`` so the oracle never meets this branch.
 
     Scale: decode + hash are map-side (payloads never shuffle); grouping
     by the hash string is the dedup bucket join — same hot-bucket
@@ -926,7 +929,13 @@ def ahash_bits(df: DataFrame, id_col: str = "doc_id", grid: int = 4) -> DataFram
                     (cy[:, None], cx[None, :]),
                     np.ones((h, w), dtype=np.int64),
                 )
-                bits = cell_sum * (w * h) >= int(inten.sum()) * cell_cnt
+                # empty cells (possible only when width or height < grid)
+                # hash as '0': without the cnt>0 guard, 0*total >= total*0
+                # would force '1' bits that over-collide structurally
+                # different tiny images
+                bits = (cell_cnt > 0) & (
+                    cell_sum * (w * h) >= int(inten.sum()) * cell_cnt
+                )
                 ids.append(int(doc_id))
                 hashes.append("".join("1" if b else "0" for b in bits.ravel()))
             yield pd.DataFrame(

@@ -18,6 +18,7 @@ key read (e.g. restrict existing keys to the incoming batch's date range);
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
 
 
 def dedup_new_rows(incoming: DataFrame, existing_keys: DataFrame, keys: list[str]) -> DataFrame:
@@ -44,14 +45,21 @@ def upsert_parquet(
     # read-then-catch(AnalysisException): the failed read makes the JVM
     # log a full stack trace to stderr on every fresh sink (it polluted
     # the r5 bench tail), and the FS check works identically on local FS,
-    # HDFS, and S3A.
+    # HDFS, and S3A. The except stays as the recovery path for a sink
+    # DIRECTORY that exists but holds no readable parquet (a killed
+    # first write leaving only _temporary/ or an empty dir): treat it as
+    # fresh and self-heal instead of wedging every later upsert.
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    existing = None
     if fs.exists(jpath):
-        existing = spark.read.parquet(path).select(*keys)
-        if key_pruning_filter is not None:
-            existing = existing.filter(key_pruning_filter)
-    else:  # first write: sink does not exist yet
+        try:
+            existing = spark.read.parquet(path).select(*keys)
+            if key_pruning_filter is not None:
+                existing = existing.filter(key_pruning_filter)
+        except AnalysisException:  # torn/empty sink dir: no committed data
+            existing = None
+    if existing is None:  # first write: sink holds no readable data yet
         existing = spark.createDataFrame([], incoming.select(*keys).schema)
 
     new_rows = dedup_new_rows(incoming, existing, keys)
