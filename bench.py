@@ -154,6 +154,7 @@ HEADLINE = [
     "l6_curriculum_order",
     "w8_max_concurrency",
     "l2_incremental_neardup",  # min-of-2: run 1 builds the snapshot index
+    "t19_stream_countmin",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -46,3 +46,35 @@ def test_available_now_honors_max_files_per_trigger(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_countmin_is_batching_independent(spark, tmp_path):
+    """T19 gate on the REGISTERED builder: the drain must run multiple
+    real micro-batches (raw cell sink holds more than one partial
+    sketch) and the merged sketch must be row-identical to a one-shot
+    batch sketch of the same feed — CMS merge is addition, so batching
+    cannot change the result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weather_etl_docker_airflow_project_spark.io import load_table
+    from weather_etl_docker_airflow_project_spark.operators.heavyhitters import (
+        countmin_sketch,
+    )
+    from weather_etl_docker_airflow_project_spark.streaming.windows import (
+        stream_countmin_cells,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "cm")
+    merged = stream_countmin_cells(spark, sf, user_cap=100, base_dir=base)
+    raw = spark.read.parquet(os.path.join(base, "cells"))
+    one_shot = countmin_sketch(
+        load_table(spark, sf, "events").filter(F.col("user_id") < 100).select("user_id"),
+        "user_id",
+    )
+    assert raw.count() > merged.count()  # >1 partial appended -> real multi-batch
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in one_shot.collect()
+    }

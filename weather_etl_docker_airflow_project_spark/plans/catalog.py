@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "l6_curriculum_order",
     "w8_max_concurrency",
     "l2_incremental_neardup",
+    "t19_stream_countmin",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

@@ -643,3 +643,64 @@ def t18_stream_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").cast("long").alias("max_user"),
     )
     return windows.run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "t19_stream_countmin",
+    oracle="""
+    WITH f AS (SELECT user_id FROM events WHERE user_id < 100),
+    rws AS (SELECT unnest(generate_series(0, 3)) AS rw),
+    sk AS (
+      SELECT rw,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+                                      || CAST(rw AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM f, rws
+      GROUP BY rw, bucket),
+    ex AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM f GROUP BY user_id
+      ORDER BY n_exact DESC, user_id LIMIT 20),
+    pr AS (
+      SELECT ex.user_id, rw,
+             CAST(('0x' || substr(md5(CAST(ex.user_id AS VARCHAR) || '|'
+                                      || CAST(rw AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS bucket
+      FROM ex, rws),
+    est AS (
+      SELECT pr.user_id, CAST(min(s.c) AS BIGINT) AS n_est
+      FROM pr JOIN sk s ON s.rw = pr.rw AND s.bucket = pr.bucket
+      GROUP BY pr.user_id)
+    SELECT ex.user_id, ex.n_exact, est.n_est
+    FROM ex JOIN est ON est.user_id = ex.user_id
+    """,
+    tags=("T1", "A4", "F12"),
+)
+def t19_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance: a Count-Min sketch of the user feed
+    is maintained under a rate-limited multi-micro-batch file stream —
+    each batch appends its bounded partial sketch via foreachBatch, and
+    the merged sketch is the cell-wise sum (streaming/windows.
+    stream_countmin_cells). Because CMS merge IS addition, the streamed
+    sketch is row-identical to a one-shot batch sketch no matter how the
+    stream was batched — so, uniquely among the streaming queries, this
+    one carries a full EXACT oracle (the a23 restatement over the same
+    feed): a green hash certifies batching-independence end to end.
+    The declared output probes the merged sketch for the exact top-20
+    users, pairing exact counts with the never-undercounting estimates.
+    Scale: per-batch state is ≤ depth×width cells regardless of batch
+    size; the sink grows linearly in batch COUNT and compacts on read —
+    the bounded-state streaming summary shape."""
+    from ..operators.heavyhitters import countmin_estimate
+
+    merged = windows.stream_countmin_cells(spark, sf_dir, user_cap=100)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    ex = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(20)
+    )
+    est = countmin_estimate(merged, ex.select("user_id"), "user_id")
+    return ex.join(est, "user_id").select("user_id", "n_exact", "n_est")

@@ -363,3 +363,68 @@ def multibatch_event_agg(spark: SparkSession, sf_dir: str, user_cap: int = 100):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("event_id").cast("long").alias("id_checksum"),
     )
+
+
+def stream_countmin_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    user_cap: int = 100,
+    depth: int = 4,
+    width: int = 256,
+    base_dir: str | None = None,
+):
+    """T19's builder: maintain a Count-Min sketch of the user feed UNDER A
+    STREAM. The filtered events land as 5 parquet files; a file stream
+    rate-limited to one file per trigger drains in ~5 micro-batches, and
+    ``foreachBatch`` appends each batch's PARTIAL sketch
+    (operators/heavyhitters.countmin_sketch — ≤ depth×width rows however
+    large the batch) to a cell sink. The merged sketch is the cell-wise
+    SUM at read time — CMS merge is exactly addition, so the streamed
+    sketch is row-identical to one built over the whole feed in a single
+    batch, REGARDLESS of how the stream was batched. That batching
+    independence is the mergeable-summary property the sketch exists for
+    (per-batch state is bounded; the sink grows by ≤ depth×width rows per
+    micro-batch and compacts on read).
+
+    Returns the merged ``(row, bucket, c)`` sketch as a batch DataFrame.
+    ``base_dir`` overrides the scratch location (the pytest gate passes
+    its tmp dir so it can inspect the raw per-batch cell appends and
+    assert the drain really ran multiple micro-batches).
+    """
+    from ..io import load_table, scratch_dir
+    from ..operators.heavyhitters import countmin_sketch
+
+    base = base_dir or scratch_dir("cmstream")
+    src = os.path.join(base, "files")
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < user_cap
+    ).repartition(5).write.mode("overwrite").parquet(src)
+    cells = os.path.join(base, "cells")
+
+    def _append_partial(batch_df, _batch_id):
+        countmin_sketch(batch_df.select("user_id"), "user_id", depth, width)\
+            .write.mode("append").parquet(cells)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(_append_partial)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "countmin stream drain did not finish within 300s — refusing "
+            "to read a partially-appended cell sink"
+        )
+    return (
+        spark.read.parquet(cells)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
