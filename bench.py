@@ -155,6 +155,7 @@ HEADLINE = [
     "w8_max_concurrency",
     "l2_incremental_neardup",  # min-of-2: run 1 builds the snapshot index
     "t19_stream_countmin",
+    "w9_capped_running_sum",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

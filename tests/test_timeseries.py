@@ -251,3 +251,36 @@ def test_max_concurrency_crafted_and_bruteforce(spark):
         best = max(best, c)
     got = max_concurrency(mk(rows), "k").collect()[0]
     assert (got["max_concurrent"], got["n_intervals"]) == (best, 200)
+
+
+def test_capped_running_sum_flush_semantics(spark):
+    """Hand-checked fold: accumulator includes the triggering row, resets
+    AFTER the flush, exact-cap hit flushes, per-key independence."""
+    import datetime as dt
+
+    from weather_etl_docker_airflow_project_spark.operators.sweep import (
+        capped_running_sum,
+    )
+
+    B = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 40, 50, 30 -> flush at 120; then 90, 10 -> flush at 100 (exact)
+        (1, 1, B + dt.timedelta(minutes=1), 40),
+        (1, 2, B + dt.timedelta(minutes=2), 50),
+        (1, 3, B + dt.timedelta(minutes=3), 30),
+        (1, 4, B + dt.timedelta(minutes=4), 90),
+        (1, 5, B + dt.timedelta(minutes=5), 10),
+        # user 2: single oversized value flushes alone
+        (2, 6, B + dt.timedelta(minutes=1), 250),
+        (2, 7, B + dt.timedelta(minutes=2), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, v long")
+    got = {
+        r["event_id"]: (r["acc_after"], r["flushed"])
+        for r in capped_running_sum(df, "user_id", ["ts", "event_id"], "v", 100).collect()
+    }
+    assert got == {
+        1: (40, False), 2: (90, False), 3: (120, True),
+        4: (90, False), 5: (100, True),
+        6: (250, True), 7: (5, False),
+    }

@@ -80,3 +80,60 @@ def max_concurrency(
         F.max(F.col("off") + F.col("local_max")).cast("long").alias("max_concurrent"),
         F.sum("n_starts").cast("long").alias("n_intervals"),
     )
+
+
+def capped_running_sum(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-key running sum that FLUSHES at a cap: walking each key's rows
+    in order, the accumulator adds the row's value; when it reaches
+    ``cap`` the row is flagged ``flushed`` and the carry resets to zero
+    (the batching/quota/micro-dose pattern: emit a batch every time the
+    accumulated size crosses a threshold).
+
+    Why not a window function: the fold is NON-associative — the carry
+    after row n depends on every earlier reset decision, and a reset is
+    a data-dependent branch, so no frame-based aggregate (or prefix-sum
+    decomposition like :func:`max_concurrency`'s) can express it. This
+    is the canonical ``applyInPandas`` shape instead: keys process in
+    parallel (one shuffle on the key), the per-key scan is sequential
+    but bounded by per-key cardinality — the same state-per-key contract
+    as the streaming ``applyInPandasWithState`` twin (T8). The SQL twin
+    needs a recursive CTE (the declared oracle states exactly that), so
+    this operator is also the repo's §2.10 witness that the Pandas path
+    and a recursive-SQL oracle can hash-match.
+
+    Returns one row per input row: ``(key, *order_cols minus ts dups...)``
+    — concretely ``(key, event_id, acc_after, flushed)`` for the declared
+    query; ``acc_after`` is the accumulator INCLUDING this row, before
+    any reset it triggers.
+    """
+    import pandas as pd
+
+    out_schema = f"{key} long, event_id long, acc_after long, flushed boolean"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        acc = 0
+        accs, flushed = [], []
+        for v in pdf[val_col]:
+            acc += int(v)
+            hit = acc >= cap
+            accs.append(acc)
+            flushed.append(hit)
+            if hit:
+                acc = 0
+        return pd.DataFrame(
+            {
+                key: pdf[key].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
+                "acc_after": pd.Series(accs, dtype="int64"),
+                "flushed": pd.Series(flushed, dtype="bool"),
+            }
+        )
+
+    return df.groupBy(key).applyInPandas(fold, out_schema)

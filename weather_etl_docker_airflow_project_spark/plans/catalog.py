@@ -85,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "l5_gif_pixel_features",
     "l5_jpeg_pixel_features",
     "l5_audio_features",
-    "l5_mixed_pixel_features",
+    "t2_weather_stream_upsert",  # contract changed r6: rows-only -> literal-SELECT oracle
     "l6_oversample_mix",
     "l4_bpe_pretokens",
     "w5_distribution_windows",
@@ -109,6 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "w8_max_concurrency",
     "l2_incremental_neardup",
     "t19_stream_countmin",
+    "l5_mixed_pixel_features",
+    "w9_capped_running_sum",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",
@@ -207,7 +209,6 @@ _PRIORITY: tuple[str, ...] = (
     "t6_session_windows",
     "t7_stream_dedup_within_watermark",
     "t8_stateful_user_stats",
-    "t2_weather_stream_upsert",
     "s5_catalog_weather_roundtrip",
     "s7_csv_roundtrip",
     "p4_null_guard",

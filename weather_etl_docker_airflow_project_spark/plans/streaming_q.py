@@ -460,11 +460,31 @@ def t10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t2_weather_stream_upsert", oracle=None, tags=("T1", "T2", "T3"))
+_T2_LITERAL_ORACLE = """
+SELECT * FROM (VALUES
+    ('Tunis', '2023-10-08 08:00:00', CAST(24.91 AS FLOAT), 'clear sky',
+     CAST(57 AS INT), CAST(1015 AS INT), CAST(4.63 AS FLOAT),
+     '2023-10-08 09:00:00'),
+    ('Mumbai', '2023-10-08 08:30:00', CAST(31.2 AS FLOAT), 'haze',
+     CAST(74 AS INT), CAST(1008 AS INT), CAST(2.1 AS FLOAT),
+     '2023-10-08 14:00:00'),
+    ('San Francisco', '2023-10-08 08:00:00', CAST(17.8 AS FLOAT), 'mist',
+     CAST(81 AS INT), CAST(1012 AS INT), CAST(5.36 AS FLOAT),
+     '2023-10-08 00:00:00')
+) AS t(city, utc, temperature, weather, humidity, pressure, wind_speed, lt)
+"""
+
+
+@query("t2_weather_stream_upsert", oracle=_T2_LITERAL_ORACLE, tags=("T1", "T2", "T3"))
 def t2_weather_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1-T3 rows-only check: land canned observations twice, drain the
-    micro-batch file stream, return the sink — idempotence means exactly
-    one copy per (city, utc) regardless of redelivery."""
+    """T1-T3: land canned observations TWICE, drain the micro-batch file
+    stream, return the sink — idempotence means exactly one copy per
+    (city, utc) regardless of redelivery. Upgraded from rows-only to a
+    literal-SELECT value oracle (the ref_weather pattern: the transform
+    of a fixed input is a fixed output), so the duplicate-landing drain
+    now carries a full value-hash check — a double-applied batch, a
+    wrong column, or a drifted epoch/offset conversion hash-fails
+    instead of merely keeping the row count at 3."""
     base = scratch_dir("weather_stream_")
     landing = os.path.join(base, "landing")
     sink = os.path.join(base, "sink")

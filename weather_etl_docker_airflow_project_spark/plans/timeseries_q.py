@@ -695,3 +695,51 @@ def w8_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_end"),
     )
     return max_concurrency(iv, "event_type")
+
+
+@query(
+    "w9_capped_running_sum",
+    oracle="""
+    WITH RECURSIVE f AS (
+      SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS rn
+      FROM events WHERE user_id < 40),
+    r AS (
+      SELECT user_id, rn, event_id, v AS acc_after,
+             CASE WHEN v >= 100 THEN CAST(0 AS BIGINT) ELSE v END AS carry
+      FROM f WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn, f.event_id, r.carry + f.v AS acc_after,
+             CASE WHEN r.carry + f.v >= 100 THEN CAST(0 AS BIGINT)
+                  ELSE r.carry + f.v END AS carry
+      FROM r JOIN f ON f.user_id = r.user_id AND f.rn = r.rn + 1)
+    SELECT user_id, event_id, acc_after, acc_after >= 100 AS flushed
+    FROM r
+    """,
+    tags=("W3", "T8", "P9"),
+)
+def w9_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota/batching fold: per user, a running sum of floor(value) that
+    FLUSHES whenever it reaches 100 — each event reports the accumulator
+    including itself and whether it triggered a flush. The fold is
+    non-associative (every reset is a data-dependent branch), so no
+    window frame or prefix-sum decomposition expresses it: the engine
+    runs the canonical ``applyInPandas`` per-key sequential scan
+    (operators/sweep.capped_running_sum — keys in parallel, per-key work
+    bounded), and the oracle is the recursive CTE that SQL needs for the
+    same semantics. A green hash is the §2.10 witness that the Arrow
+    Pandas path and recursive SQL agree row-for-row."""
+    from ..operators.sweep import capped_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.expr("CAST(floor(value) AS BIGINT)").alias("v"),
+        )
+    )
+    return capped_running_sum(e, "user_id", ["ts", "event_id"], "v", cap=100)
