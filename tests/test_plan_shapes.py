@@ -420,3 +420,14 @@ def test_round6_query_plan_properties(spark):
     plan = _formatted_plan(spark, "a23_countmin_estimates")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_w9_fold_is_single_shuffle_pandas(spark):
+    """The capped-running-sum fold must be ONE key shuffle feeding the
+    Arrow-batched pandas stage — no extra Exchange, no sort-merge join
+    machinery around it."""
+    plan = _formatted_plan(spark, "w9_capped_running_sum")
+    assert "FlatMapGroupsInPandas" in plan
+    # formatted mode names each operator twice (tree + detail); count
+    # Exchange NODES via the tree's "Exchange (<id>)" form
+    assert plan.count("Exchange (") == 1
