@@ -156,6 +156,7 @@ HEADLINE = [
     "l2_incremental_neardup",  # min-of-2: run 1 builds the snapshot index
     "t19_stream_countmin",
     "w9_capped_running_sum",
+    "l3_ivf_delete",  # min-of-2: both runs build+delete+probe a fresh index
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -1223,3 +1223,49 @@ def test_ahash_tiny_image_empty_cells_hash_zero(spark):
     assert all(r[1] == "0" and r[3] == "0" for r in rows)
     # populated cells of a uniform image are all at the mean -> '1'
     assert all(r[0] == "1" and r[2] == "1" for r in rows[:3])
+
+
+def test_ivf_delete_rewrites_only_affected_cells(spark, tmp_path):
+    """Deletion contract: (a) cells without any deleted id keep their
+    ORIGINAL files byte-for-byte (never rewritten); (b) deleted ids are
+    gone, survivors intact; (c) a fully-emptied cell's directory
+    disappears; (d) replaying the same delete is a no-op."""
+    import glob
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = os.path.join(str(tmp_path), "index")
+    similarity.build_ivf_index(emb, path)
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(path + "/cells/cell=*/*.parquet")
+    }
+    rows0 = (
+        spark.read.parquet(path + "/cells").select("vec_id", "cell").collect()
+    )
+    by_cell = {}
+    for r in rows0:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    # delete every vector of ONE cell (to exercise the emptied-dir drop)
+    # plus a couple of ids from another
+    cells_sorted = sorted(by_cell)
+    wipe_cell = cells_sorted[0]
+    partial_cell = cells_sorted[1]
+    dels = list(by_cell[wipe_cell]) + list(by_cell[partial_cell])[:2]
+    ddf = spark.createDataFrame([(i,) for i in dels], "vec_id long")
+    similarity.ivf_delete(spark, path, ddf)
+
+    after_ids = {r["vec_id"] for r in spark.read.parquet(path + "/cells").select("vec_id").collect()}
+    assert not (set(dels) & after_ids)
+    assert after_ids == {r["vec_id"] for r in rows0} - set(dels)
+    assert not os.path.exists(f"{path}/cells/cell={wipe_cell}")
+    untouched = [
+        f for f in before
+        if f"cell={wipe_cell}/" not in f and f"cell={partial_cell}/" not in f
+    ]
+    assert untouched and all(
+        os.path.exists(f) and os.path.getmtime(f) == before[f] for f in untouched
+    )
+
+    n = spark.read.parquet(path + "/cells").count()
+    similarity.ivf_delete(spark, path, ddf)  # replay: no-op
+    assert spark.read.parquet(path + "/cells").count() == n

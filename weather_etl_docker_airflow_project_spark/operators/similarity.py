@@ -993,6 +993,64 @@ def ivf_add(
     spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(index_path)}")
 
 
+def ivf_delete(
+    spark,
+    index_path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF deletion — the third leg of the index lifecycle
+    (build → :func:`ivf_add` → delete): remove vectors by id, rewriting
+    ONLY the cell partitions that actually contain them via dynamic
+    partition overwrite. Untouched cells are never rewritten, so a
+    deletion costs |affected cells|, not the index.
+
+    Steps: (1) semi-join the celled table against the delete ids to find
+    the affected cells; (2) compute the surviving rows of those cells
+    and PIN them with ``localCheckpoint`` (the write below overwrites the
+    same path the plan reads — truncating lineage first is what makes
+    the self-overwrite legal); (3) dynamic-overwrite just those cell
+    dirs; (4) cells the delete fully EMPTIED get no file from dynamic
+    overwrite (nothing is written for an empty partition), so their
+    stale directories are dropped with the Hadoop FileSystem API; (5)
+    the catalog registration is invalidated so the next probe
+    re-registers (the :func:`ivf_add` pattern). Deleting ids absent from
+    the index is a no-op (idempotent replay)."""
+    cells_path = index_path + "/cells"
+    cells = spark.read.parquet(cells_path)
+    dels = delete_ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    affected = cells.join(dels, id_col, "left_semi").select("cell").distinct()
+    affected_ids = {r["cell"] for r in affected.collect()}
+    if not affected_ids:
+        return
+    keep = (
+        cells.join(F.broadcast(affected), "cell")
+        .join(dels, id_col, "left_anti")
+        .localCheckpoint()
+    )
+    surviving = {r["cell"] for r in keep.select("cell").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            keep.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(cells_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    emptied = affected_ids - surviving
+    if emptied:
+        hconf = spark._jsc.hadoopConfiguration()
+        for cell in emptied:
+            p = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{cells_path}/cell={cell}"
+            )
+            p.getFileSystem(hconf).delete(p, True)
+    spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(index_path)}")
+
+
 def _registered_ivf_index(spark, index_path: str, id_col: str) -> DataFrame:
     """Register (once) and return the persisted IVF celled table — the
     IVF twin of :func:`_registered_ann_index`. cell is a SEED VEC_ID

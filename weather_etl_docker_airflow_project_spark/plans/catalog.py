@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "t19_stream_countmin",
     "l5_mixed_pixel_features",
     "w9_capped_running_sum",
+    "l3_ivf_delete",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

@@ -630,6 +630,57 @@ def l3_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ivf_delete",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM c WHERE vec_id % 125 = 0),
+    assign AS (
+      SELECT c.vec_id, c.qv, s.sid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_DOT.format(a="c.qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM c, seeds s),
+    cells AS (SELECT vec_id, qv, sid AS cell FROM assign
+              WHERE rn = 1 AND vec_id % 7 <> 3),
+    q AS (SELECT qv AS query_qv FROM c WHERE vec_id = 0),
+    qrank AS (
+      SELECT s.sid AS cell, q.query_qv,
+             row_number() OVER (
+               ORDER BY {_DOT.format(a="q.query_qv", b="s.sv")} DESC, s.sid ASC) AS rn
+      FROM q, seeds s),
+    probe AS (SELECT cell, query_qv FROM qrank WHERE rn <= 2)
+    SELECT cl.vec_id, {_DOT.format(a="cl.qv", b="p.query_qv")} AS dot_q
+    FROM cells cl JOIN probe p ON cl.cell = p.cell
+    ORDER BY dot_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("L3", "S18"),
+)
+def l3_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF deletion (operators/similarity.ivf_delete — the
+    third leg of the index lifecycle after build and ivf_add): the full
+    corpus is indexed, every ``vec_id % 7 == 3`` vector is deleted, and
+    the probe over the maintained index must be row-identical to the
+    one-shot oracle over the surviving corpus. Only the cell partitions
+    holding deleted ids are rewritten (dynamic partition overwrite;
+    fully-emptied cells' stale dirs are dropped) — a deletion costs the
+    affected cells, never a rebuild. The quantizer stays frozen, so
+    deleting a seed's VECTOR does not un-seed its cell."""
+    import os as _os
+
+    from ..io import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _os.path.join(scratch_dir("ivf_del_"), "index")
+    similarity.build_ivf_index(emb, path)
+    similarity.ivf_delete(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_probe_persisted(spark, path, q, k=20, n_probe=2)
+
+
+@query(
     "l3_ivf_persisted_multiquery",
     oracle=f"""
     WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
