@@ -1269,3 +1269,26 @@ def test_ivf_delete_rewrites_only_affected_cells(spark, tmp_path):
     n = spark.read.parquet(path + "/cells").count()
     similarity.ivf_delete(spark, path, ddf)  # replay: no-op
     assert spark.read.parquet(path + "/cells").count() == n
+
+
+def test_curriculum_order_invariants(spark):
+    """Curriculum manifest contract: train_pos is a contiguous 1..N total
+    order, tiers are non-decreasing along it (easy-to-hard), and the
+    whole ordering is deterministic across invocations (no rand())."""
+    from weather_etl_docker_airflow_project_spark.plans import catalog
+
+    fn = catalog.REGISTRY["l6_curriculum_order"].fn
+    rows = sorted(
+        ((r["train_pos"], r["tier"], r["doc_id"])
+         for r in fn(spark, "/root/testdata/sf0.001").collect())
+    )
+    n = len(rows)
+    assert [p for p, _, _ in rows] == list(range(1, n + 1))
+    tiers = [t for _, t, _ in rows]
+    assert tiers == sorted(tiers)
+    assert set(tiers) <= {0, 1, 2, 3}
+    again = sorted(
+        ((r["train_pos"], r["tier"], r["doc_id"])
+         for r in fn(spark, "/root/testdata/sf0.001").collect())
+    )
+    assert again == rows
