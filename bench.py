@@ -157,6 +157,8 @@ HEADLINE = [
     "t19_stream_countmin",
     "w9_capped_running_sum",
     "l3_ivf_delete",  # min-of-2: both runs build+delete+probe a fresh index
+    "dq5_referential_integrity",
+    "s20_versioned_time_travel",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -111,3 +111,27 @@ def test_dirty_corpus_parity(spark, dirty_sf_dir, dirty_duck, name):
         f"spark-only: {[r for r in srows if r not in drows][:5]}\n"
         f"oracle-only: {[r for r in drows if r not in srows][:5]}"
     )
+
+
+def test_referential_integrity_counts_null_and_missing_fks(spark):
+    """Crafted orphans: NULL fk counts as orphan, a missing parent key
+    counts, matched rows don't; multi-check output is one row per rule."""
+    from weather_etl_docker_airflow_project_spark.operators.dq import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    out = {
+        r["rule"]: (r["fk_rows"], r["orphans"], r["passed"])
+        for r in referential_integrity(
+            [
+                ("child_fk_in_parent", child, "fk", parent, "pk"),
+                ("parent_pk_in_child", parent, "pk", child, "fk"),
+            ]
+        ).collect()
+    }
+    assert out["child_fk_in_parent"] == (4, 2, False)  # NULL + 99
+    assert out["parent_pk_in_child"] == (3, 1, False)  # 30 unreferenced

@@ -203,3 +203,38 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     assert "ReadSchema" in plan
     sch = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_totalprice" not in sch, f"column pruning failed: {sch}"
+
+
+def test_versioned_table_snapshot_isolation_and_torn_commit(spark, tmp_path):
+    """VersionedTable contract: append lineage, overwrite isolation,
+    historical reads pinned, torn commits invisible, replay monotonic."""
+    import os
+
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no commits"):
+        t.read()
+
+    df1 = spark.createDataFrame([(1,), (2,)], "k long")
+    df2 = spark.createDataFrame([(3,)], "k long")
+    df3 = spark.createDataFrame([(9,)], "k long")
+    assert t.commit(df1) == 1
+    assert t.commit(df2, mode="append") == 2
+    # a reader holding v2 must not see the later overwrite
+    assert {r["k"] for r in t.read(2).collect()} == {1, 2, 3}
+    assert t.commit(df3, mode="overwrite") == 3
+    assert {r["k"] for r in t.read().collect()} == {9}
+    assert {r["k"] for r in t.read(1).collect()} == {1, 2}
+    assert {r["k"] for r in t.read(2).collect()} == {1, 2, 3}
+
+    # torn commit: a stray tmp manifest is never listed as a version
+    with open(os.path.join(str(tmp_path / "vt"), "_versions", ".4.tmp"), "w") as f:
+        f.write("/nonexistent\n")
+    assert t.versions() == [1, 2, 3]
+    with _pytest.raises(ValueError, match="not committed"):
+        t.read(4)

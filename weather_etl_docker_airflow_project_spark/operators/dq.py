@@ -85,3 +85,44 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return stacked.select(
         "rule", "violations", (F.col("violations") == 0).alias("passed")
     ).orderBy("rule")
+
+
+def referential_integrity(
+    checks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity audit: for each
+    ``(name, child_df, fk_col, parent_df, pk_col)`` count the child rows
+    whose foreign key has no match in the parent (NULL fks count as
+    orphans — a NULL reference cannot resolve). Returns one row per
+    constraint: ``(rule, fk_rows, orphans, passed)``, ordered by rule.
+
+    Scale shape: each check is one LEFT-ANTI join of the fact's fk
+    column against the parent's DISTINCT key — the parent side is a
+    dimension in every real star schema, so Catalyst broadcasts it and
+    the fact never shuffles; counts are map-side combinable. The whole
+    audit is a union of independent checks, so Spark runs them as
+    parallel jobs of one action. Complements :func:`run_checks` (same
+    (rule, violations, passed) discipline) for the invariants that span
+    tables."""
+    if not checks:
+        raise ValueError("referential_integrity needs at least one check")
+    parts = []
+    for name, child, fk, parent, pk in checks:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        orphans = (
+            child.select(F.col(fk))
+            .join(keys, [fk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+        )
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("fk_rows"))
+        parts.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("rule"), "fk_rows", "orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule", "fk_rows", "orphans", (F.col("orphans") == 0).alias("passed")
+    ).orderBy("rule")

@@ -1,0 +1,91 @@
+"""Versioned parquet table with time travel — the mini-lakehouse core
+(snapshot isolation + read-old-versions) built from primitives, since the
+container ships no Delta/Iceberg (documented environment limit; with a
+real table format this module collapses to `VERSION AS OF`).
+
+Layout under ``table_dir``::
+
+    data/batch_<version>_<salt>/   immutable parquet fragments
+    _versions/<n>                  manifest: newline list of data dirs
+
+The rules that make this a real table format in miniature:
+
+- **Data files are immutable.** A commit only ADDS a batch dir; nothing
+  under ``data/`` is ever rewritten, so readers of any version are never
+  disturbed by writers (snapshot isolation by construction).
+- **The manifest IS the commit.** Version ``n``'s manifest lists exactly
+  the batch dirs whose union is that snapshot; it is written
+  tmp+fsync+rename (the JoinView/HDFSMetadataLog pattern), so a torn
+  commit leaves no visible version and replaying it overwrites its own
+  staging, never double-counts.
+- **Append commits cost O(delta)**: manifest n+1 = manifest n + the new
+  batch dir. Overwrite commits write one batch and a manifest that lists
+  only it — old data dirs stay for the old versions' readers (vacuuming
+  unreferenced dirs is the classic retention job, out of scope).
+- **Time travel is manifest selection**: ``read(version=k)`` unions
+  version k's dirs; latest = highest manifest. At 100 TB the manifest
+  holds directory paths, not file lists — listing stays proportional to
+  the version's batch count.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.dir = table_dir
+        self._versions = os.path.join(table_dir, "_versions")
+        self._data = os.path.join(table_dir, "data")
+
+    def versions(self) -> list[int]:
+        """Sorted committed version numbers (manifest presence = commit)."""
+        if not os.path.isdir(self._versions):
+            return []
+        return sorted(int(f) for f in os.listdir(self._versions) if f.isdigit())
+
+    def _manifest(self, version: int) -> list[str]:
+        with open(os.path.join(self._versions, str(version))) as f:
+            return [line.strip() for line in f if line.strip()]
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new immutable batch and publish the next
+        version. ``mode='append'`` extends the previous version's
+        manifest; ``mode='overwrite'`` starts the new version from just
+        this batch (old versions stay readable)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        existing = self.versions()
+        version = (existing[-1] + 1) if existing else 1
+        batch = os.path.join(self._data, f"batch_{version}_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(batch)
+        dirs = (
+            (self._manifest(existing[-1]) if existing and mode == "append" else [])
+            + [batch]
+        )
+        os.makedirs(self._versions, exist_ok=True)
+        tmp = os.path.join(self._versions, f".{version}.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(dirs) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self._versions, str(version)))
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: the union of the version's batch dirs (latest
+        committed version when ``version`` is None)."""
+        committed = self.versions()
+        if not committed:
+            raise ValueError(f"versioned table at {self.dir} has no commits")
+        v = committed[-1] if version is None else version
+        if v not in committed:
+            raise ValueError(
+                f"version {v} not committed at {self.dir} (have {committed})"
+            )
+        return self.spark.read.parquet(*self._manifest(v))

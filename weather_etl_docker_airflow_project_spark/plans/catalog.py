@@ -112,6 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "l5_mixed_pixel_features",
     "w9_capped_running_sum",
     "l3_ivf_delete",
+    "dq5_referential_integrity",
+    "s20_versioned_time_travel",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

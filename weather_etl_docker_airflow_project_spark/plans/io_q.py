@@ -926,3 +926,133 @@ def p12_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floor": 250000,
         },
     )
+
+
+@query(
+    "dq5_referential_integrity",
+    oracle="""
+    WITH chk AS (
+      SELECT 'lineitem_orderkey_in_orders' AS rule,
+             CAST(count(*) AS BIGINT) AS fk_rows,
+             CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS orphans
+      FROM lineitem c
+      LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        ON c.l_orderkey = p.k
+      UNION ALL
+      SELECT 'lineitem_partkey_in_part',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem c
+      LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        ON c.l_partkey = p.k
+      UNION ALL
+      SELECT 'orders_custkey_in_customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders c
+      LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        ON c.o_custkey = p.k
+      UNION ALL
+      SELECT 'customer_nationkey_in_nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        ON c.c_nationkey = p.k
+      UNION ALL
+      SELECT 'events_userid_in_customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events c
+      LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        ON c.user_id = p.k)
+    SELECT rule, fk_rows, orphans, orphans = 0 AS passed
+    FROM chk ORDER BY rule
+    """,
+    tags=("P4", "J4", "A1"),
+)
+def dq5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit
+    (operators/dq.referential_integrity): orphan counts for the star
+    schema's four FK edges plus the deliberately-unconstrained
+    events.user_id → customer edge (app telemetry vs CRM — the check
+    that actually fires in practice). Each check is one left-anti join
+    against the parent's distinct keys: parents are dimensions, so the
+    anti-join broadcasts and the fact never shuffles; NULL foreign keys
+    count as orphans (a NULL reference cannot resolve — same policy both
+    engines via LEFT JOIN + IS NULL). Extends dq1's single-table rules
+    to the invariants that span tables."""
+    from ..operators import dq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    e = load_table(spark, sf_dir, "events")
+    return dq.referential_integrity(
+        [
+            ("lineitem_orderkey_in_orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem_partkey_in_part", li, "l_partkey", p, "p_partkey"),
+            ("orders_custkey_in_customer", o, "o_custkey", c, "c_custkey"),
+            ("customer_nationkey_in_nation", c, "c_nationkey", n, "n_nationkey"),
+            ("events_userid_in_customer", e, "user_id", c, "c_custkey"),
+        ]
+    )
+
+
+@query(
+    "s20_versioned_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+    v3 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 2),
+    s AS (
+      SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_checksum FROM v1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+      FROM v2
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+      FROM v3)
+    SELECT version, n_rows, key_checksum FROM s ORDER BY version
+    """,
+    tags=("S8", "S18"),
+)
+def s20_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table + time travel (operators/versioned.VersionedTable
+    — the mini-lakehouse built from immutable batch dirs + tmp-renamed
+    manifests, since no Delta/Iceberg ships in the container): commit
+    v1 (a third of orders), APPEND v2 (another third — O(delta): only
+    the new batch is written), then OVERWRITE v3 (the last third — old
+    versions stay readable because data files are immutable and the
+    manifest is the commit). The declared output reads ALL THREE
+    versions back through time travel and fingerprints each; the oracle
+    restates every snapshot straight from the source table, so a green
+    hash proves append lineage, overwrite isolation, and historical
+    reads all at once."""
+    import os as _os
+
+    from ..io import scratch_dir
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vt_"), "orders_v"))
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 0))
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 2), mode="overwrite")
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            t.read(version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
