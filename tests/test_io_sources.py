@@ -238,3 +238,34 @@ def test_versioned_table_snapshot_isolation_and_torn_commit(spark, tmp_path):
     assert t.versions() == [1, 2, 3]
     with _pytest.raises(ValueError, match="not committed"):
         t.read(4)
+
+
+def test_versioned_table_vacuum_retention(spark, tmp_path):
+    """VACUUM contract: retained versions keep every referenced dir
+    (shared append lineage included), dropped versions' exclusive dirs
+    are deleted, manifests go before data, and re-running is a no-op."""
+    import os
+
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        VersionedTable,
+        vacuum,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit(spark.createDataFrame([(1,)], "k long"))                    # v1
+    t.commit(spark.createDataFrame([(2,)], "k long"), mode="append")     # v2 = v1+b2
+    t.commit(spark.createDataFrame([(9,)], "k long"), mode="overwrite")  # v3 = b3
+    t.commit(spark.createDataFrame([(10,)], "k long"), mode="append")    # v4 = b3+b4
+
+    rep = vacuum(t, retain_versions=2)
+    assert rep.dropped_versions == [1, 2]
+    # v1/v2's dirs (b1, b2) are unreferenced by v3/v4 -> both removed
+    assert len(rep.removed_dirs) == 2
+    assert t.versions() == [3, 4]
+    assert {r["k"] for r in t.read(3).collect()} == {9}
+    assert {r["k"] for r in t.read(4).collect()} == {9, 10}
+    # data root holds exactly the two retained batch dirs
+    assert len(os.listdir(os.path.join(str(tmp_path / "vt"), "data"))) == 2
+
+    rep2 = vacuum(t, retain_versions=2)  # idempotent
+    assert rep2.dropped_versions == [] and rep2.removed_dirs == []

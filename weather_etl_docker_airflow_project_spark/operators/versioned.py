@@ -20,8 +20,8 @@ The rules that make this a real table format in miniature:
   staging, never double-counts.
 - **Append commits cost O(delta)**: manifest n+1 = manifest n + the new
   batch dir. Overwrite commits write one batch and a manifest that lists
-  only it — old data dirs stay for the old versions' readers (vacuuming
-  unreferenced dirs is the classic retention job, out of scope).
+  only it — old data dirs stay for the old versions' readers until
+  :func:`vacuum` retires them under an explicit retention window.
 - **Time travel is manifest selection**: ``read(version=k)`` unions
   version k's dirs; latest = highest manifest. At 100 TB the manifest
   holds directory paths, not file lists — listing stays proportional to
@@ -89,3 +89,48 @@ class VersionedTable:
                 f"version {v} not committed at {self.dir} (have {committed})"
             )
         return self.spark.read.parquet(*self._manifest(v))
+
+
+class _VacuumReport:
+    def __init__(self, dropped_versions: list[int], removed_dirs: list[str]):
+        self.dropped_versions = dropped_versions
+        self.removed_dirs = removed_dirs
+
+
+def vacuum(table: VersionedTable, retain_versions: int = 1) -> _VacuumReport:
+    """Retention job for :class:`VersionedTable`: keep the newest
+    ``retain_versions`` versions, drop older manifests, and delete the
+    data batch dirs no retained manifest references — the standard
+    lakehouse VACUUM, completing commit → read → time-travel → retain.
+
+    Safety order matters: old MANIFESTS are removed first (so no reader
+    can resolve a version whose data is about to go), THEN the
+    now-unreferenced batch dirs. A dir referenced by ANY retained
+    manifest is never touched, so `read()` on every surviving version is
+    unaffected. Idempotent: re-running vacuums nothing new.
+
+    Retention windows vs in-flight readers: like every lakehouse vacuum,
+    a reader holding a dropped version's plan can fail mid-scan — size
+    ``retain_versions`` above the longest reader, the same contract as
+    Delta's retention interval."""
+    import shutil
+
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    committed = table.versions()
+    keep = committed[-retain_versions:]
+    drop = [v for v in committed if v not in keep]
+    referenced = set()
+    for v in keep:
+        referenced.update(table._manifest(v))
+    removed: list[str] = []
+    for v in drop:
+        os.remove(os.path.join(table._versions, str(v)))
+    data_root = table._data
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if full not in referenced:
+                shutil.rmtree(full)
+                removed.append(full)
+    return _VacuumReport(drop, removed)
