@@ -269,3 +269,20 @@ def test_versioned_table_vacuum_retention(spark, tmp_path):
 
     rep2 = vacuum(t, retain_versions=2)  # idempotent
     assert rep2.dropped_versions == [] and rep2.removed_dirs == []
+
+
+def test_versioned_vacuum_normalizes_paths(spark, tmp_path):
+    """A handle opened through a denormalized spelling of table_dir must
+    not treat every batch dir as unreferenced (realpath on both sides)."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        VersionedTable,
+        vacuum,
+    )
+
+    canonical = str(tmp_path / "vt")
+    t = VersionedTable(spark, canonical)
+    t.commit(spark.createDataFrame([(1,)], "k long"))
+    t2 = VersionedTable(spark, str(tmp_path / "." / "vt"))  # same dir, odd spelling
+    rep = vacuum(t2, retain_versions=1)
+    assert rep.removed_dirs == []  # v1's dir is referenced -> untouched
+    assert {r["k"] for r in t.read().collect()} == {1}

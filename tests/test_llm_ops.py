@@ -1292,3 +1292,15 @@ def test_curriculum_order_invariants(spark):
          for r in fn(spark, "/root/testdata/sf0.001").collect())
     )
     assert again == rows
+
+
+def test_ivf_delete_refuses_to_empty_the_index(spark, tmp_path):
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = os.path.join(str(tmp_path), "index")
+    similarity.build_ivf_index(emb, path)
+    with pytest.raises(ValueError, match="EVERY indexed vector"):
+        similarity.ivf_delete(spark, path, emb.select("vec_id"))
+    # index untouched after the refusal
+    assert spark.read.parquet(path + "/cells").count() == emb.count()

@@ -78,3 +78,16 @@ def test_stream_countmin_is_batching_independent(spark, tmp_path):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in one_shot.collect()
     }
+
+
+def test_stream_countmin_refuses_reused_base_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from weather_etl_docker_airflow_project_spark.streaming.windows import (
+        stream_countmin_cells,
+    )
+
+    base = str(tmp_path / "cm")
+    stream_countmin_cells(spark, "/root/testdata/sf0.001", user_cap=50, base_dir=base)
+    with _pytest.raises(ValueError, match="fresh base_dir"):
+        stream_countmin_cells(spark, "/root/testdata/sf0.001", user_cap=50, base_dir=base)

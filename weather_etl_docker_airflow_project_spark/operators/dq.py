@@ -96,28 +96,31 @@ def referential_integrity(
     orphans — a NULL reference cannot resolve). Returns one row per
     constraint: ``(rule, fk_rows, orphans, passed)``, ordered by rule.
 
-    Scale shape: each check is one LEFT-ANTI join of the fact's fk
-    column against the parent's DISTINCT key — the parent side is a
-    dimension in every real star schema, so Catalyst broadcasts it and
-    the fact never shuffles; counts are map-side combinable. The whole
-    audit is a union of independent checks, so Spark runs them as
-    parallel jobs of one action. Complements :func:`run_checks` (same
-    (rule, violations, passed) discipline) for the invariants that span
-    tables."""
+    Scale shape: each check is ONE left join of the fact's fk column
+    against the parent's DISTINCT keys, aggregating total and orphan
+    counts in the same pass (one fact scan per rule, not two) — the
+    parent side is a dimension in every real star schema, so Catalyst
+    broadcasts it and the fact never shuffles; counts are map-side
+    combinable. The whole audit is a union of independent checks, so
+    Spark runs them as parallel jobs of one action. Complements
+    :func:`run_checks` (same (rule, violations, passed) discipline) for
+    the invariants that span tables."""
     if not checks:
         raise ValueError("referential_integrity needs at least one check")
     parts = []
     for name, child, fk, parent, pk in checks:
-        keys = parent.select(F.col(pk).alias(fk)).distinct()
-        orphans = (
-            child.select(F.col(fk))
-            .join(keys, [fk], "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+        keys = parent.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "_matched", F.lit(1)
         )
-        total = child.agg(F.count(F.lit(1)).cast("long").alias("fk_rows"))
         parts.append(
-            total.crossJoin(orphans).select(
-                F.lit(name).alias("rule"), "fk_rows", "orphans"
+            child.select(F.col(fk))
+            .join(keys, [fk], "left")
+            .agg(
+                F.lit(name).alias("rule"),
+                F.count(F.lit(1)).cast("long").alias("fk_rows"),
+                F.sum(F.when(F.col("_matched").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("orphans"),
             )
         )
     out = parts[0]

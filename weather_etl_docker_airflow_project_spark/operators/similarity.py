@@ -1015,7 +1015,9 @@ def ivf_delete(
     stale directories are dropped with the Hadoop FileSystem API; (5)
     the catalog registration is invalidated so the next probe
     re-registers (the :func:`ivf_add` pattern). Deleting ids absent from
-    the index is a no-op (idempotent replay)."""
+    the index is a no-op (idempotent replay). Deleting EVERY remaining
+    vector raises — an empty IVF index is not representable in the
+    parquet cell layout; drop and rebuild instead."""
     cells_path = index_path + "/cells"
     cells = spark.read.parquet(cells_path)
     dels = delete_ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
@@ -1023,12 +1025,24 @@ def ivf_delete(
     affected_ids = {r["cell"] for r in affected.collect()}
     if not affected_ids:
         return
+    all_cells = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    # survivors via a LITERAL cell filter, not a join: the isin predicate
+    # statically prunes the scan to the affected partition dirs (a
+    # join-derived dim is not guaranteed DPP), matching the "deletion
+    # costs |affected cells|" claim
     keep = (
-        cells.join(F.broadcast(affected), "cell")
+        cells.where(F.col("cell").isin(*[int(c) for c in affected_ids]))
         .join(dels, id_col, "left_anti")
         .localCheckpoint()
     )
     surviving = {r["cell"] for r in keep.select("cell").distinct().collect()}
+    if not surviving and affected_ids == all_cells:
+        raise ValueError(
+            "ivf_delete would remove EVERY indexed vector — an empty IVF "
+            "index is not representable in the parquet cell layout (and "
+            "later probes/replays would fail reading an empty dir); drop "
+            "and rebuild the index instead"
+        )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -88,6 +88,7 @@ def capped_running_sum(
     order_cols: list[str],
     val_col: str,
     cap: int,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-key running sum that FLUSHES at a cap: walking each key's rows
     in order, the accumulator adds the row's value; when it reaches
@@ -107,14 +108,14 @@ def capped_running_sum(
     this operator is also the repo's §2.10 witness that the Pandas path
     and a recursive-SQL oracle can hash-match.
 
-    Returns one row per input row: ``(key, *order_cols minus ts dups...)``
-    — concretely ``(key, event_id, acc_after, flushed)`` for the declared
-    query; ``acc_after`` is the accumulator INCLUDING this row, before
-    any reset it triggers.
+    Returns one row per input row: ``(key, id_col, acc_after, flushed)``
+    — ``id_col`` (integer row identity, default ``event_id``) carries
+    the per-row attribution; ``acc_after`` is the accumulator INCLUDING
+    this row, before any reset it triggers.
     """
     import pandas as pd
 
-    out_schema = f"{key} long, event_id long, acc_after long, flushed boolean"
+    out_schema = f"{key} long, {id_col} long, acc_after long, flushed boolean"
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols)
@@ -130,7 +131,7 @@ def capped_running_sum(
         return pd.DataFrame(
             {
                 key: pdf[key].astype("int64"),
-                "event_id": pdf["event_id"].astype("int64"),
+                id_col: pdf[id_col].astype("int64"),
                 "acc_after": pd.Series(accs, dtype="int64"),
                 "flushed": pd.Series(flushed, dtype="bool"),
             }

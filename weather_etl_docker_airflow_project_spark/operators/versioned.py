@@ -75,6 +75,12 @@ class VersionedTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self._versions, str(version)))
+        # Durability caveat: the MANIFEST is fsynced before the rename,
+        # but the batch parquet underneath rides the filesystem's own
+        # durability (Spark does not fsync local-FS data files) — after a
+        # power loss a visible version can reference not-yet-durable
+        # data. On HDFS/S3 the store's write visibility covers this; on
+        # local FS it is the same contract every local parquet write has.
         return version
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -123,6 +129,11 @@ def vacuum(table: VersionedTable, retain_versions: int = 1) -> _VacuumReport:
     referenced = set()
     for v in keep:
         referenced.update(table._manifest(v))
+    # realpath-normalize BOTH sides of the membership test: a handle
+    # opened through a relative/symlinked/denormalized spelling of
+    # table_dir must never conclude that every dir is unreferenced and
+    # delete data retained manifests still point at
+    referenced_real = {os.path.realpath(p) for p in referenced}
     removed: list[str] = []
     for v in drop:
         os.remove(os.path.join(table._versions, str(v)))
@@ -130,7 +141,7 @@ def vacuum(table: VersionedTable, retain_versions: int = 1) -> _VacuumReport:
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
             full = os.path.join(data_root, d)
-            if full not in referenced:
+            if os.path.realpath(full) not in referenced_real:
                 shutil.rmtree(full)
                 removed.append(full)
     return _VacuumReport(drop, removed)

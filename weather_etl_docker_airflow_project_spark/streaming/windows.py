@@ -395,6 +395,15 @@ def stream_countmin_cells(
     from ..operators.heavyhitters import countmin_sketch
 
     base = base_dir or scratch_dir("cmstream")
+    if os.path.exists(os.path.join(base, "cells")):
+        # a reused base_dir would silently DOUBLE-COUNT: the source
+        # rewrite mints new part-file names the checkpoint has never
+        # seen, so a second drain appends a full extra set of partial
+        # sketches on top of the first — refuse instead
+        raise ValueError(
+            f"cells sink already exists under {base!r} — "
+            "stream_countmin_cells needs a fresh base_dir per run"
+        )
     src = os.path.join(base, "files")
     load_table(spark, sf_dir, "events").filter(
         F.col("user_id") < user_cap
