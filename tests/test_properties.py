@@ -154,3 +154,37 @@ def test_timestamp_roundtrip(spark, dts):
         for r in flat
     }
     assert back == set(dts)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    width=st.sampled_from([1, 2, 16, 64]),
+)
+@SLOW
+def test_countmin_never_undercounts_property(spark, keys, width):
+    """CMS law on arbitrary multisets (negative keys, heavy dups, tiny
+    widths that force collisions): est(k) >= true count for every key,
+    with equality at collision-free widths; total cell mass per row
+    equals the input size times one."""
+    from collections import Counter
+
+    from weather_etl_docker_airflow_project_spark.operators.heavyhitters import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    exact = Counter(keys)
+    sk = countmin_sketch(df, "k", depth=4, width=width)
+    est = {
+        r["k"]: r["n_est"]
+        for r in countmin_estimate(
+            sk, df.select("k").distinct(), "k", depth=4, width=width
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    mass = {r["row"]: 0 for r in sk.select("row").distinct().collect()}
+    for r in sk.collect():
+        mass[r["row"]] += r["c"]
+    assert all(m == len(keys) for m in mass.values())
