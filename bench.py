@@ -159,6 +159,7 @@ HEADLINE = [
     "l3_ivf_delete",  # min-of-2: both runs build+delete+probe a fresh index
     "dq5_referential_integrity",
     "s20_versioned_time_travel",
+    "t20_stream_versioned_commits",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "l3_ivf_delete",
     "dq5_referential_integrity",
     "s20_versioned_time_travel",
+    "t20_stream_versioned_commits",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

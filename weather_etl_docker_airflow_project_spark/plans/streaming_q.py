@@ -724,3 +724,34 @@ def t19_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = countmin_estimate(merged, ex.select("user_id"), "user_id")
     return ex.join(est, "user_id").select("user_id", "n_exact", "n_est")
+
+
+@query(
+    "t20_stream_versioned_commits",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id < 80
+    """,
+    tags=("T1", "S8", "S18"),
+)
+def t20_stream_versioned_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a VERSIONED table: each non-empty
+    micro-batch of a rate-limited file stream lands as one atomic
+    append COMMIT of operators/versioned.VersionedTable (manifest
+    published last — a crash mid-batch leaves the table at the previous
+    version), so downstream readers pin a snapshot instead of racing
+    the stream and any historical version stays time-travelable. The
+    declared output fingerprints the LATEST version, which equals the
+    whole feed no matter how the stream was batched (append-commit
+    union is batching-independent, the t19 argument); the per-version
+    history — monotone growth, version count ≥ 2, mid-stream time
+    travel — is pytest-gated on the registered builder
+    (tests/test_streaming_multibatch.py)."""
+    table = windows.stream_versioned_commits(spark, sf_dir, user_cap=80)
+    return table.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

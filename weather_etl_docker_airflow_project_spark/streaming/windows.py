@@ -437,3 +437,62 @@ def stream_countmin_cells(
         .groupBy("row", "bucket")
         .agg(F.sum("c").cast("long").alias("c"))
     )
+
+
+def stream_versioned_commits(
+    spark: SparkSession,
+    sf_dir: str,
+    user_cap: int = 80,
+    base_dir: str | None = None,
+):
+    """T20's builder: a rate-limited multi-micro-batch file stream lands
+    each NON-EMPTY micro-batch as one append COMMIT of a
+    :class:`~..operators.versioned.VersionedTable` — the
+    streaming-ingest-into-lakehouse shape: every batch becomes an
+    atomic, time-travelable snapshot (manifest published last, so a
+    crash mid-batch leaves the table at the previous version), and
+    downstream readers pin a version instead of racing the stream.
+    Empty trailing batches mint no version. Returns the table handle
+    after the drain (latest version = the whole feed, regardless of how
+    the stream was batched — append-commit union is batching-independent
+    exactly like the t19 sketch merge).
+    """
+    from ..io import load_table, scratch_dir
+    from ..operators.versioned import VersionedTable
+
+    base = base_dir or scratch_dir("vstream")
+    if os.path.exists(os.path.join(base, "table")):
+        raise ValueError(
+            f"versioned table already exists under {base!r} — "
+            "stream_versioned_commits needs a fresh base_dir per run"
+        )
+    src = os.path.join(base, "files")
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < user_cap
+    ).select("event_id", "user_id", "event_type").repartition(5).write.mode(
+        "overwrite"
+    ).parquet(src)
+    table = VersionedTable(spark, os.path.join(base, "table"))
+
+    def _commit_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        table.commit(batch_df, mode="append")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "versioned-commit stream drain did not finish within 300s"
+        )
+    return table
