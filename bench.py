@@ -160,6 +160,7 @@ HEADLINE = [
     "dq5_referential_integrity",
     "s20_versioned_time_travel",
     "t20_stream_versioned_commits",
+    "l4_bpe_encode",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

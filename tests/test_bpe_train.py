@@ -136,3 +136,54 @@ def test_multi_merge_parity_randomized(spark):
         for width in (1, 4, 8):
             got = bpe_train(docs, "text", n_merges=10, max_merges_per_round=width)
             assert got == want, f"seed={seed} width={width}"
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The Spark encoder (broadcast merge table + per-word memo) must
+    reproduce a pure-Python rank-order reference encoder exactly:
+    per-doc token counts AND the order-sensitive sequence fingerprint;
+    and encoding the training corpus must yield tokens consistent with
+    the learned vocab (no un-merged adjacent pair that the table
+    covers)."""
+    import hashlib
+
+    from weather_etl_docker_airflow_project_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        encode_word,
+    )
+
+    texts = [
+        "the theme of the thesis is thin threads",
+        "in the thin inn the innkeeper thinks",
+        "theory of the thermal thread in the theme",
+        "unseen wordage arrives here",   # contains chars outside training
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs.filter("doc_id < 3"), "text", n_merges=8)
+    ranks = {(l, r): rank for rank, l, r, _ in merges}
+
+    def py_encode(text):
+        toks = []
+        for w in text.split():
+            toks.extend(encode_word(list(w), ranks))
+        return toks
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_fp"])
+        for r in bpe_encode(docs, "text", merges).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = py_encode(t)
+        fp = 0
+        for j, tok in enumerate(toks):
+            h = int.from_bytes(hashlib.md5(f"{j}:{tok}".encode()).digest()[:7], "big")
+            fp = (fp + h) % (1 << 61)
+        assert got[i] == (len(toks), fp), i
+    # vocab-consistency on single words: after encoding, no WITHIN-word
+    # adjacent pair remains that the merge table covers (saturation)
+    for w in ("the", "theme", "thin", "threads"):
+        enc = encode_word(list(w), ranks)
+        assert all((a, b) not in ranks for a, b in zip(enc, enc[1:])), w

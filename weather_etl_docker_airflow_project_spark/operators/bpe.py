@@ -164,3 +164,79 @@ def bpe_train(
             apply_merges, "syms array<string>, freq long"
         ).localCheckpoint()
     return merges
+
+
+def encode_word(symbols: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word under a learned merge table: repeatedly apply the
+    LOWEST-rank applicable merge (the standard BPE inference rule — rank
+    order, not greedy-position order), until no merge applies."""
+    while len(symbols) > 1:
+        best = None
+        for pair in zip(symbols, symbols[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best[0]):
+                best = (r, pair)
+        if best is None:
+            break
+        symbols = merge_word(symbols, best[1][0], best[1][1])
+    return symbols
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE a corpus under a learned merge table — the inference half
+    of the tokenizer (bpe_train learns it): per document, the token
+    count after all applicable merges and an order-sensitive md5-derived
+    fingerprint of the token sequence.
+
+    Scale shape: the merge table is vocabulary-sized and rides the
+    closure (the broadcast-vocab pattern — encoding shards
+    independently, no shuffle at all until the caller aggregates), and
+    each Arrow batch keeps a per-WORD memo cache, so a word repeated
+    10^6 times across a batch encodes once (the word-frequency collapse
+    applied at inference). Pure map stage: cost ∝ corpus tokens.
+
+    No SQL oracle by design (the rank-order merge loop is inherently
+    sequential — same policy as bpe_train); parity vs a pure-Python
+    reference encoder is pytest-gated (tests/test_bpe_train.py).
+    """
+    import hashlib
+
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            ids, n_tokens, fps = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in str(text).split():
+                    if w not in memo:
+                        memo[w] = encode_word(list(w), ranks)
+                    toks.extend(memo[w])
+                fp = 0
+                for i, t in enumerate(toks):
+                    h = int.from_bytes(
+                        hashlib.md5(f"{i}:{t}".encode()).digest()[:7], "big"
+                    )
+                    fp = (fp + h) % (1 << 61)
+                ids.append(int(doc_id))
+                n_tokens.append(len(toks))
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "token_fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        enc, f"{id_col} long, n_tokens long, token_fp long"
+    )

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq5_referential_integrity",
     "s20_versioned_time_travel",
     "t20_stream_versioned_commits",
+    "l4_bpe_encode",
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",

@@ -2836,3 +2836,32 @@ def l4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq long"
     )
+
+
+@query(
+    "l4_bpe_encode",
+    oracle=None,  # the rank-order merge loop is inherently sequential —
+    # same rows-only policy as l4_bpe_train; parity vs a pure-Python
+    # reference ENCODER is pytest-gated (tests/test_bpe_train.py), and
+    # n_tokens/token_fp are deterministic integers
+    tags=("L4",),
+)
+def l4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING at corpus scale — the inference half completing the
+    tokenizer story (pretokenize → train → encode): learn the same
+    12-entry merge table as l4_bpe_train, then encode EVERY document
+    under it (operators/bpe.bpe_encode). The merge table is
+    vocabulary-sized and rides the closure (broadcast-vocab pattern), so
+    encoding is a pure map stage with a per-word memo cache per Arrow
+    batch — a word repeated a million times encodes once, and a 100 TB
+    corpus encodes with zero shuffles. Output per document: token count
+    under the learned vocab and an order-sensitive md5-derived
+    fingerprint of the token sequence (any wrong merge, rank inversion,
+    or word-boundary bug changes it)."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs.filter(F.col("doc_id") < 200), "text", n_merges=12
+    )
+    return bpe_encode(docs, "text", merges, id_col="doc_id")
