@@ -422,6 +422,55 @@ def test_round6_query_plan_properties(spark):
     assert "CartesianProduct" not in plan
 
 
+def _simple_plan(spark, name: str) -> str:
+    df = catalog.REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()  # simple mode: Window nodes print on one line
+    return buf.getvalue()
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """Window nodes with an ORDER BY but no PARTITION BY — the shape that
+    serializes its whole input through one task. Simple-mode explain
+    prints ``Window [exprs], [partition], [order]``; an unpartitioned
+    ordered window has only two bracket groups, the last being an order
+    spec (contains ASC/DESC). Partition-only windows (2 groups, no
+    ASC/DESC) are fine — they shuffle but don't serialize."""
+    hits = []
+    for ln in plan.splitlines():
+        if "windowspecdefinition" not in ln:
+            continue
+        groups = ln.split("], [")
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            hits.append(ln.strip())
+    return hits
+
+
+def test_distributed_prefix_queries_have_no_global_window(spark):
+    """r6-verdict items 2-4: the three former single-partition sorts now
+    run the two-pass distributed prefix. The only unpartitioned ordered
+    window allowed in each plan is the offset pass over the TINY
+    bucket-net aggregate (its sum argument is the ``_net``/count column),
+    never over full data volume."""
+    for name in (
+        "l6_curriculum_order",
+        "l6_sequence_packing",
+        "a20_weighted_median",
+    ):
+        plan = _simple_plan(spark, name)
+        bad = [
+            w
+            for w in _unpartitioned_ordered_windows(plan)
+            if "_net" not in w
+        ]
+        assert not bad, f"{name}: full-data unpartitioned window: {bad}"
+        # the bucket-local pass is partitioned by the bucket column
+        assert "bkt" in plan
+    # a20 additionally: the pick is an aggregate, not a ranking window
+    assert "row_number" not in _simple_plan(spark, "a20_weighted_median")
+
+
 def test_w9_fold_is_single_shuffle_pandas(spark):
     """The capped-running-sum fold must be ONE key shuffle feeding the
     Arrow-batched pandas stage — no extra Exchange, no sort-merge join

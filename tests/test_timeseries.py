@@ -253,6 +253,116 @@ def test_max_concurrency_crafted_and_bruteforce(spark):
     assert (got["max_concurrent"], got["n_intervals"]) == (best, 200)
 
 
+def test_two_pass_prefix_matches_single_window(spark):
+    """The generic two-pass prefix must be row-identical to the textbook
+    single ordered window — including bucket-boundary rows, an empty
+    bucket in the middle of the range, and a bucket holding one row."""
+    import random
+
+    from pyspark.sql import Window
+    from weather_etl_docker_airflow_project_spark.operators.sweep import (
+        bucketed_row_number,
+        two_pass_prefix,
+    )
+
+    rng = random.Random(7)
+    # keys 0..199 with a hole at 80..119 (empty buckets mid-range)
+    keys = [k for k in range(200) if not 80 <= k < 120]
+    rows = [(k, rng.randint(1, 50)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v long").withColumn(
+        "bkt", (F.col("k") / 25).cast("int")
+    )
+
+    got = {
+        r["k"]: (r["cum"], r["pos"])
+        for r in bucketed_row_number(
+            two_pass_prefix(df, "bkt", ["k"], "v", "cum"), "bkt", ["k"], "pos"
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: (r["cum"], r["pos"])
+        for r in df.select(
+            "k",
+            F.sum("v").over(w).alias("cum"),
+            F.row_number().over(Window.orderBy("k")).cast("long").alias("pos"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_weighted_median_bruteforce_and_edges(spark):
+    """Bucketed weighted median vs a brute-force per-group scan; edge
+    cases: all-equal values (degenerate min==max bucket range), a group
+    with one row, and a heavy weight that pins the median early."""
+    import random
+
+    from weather_etl_docker_airflow_project_spark.operators.sweep import (
+        grouped_weighted_median,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):  # group g: random values/weights
+        rows.append(("g", rng.randint(0, 1000), rng.randint(1, 9), i))
+    rows += [("eq", 42, 3, i) for i in range(5)]      # all-equal values
+    rows += [("solo", 7, 1, 0)]                        # single row
+    rows += [("heavy", 1, 100, 0), ("heavy", 2, 1, 1), ("heavy", 3, 1, 2)]
+
+    def brute(grp):
+        sub = sorted(
+            [(v, w) for g, v, w, _ in rows if g == grp], key=lambda t: t[0]
+        )
+        tot = sum(w for _, w in sub)
+        cum = 0
+        for v, w in sub:
+            cum += w
+            if 2 * cum >= tot:
+                return v
+        raise AssertionError
+
+    df = spark.createDataFrame(rows, "g string, v long, w long, tid long")
+    typed = df.select(
+        "g",
+        F.col("v").cast("decimal(18,2)").alias("v"),
+        F.col("w").cast("decimal(18,2)").alias("w"),
+        "tid",
+    )
+    got = {
+        r["g"]: int(r["weighted_median"])
+        for r in grouped_weighted_median(typed, "g", "v", "w", ["tid"]).collect()
+    }
+    assert got == {g: brute(g) for g in ("g", "eq", "solo", "heavy")}
+    assert got["heavy"] == 1 and got["eq"] == 42
+
+
+def test_sequence_packing_bins_matches_global_cumsum(spark):
+    """Distributed contiguous-fill packing vs the single-window cut it
+    replaced — sparse negative-to-positive keys and an oversize doc."""
+    from pyspark.sql import Window
+    from weather_etl_docker_airflow_project_spark.operators.sampling import (
+        sequence_packing_bins,
+    )
+
+    rows = [(k, 30 + (k * 7) % 60) for k in range(-50, 450, 3)]
+    rows.append((997, 500))  # oversize: spills past capacity
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in sequence_packing_bins(df, "doc_id", "n_tokens", 100).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(w)
+    want = {
+        r["doc_id"]: r["bin_id"]
+        for r in df.select(
+            "doc_id",
+            F.floor((cum - F.col("n_tokens")) / 100).cast("long").alias("bin_id"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_capped_running_sum_flush_semantics(spark):
     """Hand-checked fold: accumulator includes the triggering row, resets
     AFTER the flush, exact-cap hit flushes, per-key independence."""

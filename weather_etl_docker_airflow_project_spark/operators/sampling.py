@@ -50,26 +50,53 @@ def sequence_packing_bins(
     key_col: str,
     length_col: str,
     capacity: int,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Contiguous-fill sequence packing: order documents by key, then cut
     the running token total into capacity-sized bins (bin_id =
     floor((cumsum - len) / capacity) — the bin the document STARTS in).
-    Deterministic and one window pass; documents longer than the capacity
-    occupy their starting bin and spill (callers chunk those upstream).
+    Deterministic; documents longer than the capacity occupy their
+    starting bin and spill (callers chunk those upstream).
 
     Contiguous fill is the distributed-friendly packing: true first-fit
-    bin packing is inherently sequential, while this is one cumsum window
-    — at 100 TB, partition by shard key first and pack within shards."""
-    from pyspark.sql import Window
+    bin packing is inherently sequential (that variant is
+    :func:`sequence_packing_firstfit`), while this is a running total —
+    computed via the two-pass distributed prefix
+    (operators/sweep.two_pass_prefix), NOT one global cumsum window:
+    the numeric key range (per-corpus min/max, one broadcast scalar
+    aggregate) splits into ``n_buckets`` equal-width, order-preserving
+    buckets; bucket-local cumsums run in parallel and only the
+    bucket-count-sized offset table crosses a single task. Identical
+    output to the textbook ``SUM() OVER (ORDER BY key)`` cut (prefix
+    sums decompose associatively; the l6_sequence_packing oracle states
+    the single-window form and hash-matches). Keys must be numeric and
+    unique (they address documents)."""
+    from .sweep import two_pass_prefix
 
-    w = Window.orderBy(F.col(key_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    rng = df.agg(
+        F.min(F.col(key_col)).cast("double").alias("_mn"),
+        F.max(F.col(key_col)).cast("double").alias("_mx"),
     )
-    cum = F.sum(F.col(length_col)).over(w)
-    return df.select(
+    bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
+        "_bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(key_col).cast("double") - F.col("_mn"))
+                * n_buckets
+                / F.greatest(F.col("_mx") - F.col("_mn"), F.lit(1e-9))
+            ),
+        ).cast("int"),
+    )
+    cum = two_pass_prefix(
+        bucketed, "_bkt", [key_col], F.col(length_col).cast("long"), "_cum"
+    )
+    return cum.select(
         F.col(key_col),
         F.col(length_col),
-        F.floor((cum - F.col(length_col)) / capacity).cast("long").alias("bin_id"),
+        F.floor((F.col("_cum") - F.col(length_col)) / capacity)
+        .cast("long")
+        .alias("bin_id"),
     )
 
 

@@ -31,7 +31,7 @@ hot keys, shrink the bucket width — parallelism is (keys × buckets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def max_concurrency(
@@ -79,6 +79,144 @@ def max_concurrency(
     return offset.groupBy(key).agg(
         F.max(F.col("off") + F.col("local_max")).cast("long").alias("max_concurrent"),
         F.sum("n_starts").cast("long").alias("n_intervals"),
+    )
+
+
+def two_pass_prefix(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    val_col,
+    out_col: str,
+    part_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Generic two-pass distributed prefix sum — the reusable core of
+    :func:`max_concurrency`, factored out so every global running
+    total/rank in the repo can share the scalable shape instead of a
+    single ordered window.
+
+    Requires that ``(part_cols, bucket_col, order_cols)`` is the intended
+    total order with ``bucket_col`` a coarse monotone prefix of it (high
+    bits of a hash, a value-range bucket, a time bucket). Then:
+
+    1. Bucket-local pass (parallel across ``part × bucket``): ordered
+       running sum of ``val_col`` within each bucket, plus the bucket's
+       net total via a separate aggregate.
+    2. Offset pass over the TINY bucket table (``|part| × |buckets|``
+       rows): ordered window summing earlier buckets' nets. This is the
+       only sequential structure and it never touches full data volume.
+    3. Broadcast-join offsets back; ``out_col = offset + local prefix``.
+
+    The decomposition is exact (prefix sums are associative), so results
+    are identical to ``sum(val) OVER (ORDER BY ...)`` row for row —
+    oracle hashes certify that per use site. ``val_col`` may be a Column
+    (e.g. ``F.lit(1)`` turns this into a distributed ``row_number``).
+    All input columns pass through; ``out_col`` is appended.
+    """
+    val = val_col if isinstance(val_col, Column) else F.col(val_col)
+    wl = (
+        Window.partitionBy(*part_cols, bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = df.withColumn("_loc", F.sum(val).over(wl))
+    nets = df.groupBy(*part_cols, bucket_col).agg(F.sum(val).alias("_net"))
+    wo = (
+        Window.partitionBy(*part_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = nets.select(
+        *part_cols,
+        bucket_col,
+        F.coalesce(F.sum("_net").over(wo), F.lit(0)).alias("_off"),
+    )
+    joined = loc.join(F.broadcast(offs), [*part_cols, bucket_col], "inner")
+    return joined.withColumn(out_col, F.col("_off") + F.col("_loc")).drop(
+        "_loc", "_off"
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    out_col: str = "pos",
+    part_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distributed ``row_number() OVER (ORDER BY part, bucket, order)``:
+    :func:`two_pass_prefix` with a unit weight. The full-data window is
+    partitioned by ``(part, bucket)``; only the bucket-count-sized offset
+    table goes through an unpartitioned window. Row identity inside one
+    bucket must be totally ordered by ``order_cols`` (same contract as
+    the window formulation it replaces)."""
+    out = two_pass_prefix(
+        df, bucket_col, order_cols, F.lit(1), out_col, part_cols=part_cols
+    )
+    return out.withColumn(out_col, F.col(out_col).cast("long"))
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    tie_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact per-group weighted median that scales past low-cardinality
+    group keys: the textbook formulation (cumulative weight over the
+    value-sorted stream, first row where ``2·cum ≥ total``) runs its
+    ordered window per GROUP, so a 3-value group key serializes a third
+    of the fact table through one task. Here the cumulative weight comes
+    from :func:`two_pass_prefix` instead, bucketed by value range:
+
+    - per-group min/max (one tiny aggregate, broadcast) define
+      ``n_buckets`` equal-width value buckets — bucket id is monotone in
+      the value, so (group, bucket, value, ties) is the same total order;
+    - bucket-local cumulative weights run parallel across
+      ``group × bucket``; the offset window touches only the tiny
+      bucket table;
+    - the median pick is ``min(struct(cum, val))`` over the qualifying
+      rows — an ordinary map-side-combinable aggregate, no ranking
+      window at all.
+
+    Weights must be positive (cum is then strictly increasing, so the
+    pick is unique). Values/weights should be DECIMAL for exact,
+    order-free sums. Bucketing computes in double purely for the bucket
+    id: double conversion and division are monotone, and a skewed bucket
+    only costs balance, never correctness. Returns
+    ``(group_col, weighted_median)`` with the value kept in its input
+    type (callers cast for declaration)."""
+    rng = df.groupBy(group_col).agg(
+        F.min(F.col(val_col)).cast("double").alias("_mn"),
+        F.max(F.col(val_col)).cast("double").alias("_mx"),
+    )
+    bucketed = df.join(F.broadcast(rng), group_col, "inner").withColumn(
+        "_bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(val_col).cast("double") - F.col("_mn"))
+                * n_buckets
+                / F.greatest(F.col("_mx") - F.col("_mn"), F.lit(1e-9))
+            ),
+        ).cast("int"),
+    )
+    cum = two_pass_prefix(
+        bucketed,
+        "_bkt",
+        [val_col, *tie_cols],
+        weight_col,
+        "_cum",
+        part_cols=(group_col,),
+    )
+    tot = df.groupBy(group_col).agg(F.sum(F.col(weight_col)).alias("_tot"))
+    hits = cum.join(F.broadcast(tot), group_col, "inner").filter(
+        2 * F.col("_cum") >= F.col("_tot")
+    )
+    return hits.groupBy(group_col).agg(
+        F.min(F.struct("_cum", val_col)).getField(val_col).alias("weighted_median")
     )
 
 

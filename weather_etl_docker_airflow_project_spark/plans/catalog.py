@@ -30,77 +30,19 @@ from . import mining_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-6 WINDOW (first 50) =================
-    # Per NOTES.md r6 plan: positions 2-3 retry the r5 red rows (driver
-    # canonicalizer choked on array-typed declared columns — both now
-    # render the vector as a CSV string in engine AND oracle, MATCH under
-    # tools/drive_contract.py at HEAD); then the 16-query backlog that has
-    # never had a driver row (11 oracle + 5 rows-only by design); then the
-    # two r5 surface additions; then aging canaries — the r4-proven block
-    # first, then the r1 relational canaries whose rows are 5 rounds old.
+    # ================= ROUND-7 WINDOW (first 50) =================
+    # Per NOTES.md r7 plan + the r6 verdict: no r6 red rows, so all 49
+    # non-flagship slots rotate. Order: the 15 round-6 surface additions
+    # that have never had a driver row (l5_mixed is r4-green but was
+    # displaced from the r6 window), then the two queries whose plans
+    # changed this round (two-pass distributed prefix rework — they need
+    # fresh verdicts; l6_curriculum_order, the third rework, is already in
+    # the new-surface block), then the 23 r4-proven aging rows, then the
+    # nine oldest canaries (r1 rows, six rounds old — the verdict-named
+    # J2/J7/F10/F11/A4 plus four more r1 rows).
     # -- entry() flagship must stay first
     "flagship",
-    # -- r5 red-row retries (outputs re-typed this round: array -> CSV)
-    "l3_int8_quantize",
-    "l4_feature_hash_embed",
-    # -- never-driver-checked backlog (11 oracle)
-    "l6_deterministic_shuffle",
-    "f14_variant_suite",
-    "cdc1_snapshot_diff",
-    "ts6_linear_interpolation",
-    "ts7_ohlc_bars",
-    "l6_weighted_sample",
-    "dq2_iqr_outliers",
-    "s13_zorder_clustered_scan",
-    "o5_pareto_frontier",
-    "s14_orc_roundtrip",
-    "l4_inverted_probe",
-    # -- never-driver-checked backlog (5 rows-only by design)
-    "l4_bpe_train",             # + batched-merge self-pair fix this round
-    "a17_sketch_rollup",
-    "l3_pq_search",
-    "a15_approx_percentiles",   # output re-typed r6: array -> CSV
-    "l3_ivf_kmeans_search",
-    # -- r5 surface additions (registered r5, never driver-checked)
-    "l4_ngram_lm",
-    "l3_ivf_add",               # + replay-idempotence guard this round
-    # -- changed-code canary: JoinView commit marker now tmp+rename
-    "a21_incremental_join",
-    # -- aging canaries: the r4-proven block (rows are 2 rounds old)
-    "ts1_batch_sessionize",
-    "ts2_gap_fill_hourly",
-    "ts3_funnel_steps",
-    "ts4_cumulative_distinct_users",
-    "ts5_weekly_retention_cohorts",
-    "a14_stats_suite",
-    "a16_incremental_rollup",
-    "tpch_q4_order_priority",
-    "j10_fuzzy_blocked_join",
-    "j11_salted_skew_join",
-    "dq1_orders_quality",
-    "s11_schema_evolution_scan",
-    "s12_bucketed_colocated_join",
-    "t10_stream_static_enrich",
-    "t11_stream_outer_join",
-    "l5_gif_pixel_features",
-    "l5_jpeg_pixel_features",
-    "l5_audio_features",
-    "t2_weather_stream_upsert",  # contract changed r6: rows-only -> literal-SELECT oracle
-    "l6_oversample_mix",
-    "l4_bpe_pretokens",
-    "w5_distribution_windows",
-    "l3_ivf_persisted_probe",
-    # -- aging canaries: r1-proven relational rows (5 rounds old)
-    "q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "j5_anti_customers_without_big_orders",
-    "a13_salted_skew_agg",
-    "w1_top3_orders_per_segment",
-    # ================= PAST THE CUT (positions 51+) ================
-    # r7 rotation head: the round-6 surface additions (never checked),
-    # then the rest of the r4-proven block, then the aging r1/r2/r3 rows
-    # in rotation order, then the 47 r5-green rows (freshest, lowest
-    # priority).
+    # -- never-driver-checked round-6 additions (15)
     "g2_triangle_counts",
     "l4_lm_familiarity",
     "a23_countmin_estimates",
@@ -116,6 +58,10 @@ _PRIORITY: tuple[str, ...] = (
     "s20_versioned_time_travel",
     "t20_stream_versioned_commits",
     "l4_bpe_encode",
+    # -- plans changed this round (distributed prefix) -> re-verify
+    "l6_sequence_packing",
+    "a20_weighted_median",
+    # -- aging canaries: the r4-proven block (rows 3 rounds old)
     "l3_ann_persisted_multiquery",
     "t12_stream_full_outer_join",
     "tpch_q21_waiting_suppliers",
@@ -139,13 +85,20 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",
     "t13_stream_semi_join",
     "l3_ivf_persisted_multiquery",
-    # aging r1-proven queries, then the r3-proven block, then rows-only.
-    "tpch_q5_local_supplier_volume",
-    "a5_cube_order_grid",
+    # -- oldest canaries: r1-proven rows (6 rounds old)
     "j2_full_outer_nation_presence",
     "j7_bucketed_interval_join",
+    "f10_array_suite",
+    "f11_map_suite",
+    "a4_approx_count_distinct",
+    "tpch_q5_local_supplier_volume",
+    "a5_cube_order_grid",
     "w3_range_frame_hourly_load",
     "l5_pixel_features",
+    # ================= PAST THE CUT (positions 51+) ================
+    # r8 rotation head: the remaining r1/r3-proven aging rows in old
+    # rotation order, then r2-proven, then the r5-green block, then the
+    # r6-window rows (freshest driver currency — lowest priority).
     "l2_ngram_jaccard_pairs",
     "l2_dedup_clusters",
     "l4_token_stats",
@@ -208,7 +161,6 @@ _PRIORITY: tuple[str, ...] = (
     "l6_train_val_test_split",
     "l6_stratified_sample",
     "l6_decontaminate_against_eval",
-    "l6_sequence_packing",
     "l7_training_corpus_pipeline",
     "t5_sliding_window_counts",
     "t6_session_windows",
@@ -217,15 +169,10 @@ _PRIORITY: tuple[str, ...] = (
     "s5_catalog_weather_roundtrip",
     "s7_csv_roundtrip",
     "p4_null_guard",
-    # displaced r4 canaries (fresh r3 rows; judge re-verifies at HEAD)
     "l3_knn_multiquery",
     "l2_embedding_neardup_pairs",
-    # displaced re-verification canaries (r1/r2 rows still stand; these are
-    # the next r5 rotation candidates)
     "ref_weather_transform",
     "f9_json_suite",
-    "f10_array_suite",
-    "f11_map_suite",
     "f12_hash_suite",
     "f13_cast_suite",
     "l1_exact_dedup",
@@ -234,9 +181,6 @@ _PRIORITY: tuple[str, ...] = (
     "t5_tumbling_window_counts",
     "t9_stream_stream_join",
     "s8_partitioned_scan",
-    "a4_approx_count_distinct",
-    # the r5 window's green rows (freshest driver currency — lowest
-    # rotation priority; keep in NOTES order for the eventual re-check)
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "s10_clustered_compact_scan",
@@ -273,7 +217,6 @@ _PRIORITY: tuple[str, ...] = (
     "j14_asof_tolerance",
     "t17_stream_multibatch",
     "l6_target_encode",
-    "a20_weighted_median",
     "u5_bag_set_ops",
     "l5_resize_pixels",
     "t18_stream_union_fanin",
@@ -283,6 +226,55 @@ _PRIORITY: tuple[str, ...] = (
     "j15_cogroup_merge",
     "dq4_observed_metrics",
     "p12_parameterized_sql",
+    "l3_int8_quantize",
+    "l4_feature_hash_embed",
+    "l6_deterministic_shuffle",
+    "f14_variant_suite",
+    "cdc1_snapshot_diff",
+    "ts6_linear_interpolation",
+    "ts7_ohlc_bars",
+    "l6_weighted_sample",
+    "dq2_iqr_outliers",
+    "s13_zorder_clustered_scan",
+    "o5_pareto_frontier",
+    "s14_orc_roundtrip",
+    "l4_inverted_probe",
+    "l4_bpe_train",
+    "a17_sketch_rollup",
+    "l3_pq_search",
+    "a15_approx_percentiles",
+    "l3_ivf_kmeans_search",
+    "l4_ngram_lm",
+    "l3_ivf_add",
+    "a21_incremental_join",
+    "ts1_batch_sessionize",
+    "ts2_gap_fill_hourly",
+    "ts3_funnel_steps",
+    "ts4_cumulative_distinct_users",
+    "ts5_weekly_retention_cohorts",
+    "a14_stats_suite",
+    "a16_incremental_rollup",
+    "tpch_q4_order_priority",
+    "j10_fuzzy_blocked_join",
+    "j11_salted_skew_join",
+    "dq1_orders_quality",
+    "s11_schema_evolution_scan",
+    "s12_bucketed_colocated_join",
+    "t10_stream_static_enrich",
+    "t11_stream_outer_join",
+    "l5_gif_pixel_features",
+    "l5_jpeg_pixel_features",
+    "l5_audio_features",
+    "t2_weather_stream_upsert",
+    "l6_oversample_mix",
+    "l4_bpe_pretokens",
+    "w5_distribution_windows",
+    "l3_ivf_persisted_probe",
+    "q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "j5_anti_customers_without_big_orders",
+    "a13_salted_skew_agg",
+    "w1_top3_orders_per_segment",
 )
 
 

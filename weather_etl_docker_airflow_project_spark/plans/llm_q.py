@@ -1103,13 +1103,15 @@ def l6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-rand() reproducibility discipline as l6_deterministic_shuffle:
     identical order across engines, reruns, and cluster sizes.
 
-    Scale note: the declared query emits one GLOBAL train_pos (a total
-    order is what a dataloader consumes), which Spark executes as a
-    range-partitioned sort — fine for a curriculum manifest (doc ids +
-    tiers only, never payloads); shard-local positions (the
-    deterministic_shuffle shape) are the dial when even the manifest is
-    too big for one sort."""
-    from pyspark.sql import Window
+    Scale: the global train_pos comes from the two-pass distributed
+    prefix (operators/sweep.bucketed_row_number) — bucket = tier‖(high 6
+    hash bits), a monotone prefix of the (tier, hv, doc_id) order, so
+    the full-data ranking window runs PARALLEL across tier×64 buckets
+    and only the bucket-count-sized offset table crosses one task. The
+    oracle keeps the textbook single-window row_number; the hash match
+    certifies the decomposition is exact (same theorem as
+    w8_max_concurrency)."""
+    from ..operators.sweep import bucketed_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     fam = text.lm_familiarity(docs, "doc_id", "text", train_mod=2)
@@ -1127,10 +1129,14 @@ def l6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(substr(md5(concat('curriculum:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
         ).alias("hv"),
     )
-    w = Window.orderBy("tier", "hv", "doc_id")
-    return tiered.select(
-        "doc_id", "tier", F.row_number().over(w).cast("long").alias("train_pos")
+    # hv is a 32-bit uniform: its high 6 bits are an order-preserving
+    # 64-way bucketing; tier*64 + that prefix is monotone in (tier, hv)
+    bucketed = tiered.withColumn(
+        "bkt",
+        (F.col("tier").cast("long") * 64 + F.shiftright(F.col("hv"), 26)).cast("int"),
     )
+    pos = bucketed_row_number(bucketed, "bkt", ["hv", "doc_id"], out_col="train_pos")
+    return pos.select("doc_id", "tier", "train_pos")
 
 
 _EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])

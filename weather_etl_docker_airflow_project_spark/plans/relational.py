@@ -2594,30 +2594,31 @@ def a20_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     key), first row where 2·cum ≥ total. All weights ride DECIMAL
     (order-free sums; DuckDB windowed segment-tree summation and Spark's
     sequential accumulation agree because decimal addition is exact), so
-    the hash is bit-deterministic. One shuffle on the group key; both
-    window passes and the filter reuse the same sort."""
+    the hash is bit-deterministic.
+
+    Scale: l_returnflag has THREE distinct values, so the textbook
+    per-group ordered window (which the oracle states) would serialize a
+    third of lineitem through one task. The engine side instead runs
+    operators/sweep.grouped_weighted_median — price-range buckets +
+    the two-pass distributed prefix for the cumulative weights, and a
+    map-side-combinable min(struct) for the pick; the oracle hash match
+    certifies the decomposition is exact."""
+    from ..operators.sweep import grouped_weighted_median
+
     li = load_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    wt = F.col("l_quantity").cast("decimal(18,2)")
-    order = Window.partitionBy("l_returnflag").orderBy(
-        price, "l_orderkey", "l_linenumber"
-    )
-    run = order.rowsBetween(Window.unboundedPreceding, 0)
-    grp = Window.partitionBy("l_returnflag")
-    w = li.select(
+    typed = li.select(
         "l_returnflag",
-        price.alias("price"),
-        F.sum(wt).over(run).alias("cum_wt"),
-        F.sum(wt).over(grp).alias("tot_wt"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
     )
-    hit = w.filter(2 * F.col("cum_wt") >= F.col("tot_wt")).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("cum_wt", "price")
-        ),
+    med = grouped_weighted_median(
+        typed, "l_returnflag", "price", "wt", ["l_orderkey", "l_linenumber"]
     )
-    return hit.filter(F.col("rn") == 1).select(
-        "l_returnflag", F.col("price").cast("double").alias("weighted_median_price")
+    return med.select(
+        "l_returnflag",
+        F.col("weighted_median").cast("double").alias("weighted_median_price"),
     )
 
 
