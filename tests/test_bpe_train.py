@@ -108,7 +108,7 @@ def test_multi_merge_parity_self_pair_regression(spark):
     )
     want = _py_bpe(texts, 3)
     assert [m[1:3] for m in want] == [("z", "z"), ("zz", "z"), ("c", "d")]
-    for width in (1, 2, 4, 8):
+    for width in (1, 2, 4, 8, 32):
         got = bpe_train(docs, "text", n_merges=3, max_merges_per_round=width)
         assert got == want, f"width={width}"
 
@@ -133,7 +133,7 @@ def test_multi_merge_parity_randomized(spark):
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
         want = _py_bpe(texts, 10)
-        for width in (1, 4, 8):
+        for width in (1, 4, 8, 32):
             got = bpe_train(docs, "text", n_merges=10, max_merges_per_round=width)
             assert got == want, f"seed={seed} width={width}"
 

@@ -240,6 +240,50 @@ def test_versioned_table_snapshot_isolation_and_torn_commit(spark, tmp_path):
         t.read(4)
 
 
+def test_versioned_table_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """Two writers racing for the same version: exactly one publishes;
+    the loser raises ConcurrentCommitError, the winner's manifest is
+    untouched (no rename-clobber lost update), the loser's staged batch
+    is unreferenced (vacuum bait, not data), and a retry lands as the
+    NEXT version."""
+    import pytest
+
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        ConcurrentCommitError,
+        VersionedTable,
+        vacuum,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit(spark.createDataFrame([(1,)], "k long"))  # v1
+
+    # simulate writer B publishing v2 between A's version pick and A's
+    # manifest publish: freeze A's view of versions() at [1]
+    b = VersionedTable(spark, str(tmp_path / "vt"))
+    assert b.commit(spark.createDataFrame([(2,)], "k long"), mode="append") == 2
+    t.versions = lambda: [1]  # A's stale snapshot
+    with pytest.raises(ConcurrentCommitError, match="version 2"):
+        t.commit(spark.createDataFrame([(99,)], "k long"), mode="append")
+
+    # B's v2 survived intact; A's orphan batch is invisible to reads
+    assert {r["k"] for r in b.read(2).collect()} == {1, 2}
+    assert b.versions() == [1, 2]
+    # no tmp litter
+    import os
+
+    vdir = os.path.join(str(tmp_path / "vt"), "_versions")
+    assert [f for f in os.listdir(vdir) if f.startswith(".")] == []
+
+    # retry with a fresh view lands as v3 and vacuum reaps the orphan
+    del t.versions  # restore the real method
+    assert t.commit(spark.createDataFrame([(99,)], "k long"), mode="append") == 3
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 99}
+    rep = vacuum(b, retain_versions=1)
+    data_dirs = os.listdir(os.path.join(str(tmp_path / "vt"), "data"))
+    # v3's manifest references 3 batch dirs; the orphan is gone
+    assert len(data_dirs) == 3 and len(rep.removed_dirs) == 1
+
+
 def test_versioned_table_vacuum_retention(spark, tmp_path):
     """VACUUM contract: retained versions keep every referenced dir
     (shared append lineage included), dropped versions' exclusive dirs

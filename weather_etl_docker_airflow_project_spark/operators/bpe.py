@@ -95,7 +95,7 @@ def bpe_train(
     docs: DataFrame,
     text_col: str,
     n_merges: int,
-    max_merges_per_round: int = 8,
+    max_merges_per_round: int = 32,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from a document corpus.
 
@@ -110,6 +110,18 @@ def bpe_train(
     run needs by ~the batch factor while keeping the merge table
     byte-exact (tests/test_bpe_train.py gates parity, including an
     overlap-heavy corpus that forces 1-merge batches).
+
+    Job-count envelope (the known BPE bottleneck — see SCALE.md §Text):
+    each round is one Spark job over the vocabulary-sized word table
+    plus a driver top-(window+1) collect; a 32k-merge run at the default
+    window is ~32k/realized-batch jobs, where the realized batch grows
+    toward the window as the symbol inventory grows (disjointness gets
+    easier). ANY width is byte-exact — the width dial trades a slightly
+    larger (still KB-sized) driver collect for fewer rounds. The
+    non-exact escape hatch at larger vocabs is sampled pair counting
+    (count pairs on a hash-sampled word subset, merge the argmax) —
+    standard in practice but no longer byte-deterministic, so this repo
+    ships the exact form.
     """
     from ..operators.text import tokens
 

@@ -89,6 +89,7 @@ def two_pass_prefix(
     val_col,
     out_col: str,
     part_cols: tuple[str, ...] = (),
+    total_col: str | None = None,
 ) -> DataFrame:
     """Generic two-pass distributed prefix sum — the reusable core of
     :func:`max_concurrency`, factored out so every global running
@@ -111,7 +112,11 @@ def two_pass_prefix(
     are identical to ``sum(val) OVER (ORDER BY ...)`` row for row —
     oracle hashes certify that per use site. ``val_col`` may be a Column
     (e.g. ``F.lit(1)`` turns this into a distributed ``row_number``).
-    All input columns pass through; ``out_col`` is appended.
+    All input columns pass through; ``out_col`` is appended. When
+    ``total_col`` is given, the per-``part_cols`` grand total of
+    ``val_col`` is appended too — computed on the tiny bucket-net table,
+    so callers needing ``sum(val) OVER (PARTITION BY part)`` avoid a
+    third full-data scan.
     """
     val = val_col if isinstance(val_col, Column) else F.col(val_col)
     wl = (
@@ -126,10 +131,16 @@ def two_pass_prefix(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    extra = (
+        [F.sum("_net").over(Window.partitionBy(*part_cols)).alias(total_col)]
+        if total_col
+        else []
+    )
     offs = nets.select(
         *part_cols,
         bucket_col,
         F.coalesce(F.sum("_net").over(wo), F.lit(0)).alias("_off"),
+        *extra,
     )
     joined = loc.join(F.broadcast(offs), [*part_cols, bucket_col], "inner")
     return joined.withColumn(out_col, F.col("_off") + F.col("_loc")).drop(
@@ -210,11 +221,9 @@ def grouped_weighted_median(
         weight_col,
         "_cum",
         part_cols=(group_col,),
+        total_col="_tot",  # derived on the tiny nets table, no third scan
     )
-    tot = df.groupBy(group_col).agg(F.sum(F.col(weight_col)).alias("_tot"))
-    hits = cum.join(F.broadcast(tot), group_col, "inner").filter(
-        2 * F.col("_cum") >= F.col("_tot")
-    )
+    hits = cum.filter(2 * F.col("_cum") >= F.col("_tot"))
     return hits.groupBy(group_col).agg(
         F.min(F.struct("_cum", val_col)).getField(val_col).alias("weighted_median")
     )

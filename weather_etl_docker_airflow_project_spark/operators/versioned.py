@@ -36,6 +36,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first. The losing commit
+    changed nothing visible (its staged batch dir is unreferenced and the
+    next :func:`vacuum` removes it); re-calling :meth:`VersionedTable.commit`
+    re-reads the latest version and retries against it — the standard
+    optimistic-concurrency loop."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, table_dir: str):
         self.spark = spark
@@ -57,7 +65,17 @@ class VersionedTable:
         """Write ``df`` as a new immutable batch and publish the next
         version. ``mode='append'`` extends the previous version's
         manifest; ``mode='overwrite'`` starts the new version from just
-        this batch (old versions stay readable)."""
+        this batch (old versions stay readable).
+
+        Concurrency: publication is optimistic CAS — the manifest lands
+        via atomic create-if-absent (``os.link``), so when two writers
+        race for the same version number exactly one wins and the other
+        gets :class:`ConcurrentCommitError` (retry = call commit again;
+        it re-reads the latest manifest). A plain rename would silently
+        REPLACE the winner's manifest and lose its batch from every
+        later version. Requires a store with atomic put-if-absent
+        (POSIX link, HDFS create, S3 If-None-Match / DynamoDB lock —
+        the same substrate Delta's commit protocol needs)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         existing = self.versions()
@@ -74,7 +92,18 @@ class VersionedTable:
             f.write("\n".join(dirs) + "\n")
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self._versions, str(version)))
+        final = os.path.join(self._versions, str(version))
+        try:
+            os.link(tmp, final)  # atomic create-if-absent: loser raises
+        except FileExistsError:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"version {version} at {self.dir} was published by another "
+                "writer; retry commit() against the new latest version "
+                "(this writer's staged batch is unreferenced and will be "
+                "vacuumed)"
+            ) from None
+        os.remove(tmp)
         # Durability caveat: the MANIFEST is fsynced before the rename,
         # but the batch parquet underneath rides the filesystem's own
         # durability (Spark does not fsync local-FS data files) — after a
