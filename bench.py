@@ -161,6 +161,9 @@ HEADLINE = [
     "s20_versioned_time_travel",
     "t20_stream_versioned_commits",
     "l4_bpe_encode",
+    # round-7 additions
+    "l6_exact_stratified_take",
+    "l6_chunk_and_pack",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise
@@ -217,14 +220,22 @@ def main() -> None:
     print(f"# calibration: {timings['calibration']:.2f}s", file=sys.stderr)
 
     total = 0.0
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = catalog.REGISTRY[name]
         best, n = None, 0
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.time()
-            n = spec.fn(spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.time()
+                n = spec.fn(spark, SF_DIR).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # lose the whole round's headline line (learned at sf1: a18's
+            # capacity certificate refusal killed the run at query 54/122)
+            errors[name] = str(e)[:120].replace("\n", " ")
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s rows={n}", file=sys.stderr)
@@ -276,6 +287,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf),
             },
             f,
@@ -303,6 +315,7 @@ def main() -> None:
                 "upsert_fresh": timings["upsert_fresh"],
                 "upsert_redeliver": timings["upsert_redeliver"],
                 "worst5": worst5,
+                "n_errors": len(errors),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -641,6 +641,61 @@ def test_ann_lsh_multiquery_is_bucketed_subset(spark):
         assert got == {(r["vec_id"], r["dot_q"]) for r in single}
 
 
+def test_chunk_and_pack_invariants(spark):
+    """l6_chunk_and_pack contract on the real corpus (sf0.001): chunk
+    token sums reconstruct each document exactly, no chunk exceeds the
+    64-token cap, chunk ids are dense from 0, and no bin's load exceeds
+    capacity + cap - 1 (the bound chunking buys — raw contiguous fill
+    has no bound at all when a document exceeds capacity)."""
+    from weather_etl_docker_airflow_project_spark.operators import text
+    from weather_etl_docker_airflow_project_spark.io import load_table
+    from weather_etl_docker_airflow_project_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    rows = catalog.REGISTRY["l6_chunk_and_pack"].fn(spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.size(text.tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    loads: dict[int, int] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_tokens"]))
+        loads[r["bin_id"]] = loads.get(r["bin_id"], 0) + r["chunk_tokens"]
+        assert r["chunk_tokens"] <= 64
+    assert set(per_doc) == set(docs)
+    for doc_id, chunks in per_doc.items():
+        chunks.sort()
+        assert [c for c, _ in chunks] == list(range(len(chunks)))  # dense ids
+        assert sum(t for _, t in chunks) == docs[doc_id]  # exact reconstruction
+    assert max(loads.values()) <= 256 + 63
+
+
+def test_exact_stratified_take_quota(spark):
+    """Exact-quota sampling: every stratum yields exactly min(15, |stratum|)
+    rows, ranks are dense 1..n within each stratum, and the selection is
+    identical across two runs (pure function of the keys)."""
+    from weather_etl_docker_airflow_project_spark.io import load_table
+    from weather_etl_docker_airflow_project_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    fn = catalog.REGISTRY["l6_exact_stratified_take"].fn
+    got = sorted((r["source"], r["doc_id"], r["take_rank"]) for r in fn(spark, sf).collect())
+    sizes: dict[str, int] = {}
+    for r in load_table(spark, sf, "documents").groupBy("source").count().collect():
+        sizes[r["source"]] = r["count"]
+    per_src: dict[str, list[int]] = {}
+    for src, _, rank in got:
+        per_src.setdefault(src, []).append(rank)
+    assert set(per_src) == {s for s, n in sizes.items() if n > 0}
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, min(15, sizes[src]) + 1))
+    again = sorted((r["source"], r["doc_id"], r["take_rank"]) for r in fn(spark, sf).collect())
+    assert got == again
+
+
 def test_firstfit_packing_respects_capacity_and_backfills(spark):
     """Crafted shard where contiguous fill MUST overfill (60+60 in one
     bin) but first-fit back-fills: [60, 60, 40, 40] at capacity 100 packs

@@ -1,0 +1,126 @@
+"""Generate a scaled-up benchmark dataset by key-shifted replication.
+
+The driver ships sf0.001/0.01/0.1 only; the 100 TB story needs at least
+one measured datapoint above the correctness scale (r6 verdict item 5).
+This tool builds ``.scratch/sf<N>`` inside the repo (NEVER under
+/root/testdata — that tree is read-only) from sf0.1, multiplying every
+non-dimension table by ``factor`` copies with all entity keys shifted by
+``copy * 10_000_000`` — foreign-key joins keep their exact cardinality
+ratios, group-by keys keep their distributions, dims (region/nation)
+stay fixed, so every relational plan sees a faithful 10x fact volume.
+
+Two tables need DECORRELATION, not plain copies, or the similarity
+surface would measure an artifact (every doc having `factor` near-exact
+twins makes LSH bucket pairs grow quadratically in the copy count —
+a duplication property of the copier, not of a 10x corpus):
+
+- ``documents``: each copy suffixes a hash-chosen half of the words with
+  a copy tag — Jaccard between copies drops to ~1/3, below every
+  near-dup threshold in the repo, while length/token distributions stay
+  intact.
+- ``embeddings``: each copy rotates the vector by ``copy`` positions —
+  norm-preserving, and a rotation of a high-dimensional vector is
+  effectively a fresh random direction, so cosine structure scales
+  instead of duplicating.
+
+Usage: ``python tools/gen_scaled_sf.py [factor]`` (default 10 → sf1).
+Scratch output is gitignored; regenerate at will (deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OFF = 10_000_000
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"sf{factor / 10:g}".replace(".0", ""),
+    )
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def emit(table: str, select_sql: str) -> None:
+        path = os.path.join(out, f"{table}.parquet")
+        con.execute(f"COPY ({select_sql}) TO '{path}' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    copies = f"(SELECT unnest(range({factor})) AS cp)"
+
+    for t in ("region", "nation"):
+        emit(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+
+    for t, keys in KEY_COLS.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + cp * {OFF} AS {c}" if c in keys else c for c in cols
+        )
+        emit(t, f"SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), {copies}")
+
+    # documents: shift doc_id, decorrelate text per copy (hash-chosen half
+    # of the words get a copy suffix), keep n_chars consistent with text
+    emit(
+        "documents",
+        f"""
+        WITH base AS (
+          SELECT doc_id, text, lang, source
+          FROM read_parquet('{SRC}/documents.parquet')),
+        scaled AS (
+          SELECT doc_id + cp * {OFF} AS doc_id,
+                 CASE WHEN cp = 0 THEN text
+                      ELSE array_to_string(
+                        list_transform(
+                          string_split(text, ' '),
+                          (w, j) -> CASE WHEN hash(w || ':' || j) % 2 = 0
+                                    THEN w || 'x' || cp ELSE w END),
+                        ' ')
+                 END AS text,
+                 lang, source
+          FROM base, {copies})
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM scaled
+        """,
+    )
+
+    # embeddings: shift vec_id, rotate the vector by cp positions
+    emit(
+        "embeddings",
+        f"""
+        SELECT vec_id + cp * {OFF} AS vec_id,
+               CASE WHEN cp = 0 THEN embedding
+                    ELSE embedding[cp + 1:len(embedding)] || embedding[1:cp]
+               END AS embedding,
+               label
+        FROM read_parquet('{SRC}/embeddings.parquet'), {copies}
+        """,
+    )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

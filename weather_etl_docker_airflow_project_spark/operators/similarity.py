@@ -378,6 +378,7 @@ def embedding_neardup_pairs_bucketed(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_chunks: int = 8,
 ) -> DataFrame:
     """Scale path for embedding near-dup: banded-LSH candidate generation +
     exact integer-dot verify, never the O(n^2) kernel. The band self-join
@@ -387,22 +388,82 @@ def embedding_neardup_pairs_bucketed(
     verify dot runs Arrow-vectorized (``batch_int_dot``) — one numpy
     matmul per batch instead of an interpreted per-row lambda.
     ``embedding_neardup_pairs`` (the exact kernel) remains the recall
-    oracle in tests."""
+    oracle in tests.
+
+    Output-explosive-join parallelism (the sf1 scaling lesson; measured
+    5.1 s at sf0.1 → 478 s at sf1, ~94× for 10× data, 1-2 running
+    tasks): a bucket of m rows emits m²/2 candidate pairs out of ONE
+    equi-join key, so the verify work is quadratic in bucket size while
+    the join INPUT stays tiny — and AQE, which sizes stages by input
+    bytes, coalesces the whole verify stage onto a couple of tasks and
+    its skew splitter never fires (the skew is in the join OUTPUT).
+    Two fixes compose here:
+
+    1. Triangular chunk-pair salting: each row gets chunk ``c = id %
+       S``; the LEFT side replicates to keys (band, bucket, c, cj) for
+       cj ≥ c and the RIGHT side to (band, bucket, ci, c) for ci ≤ c,
+       splitting each bucket's pair space into S(S+1)/2 independent
+       join keys of (m/S)² work. Every unordered pair lands in exactly
+       one chunk-pair key (cross-chunk: the (min,max) key, sides fixed
+       by the chunk labels; same-chunk: the id< residual keeps one
+       ordering), then least/greatest normalizes — the candidate SET is
+       byte-identical to the plain self-join (oracle hash + pytest
+       certify). Replication is ~(S+1)× on a narrow table — noise next
+       to the quadratic it parallelizes. S=1 degenerates to the plain
+       self-join.
+    2. EXPLICIT ``repartition(n, join keys)`` on both join inputs: a
+       user-specified partition count is exempt from AQE coalescing, so
+       the verify stage actually RUNS with n tasks instead of the 1-2
+       AQE picks from input bytes. Without this, the salting only
+       relabels keys that still land in the same coalesced task."""
     qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
     # bucket the already-quantized vectors; persist ONLY for the duration
     # of the candidate build (both self-join sides reuse it), then free —
     # leaving per-invocation caches pinned would evict longer-lived
     # persisted tables over a session
     buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col).persist()
-    buckets.count()  # materialize once; both self-join sides reuse it
-    l, r = buckets.alias("l"), buckets.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    n_bucket_rows = buckets.count()  # materialize once; both sides reuse it
+    # both scale measures are pure overhead below ~100k bucket rows
+    # (corpus x bands, known from the materialized count): replication
+    # multiplies a table whose whole pair space fits a couple of tasks,
+    # and the explicit exchanges add fixed task-scheduling cost. S=1 +
+    # no repartition IS the original plain self-join.
+    at_scale = n_bucket_rows >= 100_000
+    S = max(1, pair_chunks) if at_scale else 1
+    chunk = (F.col(id_col) % S).cast("int")
+    l = buckets.withColumn("chunk", chunk).withColumn(
+        "cj", F.explode(F.expr(f"sequence(chunk, {S - 1})"))
     ).select(
-        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        F.col("band"),
+        F.col("bucket"),
+        F.col("chunk").alias("ci"),
+        F.col("cj"),
+        F.col(id_col).alias("id_l"),
+    )
+    r = buckets.withColumn("chunk", chunk).withColumn(
+        "ci", F.explode(F.expr("sequence(0, chunk)"))
+    ).select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("ci"),
+        F.col("chunk").alias("cj"),
+        F.col(id_col).alias("id_r"),
+    )
+    # pair-spread parallelism: user-specified counts are exempt from AQE
+    # input-byte coalescing (see docstring point 2)
+    keys = ["band", "bucket", "ci", "cj"]
+    if at_scale:
+        n_pair_parts = max(
+            int(l.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+            S * (S + 1),
+        )
+        l = l.repartition(n_pair_parts, *keys)
+        r = r.repartition(n_pair_parts, *keys)
+    cand = l.join(r, keys).filter(
+        (F.col("ci") < F.col("cj")) | (F.col("id_l") < F.col("id_r"))
+    ).select(
+        F.least("id_l", "id_r").alias("id_a"),
+        F.greatest("id_l", "id_r").alias("id_b"),
     )
     # Verify FIRST, dedupe the (tiny) survivor set after: cross-band
     # duplicate candidates re-run the cheap vectorized matmul (~E[bands

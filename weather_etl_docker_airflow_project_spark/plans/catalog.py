@@ -8,9 +8,10 @@ got no hard-signal correctness row). ``_PRIORITY`` therefore front-loads
 reference-fidelity pipeline, (c) the entire LLM-pipeline surface, streaming,
 and IO queries, (d) queries whose oracles changed this round and need a
 fresh verdict. The first 50 priority entries fill the window exactly;
-entries after position 50 (the round-1-proven relational canaries) are
-ordered ahead of the unlisted remainder but sit PAST the driver's cut —
-they are next-round rotation candidates, not checked this round.
+entries after position 50 are ordered ahead of the unlisted remainder but
+sit PAST the driver's cut — they are next-round rotation candidates (in
+rotation order: oldest green rows first, freshest last), not checked this
+round.
 ``_reorder`` raises on names missing from the registry so a renamed query
 can never silently shift the window.
 """
@@ -93,12 +94,16 @@ _PRIORITY: tuple[str, ...] = (
     "a4_approx_count_distinct",
     "tpch_q5_local_supplier_volume",
     "a5_cube_order_grid",
-    "w3_range_frame_hourly_load",
-    "l5_pixel_features",
+    # -- round-7 surface additions (need their first driver row)
+    "l6_exact_stratified_take",
+    "l6_chunk_and_pack",
     # ================= PAST THE CUT (positions 51+) ================
-    # r8 rotation head: the remaining r1/r3-proven aging rows in old
+    # r8 rotation head: the two canaries displaced by the round-7 surface
+    # additions, then the remaining r1/r3-proven aging rows in old
     # rotation order, then r2-proven, then the r5-green block, then the
     # r6-window rows (freshest driver currency — lowest priority).
+    "w3_range_frame_hourly_load",
+    "l5_pixel_features",
     "l2_ngram_jaccard_pairs",
     "l2_dedup_clusters",
     "l4_token_stats",

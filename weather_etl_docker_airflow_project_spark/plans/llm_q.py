@@ -1437,6 +1437,129 @@ def l6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing_bins(sized, "doc_id", "n_tokens", capacity=2048)
 
 
+@query(
+    "l6_exact_stratified_take",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('take:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS hv
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY hv, doc_id) AS BIGINT)
+                 AS take_rank
+      FROM h)
+    SELECT doc_id, source, take_rank FROM r WHERE take_rank <= 15
+    """,
+    tags=("L6", "W1"),
+)
+def l6_exact_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: EXACTLY 15 documents per source
+    (or all of them when a stratum is smaller), chosen by salted-hash
+    rank so the quota sample is a pure function of the keys —
+    reproducible on any engine, unlike fraction-based sampleBy which
+    only hits the quota in expectation. This is the eval-set / ablation
+    carve-out primitive (fixed-size per-domain samples).
+
+    Scale: per-stratum ranking is the classic low-cardinality-key trap
+    (20 sources would serialize the corpus through 20 tasks); the rank
+    comes from operators/sweep.bucketed_row_number instead — hash-prefix
+    buckets inside each stratum run the ranking window parallel across
+    source×64 buckets, with only the tiny bucket-count table crossing
+    one task. The oracle states the textbook per-stratum row_number; the
+    hash match certifies the decomposition."""
+    from ..operators.sweep import bucketed_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(conv(substr(md5(concat('take:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    ).withColumn("bkt", F.shiftright(F.col("hv"), 26).cast("int"))
+    ranked = bucketed_row_number(
+        hashed, "bkt", ["hv", "doc_id"], out_col="take_rank", part_cols=("source",)
+    )
+    return ranked.filter(F.col("take_rank") <= 15).select(
+        "doc_id", "source", "take_rank"
+    )
+
+
+@query(
+    "l6_chunk_and_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    c AS (
+      SELECT doc_id, i AS chunk_id,
+             greatest(least(64, n - i * 64), 0) AS chunk_tokens
+      FROM t, unnest(generate_series(0, greatest((n + 63) // 64, 1) - 1))
+               AS u(i)),
+    p AS (
+      SELECT doc_id, chunk_id, CAST(chunk_tokens AS BIGINT) AS chunk_tokens,
+             sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_tokens,
+           CAST(floor((cum - chunk_tokens) / 256.0) AS BIGINT) AS bin_id
+    FROM p
+    """,
+    tags=("L6", "L4", "F10"),
+)
+def l6_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-then-pack: documents longer than the 64-token chunk cap
+    split into consecutive ≤64-token chunks (the upstream chunking step
+    sequence_packing's contract assumes), then every chunk packs into
+    256-token training bins by distributed contiguous fill. Closes the
+    oversize-document spill hole: after chunking, NO bin can exceed
+    capacity + cap − 1 tokens, and a document's chunks stay adjacent in
+    bin order (addressed by doc_id‖chunk_id), so attention-mask
+    reconstruction downstream stays contiguous.
+
+    Scale: the chunk explode is map-side (sequence + posexplode, bounded
+    by ceil(len/cap) per doc); packing is the two-pass distributed
+    prefix, never a global cumsum window. Zero-token documents keep one
+    empty chunk so corpus row accounting stays exact."""
+    from ..operators.sampling import sequence_packing_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n")
+    )
+    chunks = sized.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr("greatest((n + 63) div 64, 1)") - 1,
+            )
+        ).alias("chunk_id", "_i"),
+        "n",
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.greatest(
+            F.least(F.lit(64), F.col("n") - F.col("chunk_id") * 64), F.lit(0)
+        )
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+    # composite numeric key preserving (doc_id, chunk_id) order: chunk
+    # count per doc is bounded by ceil(max_len/64) << 1024
+    keyed = chunks.withColumn(
+        "pack_key", F.col("doc_id") * 1024 + F.col("chunk_id")
+    )
+    packed = sequence_packing_bins(keyed, "pack_key", "chunk_tokens", capacity=256)
+    return (
+        packed.withColumn("doc_id", F.expr("pack_key div 1024"))
+        .withColumn("chunk_id", F.col("pack_key") % 1024)
+        .select("doc_id", "chunk_id", "chunk_tokens", "bin_id")
+    )
+
+
 # First-fit oracle plumbing: the 1-BASED index of the first bin with room
 # for the incoming document, else one past the end (open a new bin). Used
 # three times in the recursive step, so built once here.
