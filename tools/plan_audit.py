@@ -39,8 +39,9 @@ EAGER_PREFIXES = (
     "s5_", "s7_", "s8_", "s10_", "s11_", "s12_", "s13_", "s14_", "s16_",
     "s17_", "s18_", "s19_",
     "a16_", "a17_", "a21_", "dq4_",
-    "l3_ann_persisted", "l3_ivf_persisted", "l4_inverted_probe",
-    "l3_pq_search", "l3_ivf_kmeans", "l3_mmr",  # driver-fit / checkpointed pools
+    "l3_ann_persisted", "l4_inverted_probe",
+    "l3_pq_search", "l3_mmr",  # driver-fit / checkpointed pools
+    "l3_ivf_",  # ivf_cells collects the seed matrix at build (capped)
     "l4_bpe_train",  # iterative driver-argmax rounds
     "g1_",  # adjacency localCheckpoint
     "cdc1_",  # snapshot writes

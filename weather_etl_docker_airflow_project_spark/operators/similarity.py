@@ -501,6 +501,7 @@ def ivf_cells(
     seed_modulus: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_seeds: int = 65536,
 ) -> DataFrame:
     """IVF coarse quantizer with deterministic seed centroids: every
     vector whose id % seed_modulus == 0 is a centroid; each corpus vector
@@ -512,23 +513,49 @@ def ivf_cells(
     balance, RNG + iteration order dependence) is deliberate: a learned
     quantizer can't be hash-checked by an SQL oracle. Swap in Spark ML
     KMeans behind the same (id, cell) contract when approximate oracles
-    are acceptable."""
-    from pyspark.sql import Window
+    are acceptable.
+
+    Assignment shape (sf1 lesson): the original broadcast-crossJoin +
+    per-id window computed N×S interpreted higher-order dots and then
+    shuffled/sorted the N×S scored table — both grow quadratically when
+    seeds scale with the corpus (measured 25× normalized at a 10× data
+    multiply). Assignment is now ONE zero-shuffle Arrow map stage: the
+    seed matrix (bounded driver collect, ``max_seeds``-capped exactly
+    like ``pq_search``'s ``max_fit_rows``) rides the UDF closure sorted
+    by sid ascending, each batch scores via an exact int64 numpy matmul,
+    and ``argmax`` — first occurrence wins — reproduces the
+    max-dot/smallest-sid tie rule byte-exactly, so the SQL oracles never
+    change. Dots are |QUANT²|·dim ≤ 2^46·64 < 2^63: no overflow."""
+    seeds = (
+        embeddings.filter(F.col(id_col) % seed_modulus == 0)
+        .select(F.col(id_col).alias("sid"), quantize(F.col(vec_col)).alias("sv"))
+        .orderBy("sid")
+    )
+    seed_rows = seeds.limit(max_seeds + 1).collect()
+    if len(seed_rows) > max_seeds:
+        raise ValueError(
+            f"ivf_cells: {len(seed_rows)}+ seeds exceed max_seeds={max_seeds}; "
+            "raise seed_modulus (cells should grow ~sqrt(corpus), not "
+            "linearly) or max_seeds"
+        )
+    if not seed_rows:
+        raise ValueError("ivf_cells: no seed vectors (corpus empty or no "
+                         f"id % {seed_modulus} == 0)")
+    sid_arr = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+    sv_mat = np.stack([np.array(r["sv"], dtype=np.int64) for r in seed_rows])
+
+    @F.pandas_udf("long")
+    def _cell(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype="int64")
+        m = np.stack(qv.to_numpy()).astype(np.int64)
+        return pd.Series(sid_arr[(m @ sv_mat.T).argmax(axis=1)])
 
     qdf = embeddings.select(
         F.col(id_col), quantize(F.col(vec_col)).alias("qv")
     )
-    seeds = qdf.filter(F.col(id_col) % seed_modulus == 0).select(
-        F.col(id_col).alias("sid"), F.col("qv").alias("sv")
-    )
-    scored = qdf.crossJoin(F.broadcast(seeds)).select(
-        id_col, "qv", "sid", int_dot(F.col("qv"), F.col("sv")).alias("sdot")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sdot").desc(), F.col("sid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "qv", F.col("sid").alias("cell"))
+    return qdf.select(
+        id_col, "qv", _cell(F.col("qv")).alias("cell")
     )
 
 

@@ -1130,11 +1130,17 @@ def l6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hv"),
     )
     # hv is a 32-bit uniform: its high 6 bits are an order-preserving
-    # 64-way bucketing; tier*64 + that prefix is monotone in (tier, hv)
+    # 64-way bucketing; tier*64 + that prefix is monotone in (tier, hv).
+    # persist: the two-pass prefix reads its input twice (bucket-local
+    # window + bucket-net aggregate), and without the cache each branch
+    # re-runs the whole LM-familiarity fit upstream (measured 17x
+    # normalized at sf1 vs l4_lm_familiarity's ~3x). The cached table is
+    # (doc_id, tier, hv) — manifest-sized, and CacheManager dedupes
+    # repeated invocations by canonicalized plan.
     bucketed = tiered.withColumn(
         "bkt",
         (F.col("tier").cast("long") * 64 + F.shiftright(F.col("hv"), 26)).cast("int"),
-    )
+    ).persist()
     pos = bucketed_row_number(bucketed, "bkt", ["hv", "doc_id"], out_col="train_pos")
     return pos.select("doc_id", "tier", "train_pos")
 

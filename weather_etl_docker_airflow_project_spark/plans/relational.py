@@ -2454,8 +2454,19 @@ def p10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics a plain = join silently drops (NULL = NULL is NULL, and
     whole partitions of data vanish when a feed has nullable keys).
     Spark plans <=> as a regular hash join (the null bucket hashes like
-    any value — it does NOT degrade to BNL), so the shape is one keyed
-    shuffle at any scale."""
+    any value — it does NOT degrade to BNL).
+
+    Scale shape (sf1 lesson — this was the worst scaler in the suite at
+    62× normalized for 10× data): the key space is only uk(20) ×
+    bkt(5), so the raw join OUTPUT is quadratic in the feed — counting
+    matched pairs through a materialized many-to-many join is O(N²) no
+    matter how well it hash-partitions. The engine side therefore does
+    the eager-aggregation rewrite Catalyst doesn't: pre-aggregate each
+    side to per-key counts (two linear map-side-combinable scans), then
+    null-safe-join the ~100-row aggregates and multiply —
+    Σ n_a(k)·n_b(k) per bucket ≡ the pair count, with NULL handled by
+    the same <=> key. The oracle keeps the textbook join-then-count;
+    the hash match certifies the rewrite."""
     e = load_table(spark, sf_dir, "events")
     bkt = F.nullif((F.floor(F.col("value") * 10).cast("long") % 5), F.lit(0))
     a = e.filter(F.col("event_id") % 2 == 0).select(
@@ -2464,10 +2475,14 @@ def p10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter(F.col("event_id") % 2 == 1).select(
         (F.col("user_id") % 20).alias("uk_b"), bkt.alias("bkt_b")
     )
-    j = a.join(
-        b, (F.col("uk") == F.col("uk_b")) & F.col("bkt").eqNullSafe(F.col("bkt_b"))
+    ga = a.groupBy("uk", "bkt").agg(F.count(F.lit(1)).alias("na"))
+    gb = b.groupBy("uk_b", "bkt_b").agg(F.count(F.lit(1)).alias("nb"))
+    j = ga.join(
+        gb, (F.col("uk") == F.col("uk_b")) & F.col("bkt").eqNullSafe(F.col("bkt_b"))
     )
-    return j.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    return j.groupBy("bkt").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("n_matches")
+    )
 
 
 @query(
