@@ -1359,3 +1359,84 @@ def test_ivf_delete_refuses_to_empty_the_index(spark, tmp_path):
         similarity.ivf_delete(spark, path, emb.select("vec_id"))
     # index untouched after the refusal
     assert spark.read.parquet(path + "/cells").count() == emb.count()
+
+
+def test_span_coverage_crafted(spark):
+    # doc1/doc2 share an 8-token run; doc3 is unique; doc4 is too short
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique-one tail-a tail-b"),
+            (2, "prefix-two " + shared),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_coverage(df, "doc_id", "text", n=8).collect()
+    }
+    # doc1: 11 tokens -> 4 windows; only window 1 (the shared run) dups
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 1
+    # doc2: 9 tokens -> 2 windows; window 2 == shared run
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[2]["dup_ratio"] == 0.5
+    # doc3: 10 tokens -> 3 windows, none duplicated
+    assert out[3]["n_spans"] == 3 and out[3]["n_dup_spans"] == 0
+    # doc4: shorter than n -> zero windows, ratio 0.0, still present
+    assert out[4]["n_spans"] == 0 and out[4]["dup_ratio"] == 0.0
+
+
+def test_span_coverage_within_doc_repeat_is_not_cross_doc_dup(spark):
+    # the same 8-token run twice in ONE doc is not cross-doc duplication
+    run = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, run + " x " + run), (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_coverage(df, "doc_id", "text", n=8).collect()
+    }
+    assert out[1]["n_dup_spans"] == 0
+
+
+def test_radius_search_matches_bruteforce_filter(spark):
+    emb = spark.createDataFrame(
+        [
+            (i, [1.0 if j == (i % 4) else 0.0 for j in range(8)])
+            for i in range(12)
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # identical one-hot vectors dot to QUANT^2; orthogonal ones to 0
+    out = similarity.radius_search_multiquery(emb, q, min_dot=1)
+    ids = sorted(r["vec_id"] for r in out.collect())
+    assert ids == [0, 4, 8]  # i % 4 == 0 -> same one-hot axis as the query
+    dots = {r["vec_id"]: r["dot_q"] for r in out.collect()}
+    assert all(d == similarity.QUANT * similarity.QUANT for d in dots.values())
+
+
+def test_radius_search_empty_query_table(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    q = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.radius_search_multiquery(emb, q, min_dot=0)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "dot_q"]
+
+
+def test_radius_search_query_cap_raises(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.radius_search_multiquery(emb, q, min_dot=0, max_queries=3)

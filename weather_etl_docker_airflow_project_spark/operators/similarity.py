@@ -216,6 +216,71 @@ def knn_multiquery(
     )
 
 
+def radius_search_multiquery(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    min_dot: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Exact RADIUS search for a table of queries: every (query, corpus)
+    pair whose quantized int64 dot is >= ``min_dot`` (cosine radius, since
+    vectors are L2-normalized — the "all neighbors within distance r"
+    primitive behind semantic retrieval-with-threshold and near-dup audits,
+    where top-k's fixed k either truncates dense neighborhoods or pads
+    sparse ones).
+
+    Shape: identical to :func:`knn_multiquery` — the driver-sized query
+    matrix rides the closure (same eager ``max_queries``-capped collect
+    contract), each corpus Arrow batch is scored with one int64 matmul and
+    filtered IN the batch, so the corpus never joins, never shuffles, and
+    the only rows that leave the map stage are actual results. recall=1 by
+    construction (no LSH pruning), which is what makes the result
+    hash-checkable against the brute-force SQL oracle. Self-matches are
+    kept (a query in the corpus matches itself at dot ~ QUANT^2); callers
+    filter ``query_id != id`` if they want strict neighbors."""
+    qrows = (
+        queries.select(F.col(qid_col), quantize(F.col(vec_col)).alias("qvec"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"radius_search_multiquery queries table exceeds "
+            f"max_queries={max_queries}; batch the query table or raise the "
+            "cap explicitly (construction collects the query side into the "
+            "scoring closure)"
+        )
+    spark = queries.sparkSession
+    out_schema = f"{qid_col} long, {id_col} long, dot_q long"
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.int64) for r in qrows])
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            if not len(ids):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            scores = m @ qmat.T  # (batch, n_queries)
+            rows, cols = np.nonzero(scores >= min_dot)
+            yield pd.DataFrame(
+                {
+                    qid_col: qids[cols],
+                    id_col: ids[rows],
+                    "dot_q": scores[rows, cols],
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    ).mapInPandas(_score, out_schema)
+
+
 def ann_lsh_multiquery(
     embeddings: DataFrame,
     queries: DataFrame,

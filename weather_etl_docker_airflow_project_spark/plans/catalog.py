@@ -81,11 +81,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
     "udtf_document_chunks",
-    "tpch_q7_volume_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q22_global_sales_opportunity",
-    "t13_stream_semi_join",
-    "l3_ivf_persisted_multiquery",
     # -- oldest canaries: r1-proven rows (6 rounds old)
     "j2_full_outer_nation_presence",
     "j7_bucketed_interval_join",
@@ -97,11 +92,23 @@ _PRIORITY: tuple[str, ...] = (
     # -- round-7 surface additions (need their first driver row)
     "l6_exact_stratified_take",
     "l6_chunk_and_pack",
+    "l2_span_dedup",
+    "l3_radius_search",
+    "ts11_markov_transitions",
+    "w10_analytic_suite",
+    "dq6_column_profile",
     # ================= PAST THE CUT (positions 51+) ================
-    # r8 rotation head: the two canaries displaced by the round-7 surface
-    # additions, then the remaining r1/r3-proven aging rows in old
-    # rotation order, then r2-proven, then the r5-green block, then the
-    # r6-window rows (freshest driver currency — lowest priority).
+    # r8 rotation head: the canaries displaced by the round-7 surface
+    # additions (five r4-proven rows swapped out for the five late-r7
+    # queries above, plus the two displaced earlier), then the remaining
+    # r1/r3-proven aging rows in old rotation order, then r2-proven, then
+    # the r5-green block, then the r6-window rows (freshest driver
+    # currency — lowest priority).
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity",
+    "t13_stream_semi_join",
+    "l3_ivf_persisted_multiquery",
     "w3_range_frame_hourly_load",
     "l5_pixel_features",
     "l2_ngram_jaccard_pairs",

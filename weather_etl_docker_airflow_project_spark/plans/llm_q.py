@@ -163,6 +163,43 @@ def l2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_span_dedup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(toks[i:i+7], ' '))
+                     for i in generate_series(1, len(toks) - 7)]) AS sh
+      FROM tok),
+    dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+    per AS (
+      SELECT sp.doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(count(dup.sh) AS BIGINT) AS n_dup_spans
+      FROM sp LEFT JOIN dup USING (sh)
+      GROUP BY sp.doc_id)
+    SELECT d.doc_id,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+                ELSE CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+           END AS dup_ratio
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    tags=("L2",),
+)
+def l2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage: per document, the fraction of
+    its 8-token stride-1 windows whose text also occurs in another
+    document (operators/dedup.span_coverage — the Lee et al. ACL'22
+    substring-dedup signal; whole-doc dedup misses duplicated passages).
+    One explode + one span-hash agg; the join back carries only the
+    nd>=2 tail, so the fact-fact join's build side is the rare dup set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_coverage(docs, "doc_id", "text", n=8)
+
+
+@query(
     "l2_simhash_signatures",
     oracle=f"""
     WITH tok AS (
@@ -492,6 +529,36 @@ def l3_knn_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.knn_multiquery(emb, queries, k=10)
+
+
+@query(
+    "l3_radius_search",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, qv AS qqv FROM c WHERE vec_id % 100 = 0)
+    SELECT q.query_id, c.vec_id,
+           CAST(list_dot_product(c.qv::DOUBLE[], q.qqv::DOUBLE[]) AS BIGINT)
+               AS dot_q
+    FROM c, q
+    WHERE list_dot_product(c.qv::DOUBLE[], q.qqv::DOUBLE[]) >= 250000000000
+    """,
+    tags=("L3",),
+)
+def l3_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius (threshold) search: ALL corpus vectors within a cosine
+    radius of each query — quantized dot >= 2.5e11 (~cos 0.25), the
+    retrieval-with-threshold primitive top-k can't express (dense
+    neighborhoods truncate, sparse ones pad). recall=1 map-only scan:
+    query matrix in the scoring closure, per-batch int64 matmul + in-batch
+    filter (operators/similarity.radius_search_multiquery); only real
+    matches leave the map stage. Self-matches included by contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.radius_search_multiquery(
+        emb, queries, min_dot=250_000_000_000
+    )
 
 
 @query(

@@ -2826,3 +2826,36 @@ def j15_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_click_id bigint, max_error_id bigint",
         )
     )
+
+
+@query(
+    "w10_analytic_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("W1", "W10"),
+)
+def w10_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytic functions — ntile / percent_rank / cume_dist
+    per priority class ordered by price: the quartile-assignment +
+    relative-standing suite feature stores derive per entity. One
+    partitioned window sort computes all three (Catalyst shares the
+    Exchange+Sort across same-spec window functions); the o_orderkey
+    tiebreak makes every rank — and therefore both double ratios, exact
+    integer divisions — deterministic cross-engine. ntile's BIGINT cast
+    pins the Arrow type (Spark int vs DuckDB bigint)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

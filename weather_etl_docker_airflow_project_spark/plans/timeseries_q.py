@@ -743,3 +743,54 @@ def w9_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return capped_running_sum(e, "user_id", ["ts", "event_id"], "v", cap=100)
+
+
+@query(
+    "ts11_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM o WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE) /
+             CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p_transition
+    FROM t
+    """,
+    tags=("TS11", "W2"),
+)
+def ts11_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count (prev_type -> next_type) adjacencies, normalize per source state
+    — the behavioral-model / next-event-prediction feature every activity
+    pipeline derives. One user-partitioned window sort (the same Exchange
+    the sessionizer reuses), one map-side-combinable count aggregation;
+    the normalizing window runs over the |types|^2-row transition table,
+    so the final pass is driver-trivial at any corpus scale. Probability
+    is an exact bigint/bigint double division — bit-identical
+    cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp).cast("double")
+        ).alias("p_transition"),
+    )
