@@ -164,6 +164,12 @@ HEADLINE = [
     # round-7 additions
     "l6_exact_stratified_take",
     "l6_chunk_and_pack",
+    "j13_bloom_pruned_join",
+    # round-8 additions
+    "l6_ngram_contamination",
+    "dq7_snapshot_drift",
+    "j16_interval_overlap_join",
+    "s22_version_diff_scan",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise
@@ -209,6 +215,16 @@ def main() -> None:
     unknown = [n for n in HEADLINE if n not in catalog.REGISTRY]
     if unknown:
         raise SystemExit(f"bench HEADLINE names missing from registry: {unknown}")
+    # SPARK_GRAFT_ONLY=l2_,l3_ benches just the matching prefixes (used for
+    # the similarity-family scaling decades at sf3/sf10, whose generated
+    # dirs ship only documents/embeddings); the upsert section is skipped
+    # under a filter because it needs the events table.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = [
+        n
+        for n in HEADLINE
+        if not only or any(n.startswith(p) for p in only.split(","))
+    ]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     t0 = time.time()
     spark = build_session(app_name="weather-etl-spark-bench")
@@ -221,7 +237,7 @@ def main() -> None:
 
     total = 0.0
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         spec = catalog.REGISTRY[name]
         best, n = None, 0
         try:
@@ -239,6 +255,24 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s rows={n}", file=sys.stderr)
+
+    if only:
+        # filtered subset run: emit the same JSON shape and stop (no
+        # upsert gate — subset SF dirs need not ship the events table)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_subset_total_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {n: timings[n] for n in headline if n in timings},
+                    "calibration": timings["calibration"],
+                    "errors": errors or None,
+                    "sf": sf,
+                }
+            )
+        )
+        return
 
     # Batch-upsert throughput (BASELINE.md: >= 10^4 rows/s vs the
     # reference's 1 row per 2-minute run): fresh load of the events table

@@ -79,6 +79,18 @@ def test_ann_persisted_probe_prunes_partitions(spark):
     assert "BroadcastNestedLoopJoin" not in nplan
 
 
+def test_ivf_probe_seed_ranking_is_topk_not_window(spark):
+    """r7-verdict item 5: the probe's n_probe-cell pick ranks the seed
+    table, which grows ~sqrt(N) with the corpus — it must be a
+    TakeOrderedAndProject (per-partition heaps), never an unpartitioned
+    ranking Window serializing the seeds through one task."""
+    for name in ("l3_ivf_search", "l3_ivf_persisted_probe"):
+        df = catalog.REGISTRY[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, f"{name}: probe still uses a Window"
+
+
 def test_text_quality_ops_are_map_only(spark):
     """The per-document text operators (stats, quality, repetition,
     gopher rules, redaction) must compile to pure map plans — zero
@@ -423,7 +435,18 @@ def test_round6_query_plan_properties(spark):
 
 
 def _simple_plan(spark, name: str) -> str:
-    df = catalog.REGISTRY[name].fn(spark, SF)
+    if name == "l6_curriculum_order":
+        # the registered query localCheckpoints (to free its invocation
+        # cache), which truncates explain to a Scan ExistingRDD — inspect
+        # the lazy pre-checkpoint plan instead
+        from weather_etl_docker_airflow_project_spark.plans.llm_q import (
+            _curriculum_plan,
+        )
+
+        bucketed, df = _curriculum_plan(spark, SF)
+        bucketed.unpersist()
+    else:
+        df = catalog.REGISTRY[name].fn(spark, SF)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain()  # simple mode: Window nodes print on one line

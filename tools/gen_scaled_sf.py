@@ -23,8 +23,11 @@ a duplication property of the copier, not of a 10x corpus):
   effectively a fresh random direction, so cosine structure scales
   instead of duplicating.
 
-Usage: ``python tools/gen_scaled_sf.py [factor]`` (default 10 → sf1).
-Scratch output is gitignored; regenerate at will (deterministic).
+Usage: ``python tools/gen_scaled_sf.py [factor] [table,table,...]``
+(default 10 → sf1, all tables). The optional table list restricts output
+(e.g. ``documents,embeddings`` for the similarity-family decades at
+sf3/sf10 without copying the relational tables). Scratch output is
+gitignored; regenerate at will (deterministic).
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ KEY_COLS = {
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
@@ -59,6 +63,8 @@ def main() -> None:
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
 
     def emit(table: str, select_sql: str) -> None:
+        if only is not None and table not in only:
+            return
         path = os.path.join(out, f"{table}.parquet")
         con.execute(f"COPY ({select_sql}) TO '{path}' (FORMAT parquet)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
@@ -107,16 +113,34 @@ def main() -> None:
         """,
     )
 
-    # embeddings: shift vec_id, rotate the vector by cp positions
+    # embeddings: shift vec_id, rotate the vector by cp MOD dim positions,
+    # then (for cp >= dim, where the rotation alone would wrap back to the
+    # identity and plant exact duplicates — an artifact, not corpus
+    # structure) apply a per-generation deterministic sign pattern keyed by
+    # cp // dim. Both transforms are norm-preserving; a sign-flipped
+    # rotation of a high-dimensional vector is effectively a fresh random
+    # direction. cp = 0..dim-1 keeps the original sf1-pass semantics.
     emit(
         "embeddings",
         f"""
-        SELECT vec_id + cp * {OFF} AS vec_id,
-               CASE WHEN cp = 0 THEN embedding
-                    ELSE embedding[cp + 1:len(embedding)] || embedding[1:cp]
+        WITH rot AS (
+          SELECT vec_id + cp * {OFF} AS vec_id,
+                 cp,
+                 CASE WHEN cp % 64 = 0 THEN embedding
+                      ELSE embedding[(cp % 64) + 1:len(embedding)]
+                           || embedding[1:(cp % 64)]
+                 END AS emb,
+                 label
+          FROM read_parquet('{SRC}/embeddings.parquet'), {copies})
+        SELECT vec_id,
+               CASE WHEN cp < 64 THEN emb
+                    ELSE list_transform(
+                      emb,
+                      (x, j) -> CASE WHEN hash((cp // 64) || ':' || j) % 2 = 0
+                                THEN x ELSE -x END)
                END AS embedding,
                label
-        FROM read_parquet('{SRC}/embeddings.parquet'), {copies}
+        FROM rot
         """,
     )
     print(f"wrote {out}")

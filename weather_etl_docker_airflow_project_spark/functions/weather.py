@@ -45,9 +45,14 @@ def transform_weather(raw: DataFrame) -> DataFrame:
 
 
 def require_utc_session(df: DataFrame) -> None:
-    """Fail fast if the session timezone would corrupt lt/utc strings."""
+    """Fail fast if the session timezone would shift time rendering or
+    bucketing: used by the weather transform (lt/utc strings) and by every
+    query whose output depends on session-TZ time semantics
+    (``window()`` buckets, ``date_trunc`` on naive timestamps) — an
+    explicit error beats silently-shifted buckets the oracle can't match."""
     tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     if tz not in ("UTC", "Etc/UTC", "GMT"):
         raise ValueError(
-            f"weather transform requires spark.sql.session.timeZone=UTC, got {tz!r}"
+            f"query requires spark.sql.session.timeZone=UTC for deterministic "
+            f"time bucketing/rendering, got {tz!r}"
         )

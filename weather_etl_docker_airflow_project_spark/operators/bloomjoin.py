@@ -86,7 +86,10 @@ def build_bloom_bitmap(
     (``<= m/64`` rows), never the build keys."""
     pos = positions_udf(log2_m, n_hashes)
     words = (
-        build.select(F.explode(pos(F.col(key_col).cast("long"))).alias("p"))
+        # NULL keys never equi-join, so dropping them from the build is
+        # exact (and keeps the Arrow UDF free of NaN->int casts).
+        build.filter(F.col(key_col).isNotNull())
+        .select(F.explode(pos(F.col(key_col).cast("long"))).alias("p"))
         .select(
             F.shiftright("p", 6).alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").alias("mask"),
@@ -97,7 +100,11 @@ def build_bloom_bitmap(
     )
     bitmap = np.zeros(1 << (log2_m - 6), dtype=np.uint64)
     for r in words:
-        bitmap[r["word_idx"]] = np.uint64(r["bits"])
+        # bit_or returns a signed BIGINT; a word with bit 63 set comes back
+        # negative. Reinterpret the two's-complement bits rather than
+        # value-convert (np.uint64(negative) is deprecated and raises on
+        # NumPy >= 2.0).
+        bitmap[r["word_idx"]] = np.int64(r["bits"]).view(np.uint64)
     return bitmap
 
 

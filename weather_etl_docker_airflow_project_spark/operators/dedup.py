@@ -191,6 +191,57 @@ def span_coverage(
     )
 
 
+def contamination_score(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """GRADED benchmark contamination per training document: the fraction
+    of the doc's distinct word ``k``-grams that also occur anywhere in the
+    eval set — the n-gram-overlap decontamination signal the GPT-3 and
+    PaLM reports describe (public literature), refining the boolean
+    any-shingle flag of ``l6_decontaminate_against_eval`` into a score a
+    pipeline can threshold (drop >X%-contaminated, keep the tail).
+
+    Distributed shape: eval benchmarks are small by construction, so the
+    distinct eval gram set is the BROADCAST side; the training shingles
+    stream through one map-side left join (hit indicator), and a single
+    doc-keyed aggregation emits both the gram count and the hit count —
+    one shuffle total, nothing eval-sized ever shuffles. The score is an
+    exact integer percentage (floor of 100·hits/grams), bit-identical
+    cross-engine.
+
+    Returns ``(id, n_grams, n_contaminated, contamination_pct)``.
+    """
+    train_sh = shingles(train, id_col, text_col, k)  # distinct per doc
+    eval_grams = (
+        shingles(eval_df, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        train_sh.join(F.broadcast(eval_grams), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_contaminated",
+        # integer div, no floats anywhere: n_grams >= 1 by construction
+        # (short docs contribute their whole token run as one shingle)
+        F.expr("(100 * n_contaminated) div n_grams")
+        .cast("long")
+        .alias("contamination_pct"),
+    )
+
+
 def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
     """16 minhash values per document from exploded shingles: one hash
     aggregation (map-side partial min, single shuffle on id).

@@ -129,3 +129,57 @@ def referential_integrity(
     return out.select(
         "rule", "fk_rows", "orphans", (F.col("orphans") == 0).alias("passed")
     ).orderBy("rule")
+
+
+def distribution_drift(
+    before: DataFrame,
+    after: DataFrame,
+    bucket,
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same column: bin
+    both sides with the same ``bucket`` expression, then report per-bin
+    counts, per-bin probability masses in exact integer micro-units, and
+    the absolute mass shift — the per-bin decomposition of total
+    variation distance (``TVD = sum(drift_micro) / 2e6``). The monitoring
+    primitive behind "did this week's data move?" alerts.
+
+    Exactness: masses are ``(1_000_000 * n_bin) div n_total`` — integer
+    division, no floats anywhere, so the result hashes identically
+    cross-engine (a PSI-style metric would drag ``ln`` in; TVD carries
+    the same signal for thresholding and stays rational).
+
+    Scale shape: tag-and-union then ONE bucket-keyed aggregation over
+    both snapshots (map-side combinable; one shuffle of |buckets| rows
+    per partition); the totals come from a second aggregate over the
+    already-tiny bucket table and join back as a broadcast literal row.
+    Buckets missing on one side naturally report zero mass there.
+
+    Returns ``(bucket, n_before, n_after, p_micro, q_micro,
+    drift_micro)`` ordered by bucket.
+    """
+    b = bucket if isinstance(bucket, Column) else F.col(bucket)
+    tagged = before.select(b.alias("bucket"), F.lit(1).alias("_b")).unionAll(
+        after.select(b.alias("bucket"), F.lit(0).alias("_b"))
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("_b").cast("long").alias("n_before"),
+        F.sum(F.lit(1) - F.col("_b")).cast("long").alias("n_after"),
+    )
+    totals = counts.agg(
+        F.sum("n_before").alias("_tb"), F.sum("n_after").alias("_ta")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_before",
+            "n_after",
+            F.expr("(1000000 * n_before) div _tb").cast("long").alias("p_micro"),
+            F.expr("(1000000 * n_after) div _ta").cast("long").alias("q_micro"),
+        )
+        .withColumn(
+            "drift_micro",
+            F.abs(F.col("p_micro") - F.col("q_micro")).cast("long"),
+        )
+        .orderBy("bucket")
+    )

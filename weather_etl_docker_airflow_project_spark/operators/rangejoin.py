@@ -51,3 +51,60 @@ def bucketed_interval_join(
         F.col(point_col) < F.col(hi_col)
     )
     return p.join(i, [_BUCKET], how).filter(refined).drop(_BUCKET)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (half-open ``[start, end)`` both
+    sides, overlap iff ``l_start < r_end AND r_start < l_end``), the
+    big-x-big generalization of :func:`bucketed_interval_join`: each side
+    replicates to every fixed-width bucket its span touches, the join is
+    a plain hash-shuffle equi-join on ``(on..., bucket)``, and the exact
+    predicate refines.
+
+    Unlike the point-in-interval case, an overlapping PAIR can meet in
+    several buckets, so each pair is claimed exactly once: in the bucket
+    of ``greatest(l_start, r_start)`` — which overlap guarantees lies
+    inside both spans (``max(start) < min(end)``), so both replicas exist
+    there. No post-join dedup shuffle.
+
+    Start/end columns are numeric (epoch micros, seconds — caller picks);
+    ``bucket_width`` tunes replication (rows replicate ``span/width + 1``
+    times) against bucket selectivity — rule of thumb: width ~ median
+    interval length. All four interval column names must be distinct.
+    """
+    names = {l_start, l_end, r_start, r_end}
+    if len(names) != 4:
+        raise ValueError("interval column names must be distinct across sides")
+
+    def spread(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_width),
+                    F.floor(F.col(e) / bucket_width),
+                )
+            ),
+        )
+
+    overlap: Column = (F.col(l_start) < F.col(r_end)) & (
+        F.col(r_start) < F.col(l_end)
+    )
+    claimed: Column = F.col(_BUCKET) == F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / bucket_width
+    )
+    return (
+        spread(left, l_start, l_end)
+        .join(spread(right, r_start, r_end), [*on, _BUCKET])
+        .filter(overlap & claimed)
+        .drop(_BUCKET)
+    )

@@ -495,7 +495,10 @@ def embedding_neardup_pairs_bucketed(
     # no repartition IS the original plain self-join.
     at_scale = n_bucket_rows >= 100_000
     S = max(1, pair_chunks) if at_scale else 1
-    chunk = (F.col(id_col) % S).cast("int")
+    # pmod, not %: Spark's % follows the dividend sign, so a negative id
+    # would yield a negative chunk and corrupt the triangular
+    # sequence(chunk, S-1)/sequence(0, chunk) replication ranges
+    chunk = F.pmod(F.col(id_col), F.lit(S)).cast("int")
     l = buckets.withColumn("chunk", chunk).withColumn(
         "cj", F.explode(F.expr(f"sequence(chunk, {S - 1})"))
     ).select(
@@ -636,10 +639,11 @@ def ivf_search(
     """IVF probe: score only corpus vectors in the query's n_probe nearest
     cells. At scale the celled corpus is written partitioned by cell
     (partition pruning does the probe); recall dials with n_probe."""
-    from pyspark.sql import Window
-
     cells = ivf_cells(embeddings, seed_modulus, id_col, vec_col)
-    # ranking the query's seed dots picks the probe cells
+    # ranking the query's seed dots picks the probe cells; seed count grows
+    # ~sqrt(N) with the corpus, so rank via orderBy+limit
+    # (TakeOrderedAndProject: per-partition heaps, no single-partition
+    # window sort) instead of an unpartitioned row_number
     qv = query.select(quantize(F.col(vec_col)).alias("query_qv"))
     seed_vecs = (
         embeddings.filter(F.col(id_col) % seed_modulus == 0)
@@ -648,13 +652,8 @@ def ivf_search(
     qcells = (
         qv.crossJoin(F.broadcast(seed_vecs))
         .select("query_qv", "sid", int_dot(F.col("query_qv"), F.col("sv")).alias("sdot"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("sdot").desc(), F.col("sid").asc())
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
+        .orderBy(F.col("sdot").desc(), F.col("sid").asc())
+        .limit(n_probe)
         .select("query_qv", F.col("sid").alias("cell"))
     )
     return (
@@ -1250,11 +1249,11 @@ def ivf_probe_persisted(
     partition pruning reads only those cell directories. Catalog
     registration happens once per index (same pattern and rationale as
     :func:`ann_probe_persisted`)."""
-    from pyspark.sql import Window
-
     cells = _registered_ivf_index(spark, index_path, id_col)
     seeds = spark.read.parquet(index_path + "/seeds")
     qv = query.select(quantize(F.col(vec_col)).alias("query_qv"))
+    # seed count grows ~sqrt(N): rank with orderBy+limit
+    # (TakeOrderedAndProject) rather than an unpartitioned window
     ranked = (
         qv.crossJoin(F.broadcast(seeds))
         .select(
@@ -1262,13 +1261,8 @@ def ivf_probe_persisted(
             F.col("sid"),
             int_dot(F.col("query_qv"), F.col("sv")).alias("sdot"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("sdot").desc(), F.col("sid").asc())
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
+        .orderBy(F.col("sdot").desc(), F.col("sid").asc())
+        .limit(n_probe)
         .select("query_qv", F.col("sid").alias("cell"))
     )
     return (

@@ -31,87 +31,79 @@ from . import mining_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-7 WINDOW (first 50) =================
-    # Per NOTES.md r7 plan + the r6 verdict: no r6 red rows, so all 49
-    # non-flagship slots rotate. Order: the 15 round-6 surface additions
-    # that have never had a driver row (l5_mixed is r4-green but was
-    # displaced from the r6 window), then the two queries whose plans
-    # changed this round (two-pass distributed prefix rework — they need
-    # fresh verdicts; l6_curriculum_order, the third rework, is already in
-    # the new-surface block), then the 23 r4-proven aging rows, then the
-    # nine oldest canaries (r1 rows, six rounds old — the verdict-named
-    # J2/J7/F10/F11/A4 plus four more r1 rows).
+    # ================= ROUND-8 WINDOW (first 50) =================
+    # Per the r7 verdict + NOTES r8 plan: (a) flagship first (entry()
+    # smoke), (b) j13_bloom_pruned_join — the only query of 234 with no
+    # driver row ever, (c) the three sf1-reworked plans whose physical
+    # plans changed in r7 (fresh verdicts required by the repo's own
+    # rule), (d) the last r1-proven row + the displaced l5_pixel_features,
+    # (e) the ENTIRE r2-proven block (38 — oldest currency in the repo;
+    # the TZ-sensitive t5_tumbling/t5_sliding/s5/s8 re-enter WITH the new
+    # require_utc_session fail-fast guards, satisfying the NOTES TZ rule:
+    # non-UTC driver => explicit error, never silently-shifted buckets),
+    # (f) the five oldest r3 rows. After this window, no query's latest
+    # green row is older than r3 — and only 39 r3 rows remain.
     # -- entry() flagship must stay first
     "flagship",
-    # -- never-driver-checked round-6 additions (15)
-    "g2_triangle_counts",
-    "l4_lm_familiarity",
-    "a23_countmin_estimates",
-    "l5_ahash_buckets",
-    "l6_curriculum_order",
-    "w8_max_concurrency",
-    "l2_incremental_neardup",
-    "t19_stream_countmin",
-    "l5_mixed_pixel_features",
-    "w9_capped_running_sum",
-    "l3_ivf_delete",
-    "dq5_referential_integrity",
-    "s20_versioned_time_travel",
-    "t20_stream_versioned_commits",
-    "l4_bpe_encode",
-    # -- plans changed this round (distributed prefix) -> re-verify
-    "l6_sequence_packing",
-    "a20_weighted_median",
-    # -- aging canaries: the r4-proven block (rows 3 rounds old)
-    "l3_ann_persisted_multiquery",
-    "t12_stream_full_outer_join",
-    "tpch_q21_waiting_suppliers",
-    "l3_ann_persisted_probe",
-    "a18_heavy_hitters",
-    "l4_bm25_topk",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_priority_classes",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
-    "udtf_document_chunks",
-    # -- oldest canaries: r1-proven rows (6 rounds old)
-    "j2_full_outer_nation_presence",
-    "j7_bucketed_interval_join",
-    "f10_array_suite",
-    "f11_map_suite",
-    "a4_approx_count_distinct",
-    "tpch_q5_local_supplier_volume",
-    "a5_cube_order_grid",
-    # -- round-7 surface additions (need their first driver row)
-    "l6_exact_stratified_take",
-    "l6_chunk_and_pack",
-    "l2_span_dedup",
-    "l3_radius_search",
-    "ts11_markov_transitions",
-    "w10_analytic_suite",
-    "dq6_column_profile",
-    # ================= PAST THE CUT (positions 51+) ================
-    # r8 rotation head: the canaries displaced by the round-7 surface
-    # additions (five r4-proven rows swapped out for the five late-r7
-    # queries above, plus the two displaced earlier), then the remaining
-    # r1/r3-proven aging rows in old rotation order, then r2-proven, then
-    # the r5-green block, then the r6-window rows (freshest driver
-    # currency — lowest priority).
-    "tpch_q7_volume_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q22_global_sales_opportunity",
-    "t13_stream_semi_join",
-    "l3_ivf_persisted_multiquery",
+    # -- never-driver-checked (added after the r7 window froze)
+    "j13_bloom_pruned_join",
+    # -- round-8 surface additions (need their first driver row)
+    "l6_ngram_contamination",
+    "dq7_snapshot_drift",
+    "j16_interval_overlap_join",
+    "s22_version_diff_scan",
+    # -- plans materially changed in r7 (sf1 rework) -> re-verify
+    "l2_embedding_neardup_pairs",
+    "l3_ivf_search",
+    "p10_null_safe_join",
+    # -- last r1 row + the r7-displaced canary
     "w3_range_frame_hourly_load",
     "l5_pixel_features",
+    # -- the full r2-proven block (oldest driver currency)
+    "f12_hash_suite",
+    "f13_cast_suite",
+    "f9_json_suite",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_pairs",
+    "l2_neardup_pipeline",
+    "l2_simhash_neardup_pairs",
+    "l2_simhash_signatures",
+    "l3_ann_lsh_bucketed",
+    "l3_ann_lsh_multiprobe",
+    "l3_knn_bruteforce",
+    "l4_boilerplate_shingles",
+    "l4_fingerprint",
+    "l4_gopher_rules",
+    "l4_lang_id",
+    "l4_quality_score",
+    "l4_redact_pii",
+    "l4_repetition_stats",
+    "l4_term_stats",
+    "l4_tfidf_top_terms",
+    "l5_frame_sample",
+    "l5_media_decode",
+    "l5_multimodal_features",
+    "l6_decontaminate_against_eval",
+    "l6_stratified_sample",
+    "l6_train_val_test_split",
+    "l7_training_corpus_pipeline",
+    "p4_null_guard",
+    "ref_weather_transform",
+    "s5_catalog_weather_roundtrip",
+    "s7_csv_roundtrip",
+    "s8_partitioned_scan",
+    "t5_sliding_window_counts",
+    "t5_tumbling_window_counts",
+    "t6_session_windows",
+    "t7_stream_dedup_within_watermark",
+    "t8_stateful_user_stats",
+    "t9_stream_stream_join",
+    # -- oldest r3-proven row (four more displaced by the round-8 surface
+    # additions above; they head the r9 rotation)
     "l2_ngram_jaccard_pairs",
+    # ================= PAST THE CUT (positions 51+) ================
+    # r9 rotation order: strictly oldest-green-row-first (r3 block, then
+    # r4, r5, r6, r7) so the next window is a pure head-of-list slice.
     "l2_dedup_clusters",
     "l4_token_stats",
     "scd2_customer_segment",
@@ -152,47 +144,12 @@ _PRIORITY: tuple[str, ...] = (
     "f8_conditional_suite",
     "l3_ann_lsh_multiquery",
     "l6_sequence_packing_firstfit",
-    "l2_simhash_signatures",
-    "l2_neardup_pipeline",
-    "l3_knn_bruteforce",
-    "l3_ann_lsh_bucketed",
-    "l3_ann_lsh_multiprobe",
-    "l3_ivf_search",
-    "l4_term_stats",
-    "l4_quality_score",
-    "l4_lang_id",
-    "l4_fingerprint",
-    "l4_tfidf_top_terms",
-    "l4_boilerplate_shingles",
-    "l4_redact_pii",
-    "l4_repetition_stats",
-    "l4_gopher_rules",
-    "l5_multimodal_features",
-    "l5_media_decode",
-    "l5_frame_sample",
-    "l6_train_val_test_split",
-    "l6_stratified_sample",
-    "l6_decontaminate_against_eval",
-    "l7_training_corpus_pipeline",
-    "t5_sliding_window_counts",
-    "t6_session_windows",
-    "t7_stream_dedup_within_watermark",
-    "t8_stateful_user_stats",
-    "s5_catalog_weather_roundtrip",
-    "s7_csv_roundtrip",
-    "p4_null_guard",
     "l3_knn_multiquery",
-    "l2_embedding_neardup_pairs",
-    "ref_weather_transform",
-    "f9_json_suite",
-    "f12_hash_suite",
-    "f13_cast_suite",
-    "l1_exact_dedup",
-    "l2_minhash_lsh_pairs",
-    "l2_simhash_neardup_pairs",
-    "t5_tumbling_window_counts",
-    "t9_stream_stream_join",
-    "s8_partitioned_scan",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity",
+    "t13_stream_semi_join",
+    "l3_ivf_persisted_multiquery",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "s10_clustered_compact_scan",
@@ -221,7 +178,6 @@ _PRIORITY: tuple[str, ...] = (
     "w6_value_streaks",
     "ts10_rolling_zscore",
     "cdc2_apply_changelog",
-    "p10_null_safe_join",
     "s19_corrupt_record_handling",
     "w7_ratio_to_report",
     "f17_try_suite",
@@ -287,6 +243,55 @@ _PRIORITY: tuple[str, ...] = (
     "j5_anti_customers_without_big_orders",
     "a13_salted_skew_agg",
     "w1_top3_orders_per_segment",
+    "g2_triangle_counts",
+    "l4_lm_familiarity",
+    "a23_countmin_estimates",
+    "l5_ahash_buckets",
+    "l6_curriculum_order",
+    "w8_max_concurrency",
+    "l2_incremental_neardup",
+    "t19_stream_countmin",
+    "l5_mixed_pixel_features",
+    "w9_capped_running_sum",
+    "l3_ivf_delete",
+    "dq5_referential_integrity",
+    "s20_versioned_time_travel",
+    "t20_stream_versioned_commits",
+    "l4_bpe_encode",
+    "l6_sequence_packing",
+    "a20_weighted_median",
+    "l3_ann_persisted_multiquery",
+    "t12_stream_full_outer_join",
+    "tpch_q21_waiting_suppliers",
+    "l3_ann_persisted_probe",
+    "a18_heavy_hitters",
+    "l4_bm25_topk",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_classes",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "udtf_document_chunks",
+    "j2_full_outer_nation_presence",
+    "j7_bucketed_interval_join",
+    "f10_array_suite",
+    "f11_map_suite",
+    "a4_approx_count_distinct",
+    "tpch_q5_local_supplier_volume",
+    "a5_cube_order_grid",
+    "l6_exact_stratified_take",
+    "l6_chunk_and_pack",
+    "l2_span_dedup",
+    "l3_radius_search",
+    "ts11_markov_transitions",
+    "w10_analytic_suite",
+    "dq6_column_profile",
 )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..fixtures import CANNED_WEATHER, EXPECTED_WEATHER_ROWS
-from ..functions.weather import transform_weather
+from ..functions.weather import require_utc_session, transform_weather
 from ..io import (
     load_table,
     scratch_dir,
@@ -66,7 +66,9 @@ def s5_catalog_weather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(stale, ignore_errors=True)
 
     catalog_ddl(spark, database="weather_db", table="weather")
-    flat = transform_weather(records_to_df(spark, CANNED_WEATHER))
+    raw = records_to_df(spark, CANNED_WEATHER)
+    require_utc_session(raw)  # lt/utc strings shift under non-UTC sessions
+    flat = transform_weather(raw)
     flat.write.insertInto("weather_db.weather", overwrite=True)
     return spark.table("weather_db.weather")
 
@@ -111,6 +113,7 @@ def s8_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition directories before any data is read."""
     out = scratch_dir("part_scan_")
     events = load_table(spark, sf_dir, "events")
+    require_utc_session(events)  # date_trunc('day') shifts under non-UTC
     write_partitioned_parquet(events, out, ["event_type"])
     back = spark.read.parquet(out).filter(F.col("event_type") == "click")
     return back.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
@@ -1058,6 +1061,47 @@ def s20_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+@query(
+    "s22_version_diff_scan",
+    oracle="""
+    WITH delta AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_changed,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_sum
+    FROM delta
+    """,
+    tags=("S22", "S20"),
+)
+def s22_version_diff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change scan over the versioned table
+    (VersionedTable.read_changes): commit a third of orders as v1, append
+    the remaining two thirds as v2 and v3, then consume "what changed
+    since v1" — which resolves to the v2+v3 batch dirs by pure manifest
+    set difference, so the scan opens O(delta) files and never touches
+    v1's data (file-level gate in tests/test_io_sources.py). The oracle
+    restates the delta straight from the source table; crossing an
+    overwrite commit raises instead of under-reporting (CDF contract)."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vds_"), "orders_v"))
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 0))
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")
+    delta = t.read_changes(v_from=1)
+    return delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_changed"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_sum"),
+    )
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
@@ -1119,4 +1163,53 @@ def dq6_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one.select(F.col("_n").alias("n_rows"), F.expr(stack_expr)).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s"
+    )
+
+
+@query(
+    "dq7_snapshot_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    a AS (
+      SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    counts AS (
+      SELECT bucket,
+             CAST(sum(_b) AS BIGINT) AS n_before,
+             CAST(sum(1 - _b) AS BIGINT) AS n_after
+      FROM (SELECT bucket, 1 AS _b FROM b
+            UNION ALL SELECT bucket, 0 AS _b FROM a)
+      GROUP BY bucket),
+    tot AS (SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM counts)
+    SELECT bucket, n_before, n_after,
+           CAST((1000000 * n_before) // tb AS BIGINT) AS p_micro,
+           CAST((1000000 * n_after) // ta AS BIGINT) AS q_micro,
+           CAST(abs((1000000 * n_before) // tb
+                    - (1000000 * n_after) // ta) AS BIGINT) AS drift_micro
+    FROM counts, tot
+    ORDER BY bucket
+    """,
+    tags=("DQ7",),
+)
+def dq7_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot distribution drift (operators/dq.
+    distribution_drift): the order-price distribution before vs after a
+    pivot date, binned fixed-width, masses in exact integer micro-units
+    and per-bin absolute shift — the per-bin decomposition of total
+    variation distance, the "did this week's data move?" monitoring
+    primitive. One tag-and-union bucket aggregation (one shuffle of
+    bucket-count rows), totals broadcast back from the tiny bucket
+    table; integer division keeps every value rational and
+    hash-identical cross-engine."""
+    from ..operators.dq import distribution_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    pivot = F.lit("1998-01-01").cast("timestamp")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return distribution_drift(
+        orders.filter(F.col("o_orderdate") < pivot),
+        orders.filter(F.col("o_orderdate") >= pivot),
+        bucket,
     )

@@ -200,6 +200,49 @@ def l2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l6_ngram_contamination",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                     for i in generate_series(1, greatest(len(toks) - 4, 1))]))
+                 AS shingle
+      FROM tok),
+    ev AS (
+      SELECT DISTINCT s.shingle FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id WHERE d.source = 'src0'),
+    tr AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id WHERE d.source <> 'src0')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST((100 * sum(CASE WHEN shingle IN (SELECT shingle FROM ev)
+                                THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+               AS contamination_pct
+    FROM tr GROUP BY doc_id
+    """,
+    tags=("L6", "L2", "L4"),
+)
+def l6_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded n-gram contamination of the training split (source !=
+    'src0') against the eval split (source == 'src0'): per training doc,
+    the exact integer percentage of its distinct word 5-grams that occur
+    anywhere in the eval set (operators/dedup.contamination_score — the
+    GPT-3/PaLM-style n-gram decontamination signal, refining
+    l6_decontaminate_against_eval's boolean flag into a thresholdable
+    score). Eval grams broadcast; training shingles take one map-side
+    indicator join and a single doc-keyed aggregation — one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return dedup.contamination_score(train, eval_df, "doc_id", "text", k=5)
+
+
+@query(
     "l2_simhash_signatures",
     oracle=f"""
     WITH tok AS (
@@ -1178,6 +1221,22 @@ def l6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the textbook single-window row_number; the hash match
     certifies the decomposition is exact (same theorem as
     w8_max_concurrency)."""
+    bucketed, ranked = _curriculum_plan(spark, sf_dir)
+    try:
+        # localCheckpoint (eager) pins the RESULT, so the per-invocation
+        # cache can be released before returning — same pattern as
+        # embedding_neardup_pairs_bucketed: leaving it pinned for the
+        # session would evict longer-lived persisted tables
+        return ranked.localCheckpoint()
+    finally:
+        bucketed.unpersist()
+
+
+def _curriculum_plan(spark: SparkSession, sf_dir: str):
+    """The lazy curriculum plan, pre-checkpoint: returns (the persisted
+    bucketed intermediate, the ranked result) so the plan-shape gate can
+    inspect the real two-pass-prefix plan (a localCheckpoint would
+    truncate it to a Scan ExistingRDD)."""
     from ..operators.sweep import bucketed_row_number
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1209,7 +1268,7 @@ def l6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tier").cast("long") * 64 + F.shiftright(F.col("hv"), 26)).cast("int"),
     ).persist()
     pos = bucketed_row_number(bucketed, "bkt", ["hv", "doc_id"], out_col="train_pos")
-    return pos.select("doc_id", "tier", "train_pos")
+    return bucketed, pos.select("doc_id", "tier", "train_pos")
 
 
 _EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])

@@ -440,6 +440,62 @@ def j7_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j16_interval_overlap_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS c_s, epoch_us(ts) + 1800000000 AS c_e
+      FROM events WHERE event_type = 'click'),
+    x AS (
+      SELECT user_id, epoch_us(ts) AS x_s, epoch_us(ts) + 1800000000 AS x_e
+      FROM events WHERE event_type = 'error')
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(least(c_e, x_e) - greatest(c_s, x_s)) AS BIGINT)
+               AS total_overlap_us
+    FROM c JOIN x ON c.user_id = x.user_id
+                 AND c_s < x_e AND x_s < c_e
+    GROUP BY c.user_id
+    """,
+    tags=("J16", "J7"),
+)
+def j16_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (operators/rangejoin.
+    interval_overlap_join): per user, how many click activity windows
+    ([ts, ts+30min)) overlapped an error window, and the total overlap
+    time. Both sides are large (fact x fact) — the scalable shape
+    replicates each interval to its fixed-width time buckets, equi-joins
+    on (user, bucket), and claims each overlapping pair exactly once in
+    the bucket of the later start (guaranteed inside both spans), so
+    there is no nested-loop join and no post-join dedup shuffle. The
+    oracle is the plain theta join, proving the decomposition exact."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    half_hour_us = 1_800_000_000
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "event_type", F.unix_micros("ts").alias("s"))
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("s").alias("c_s"),
+        (F.col("s") + half_hour_us).alias("c_e"),
+    )
+    errors = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("s").alias("x_s"),
+        (F.col("s") + half_hour_us).alias("x_e"),
+    )
+    pairs = interval_overlap_join(
+        clicks, errors, ["user_id"], "c_s", "c_e", "x_s", "x_e",
+        bucket_width=half_hour_us,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.least("c_e", "x_e") - F.greatest("c_s", "x_s")
+        ).cast("long").alias("total_overlap_us"),
+    )
+
+
 _REV = "CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))"
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import CANNED_WEATHER
+from ..functions.weather import require_utc_session
 from ..io import load_table, scratch_dir
 from ..streaming import pipeline, windows
 from .registry import query
@@ -44,8 +45,11 @@ _DELAY_SQL = "INTERVAL '1 hour'"
 )
 def t5_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-day tumbling windows per event_type, run as a real
-    stream; append mode emits only watermark-finalized windows."""
+    stream; append mode emits only watermark-finalized windows.
+    ``window()`` buckets on the session TZ, so non-UTC fails fast instead
+    of silently shifting day edges (NOTES.md TZ rule)."""
     ev = windows.stream_events(spark, sf_dir)
+    require_utc_session(ev)
     return windows.run_available_now(windows.tumbling_counts(ev))
 
 
@@ -68,8 +72,10 @@ def t5_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t5_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-day windows sliding every 12h: each event belongs to exactly two
-    windows (window = 2 x slide); oracle enumerates both starts."""
+    windows (window = 2 x slide); oracle enumerates both starts.
+    Non-UTC sessions fail fast — ``window()`` buckets on session TZ."""
     ev = windows.stream_events(spark, sf_dir)
+    require_utc_session(ev)
     return windows.run_available_now(windows.sliding_counts(ev))
 
 
