@@ -92,6 +92,22 @@ def test_drift_masses_are_exact_integer_division(spark):
     assert rows[1]["drift_micro"] == abs(333_333 - 500_000)
 
 
+def test_drift_empty_snapshot_fails_fast(spark):
+    """r8 ADVICE: an empty before/after snapshot must raise a named error
+    at execution, never silently emit NULL micro-columns (the masses
+    would divide by a zero total)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    full = spark.createDataFrame([(0,), (1,)], ["v"])
+    empty = full.filter(F.col("v") < 0)
+    for b, a in ((empty, full), (full, empty)):
+        with pytest.raises(PySparkException, match="empty before/after"):
+            distribution_drift(b, a, "v").collect()
+    # both sides empty: nothing to compare -> empty result, no error
+    assert distribution_drift(empty, empty, "v").count() == 0
+
+
 # ---------------------------------------------------------------------------
 # interval_overlap_join
 # ---------------------------------------------------------------------------

@@ -131,6 +131,20 @@ def referential_integrity(
     ).orderBy("rule")
 
 
+_EMPTY_SNAPSHOT_ERR = (
+    "'distribution_drift: empty before/after snapshot — "
+    "masses would divide by a zero total'"
+)
+_GUARDED_TB = (
+    f"(CASE WHEN _tb > 0 AND _ta > 0 THEN _tb "
+    f"ELSE raise_error({_EMPTY_SNAPSHOT_ERR}) END)"
+)
+_GUARDED_TA = (
+    f"(CASE WHEN _tb > 0 AND _ta > 0 THEN _ta "
+    f"ELSE raise_error({_EMPTY_SNAPSHOT_ERR}) END)"
+)
+
+
 def distribution_drift(
     before: DataFrame,
     after: DataFrame,
@@ -154,6 +168,15 @@ def distribution_drift(
     already-tiny bucket table and join back as a broadcast literal row.
     Buckets missing on one side naturally report zero mass there.
 
+    An EMPTY ``before`` or ``after`` snapshot has no distribution to
+    drift against — the masses would divide by a zero total (silent NULL
+    columns in non-ANSI sessions, an anonymous DIVIDE_BY_ZERO in ANSI
+    ones). The divisors are therefore guarded with ``raise_error`` so
+    the job FAILS at execution with a NAMED error either way (no extra
+    scan: the check rides the existing tiny bucket-counts aggregate).
+    Both sides empty yields an empty result (no buckets, nothing to
+    compare).
+
     Returns ``(bucket, n_before, n_after, p_micro, q_micro,
     drift_micro)`` ordered by bucket.
     """
@@ -174,8 +197,12 @@ def distribution_drift(
             "bucket",
             "n_before",
             "n_after",
-            F.expr("(1000000 * n_before) div _tb").cast("long").alias("p_micro"),
-            F.expr("(1000000 * n_after) div _ta").cast("long").alias("q_micro"),
+            F.expr(f"(1000000 * n_before) div {_GUARDED_TB}")
+            .cast("long")
+            .alias("p_micro"),
+            F.expr(f"(1000000 * n_after) div {_GUARDED_TA}")
+            .cast("long")
+            .alias("q_micro"),
         )
         .withColumn(
             "drift_micro",

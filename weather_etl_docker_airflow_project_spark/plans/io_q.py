@@ -1080,7 +1080,8 @@ def s22_version_diff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the remaining two thirds as v2 and v3, then consume "what changed
     since v1" — which resolves to the v2+v3 batch dirs by pure manifest
     set difference, so the scan opens O(delta) files and never touches
-    v1's data (file-level gate in tests/test_io_sources.py). The oracle
+    v1's data (file-level gate in tests/test_round8_ops.py::
+    test_read_changes_reads_only_delta_files). The oracle
     restates the delta straight from the source table; crossing an
     overwrite commit raises instead of under-reporting (CDF contract)."""
     import os as _os
