@@ -18,10 +18,30 @@ a duplication property of the copier, not of a 10x corpus):
   a copy tag — Jaccard between copies drops to ~1/3, below every
   near-dup threshold in the repo, while length/token distributions stay
   intact.
-- ``embeddings``: each copy rotates the vector by ``copy`` positions —
-  norm-preserving, and a rotation of a high-dimensional vector is
-  effectively a fresh random direction, so cosine structure scales
-  instead of duplicating.
+- ``embeddings``: each copy cp >= 1 applies a PER-COPY seeded random
+  signed coordinate permutation (orthogonal, norm-preserving; cp = 0 is
+  the identity). Same-copy pairs of different bases keep their exact
+  base cosines (orthogonal invariance — the genuine pair structure
+  replicates linearly); different-copy pairs differ by a random signed
+  permutation and are distributed like independent random directions.
+
+  The r8 scheme (rotation by cp%64 + a sign flip keyed by cp//64) is
+  gone: rotations preserve coordinate adjacency (measured lag
+  correlations to 0.54 on real sf0.1 data) and the fixed per-generation
+  flip made cp=r vs cp=64+r pairs systematically correlated (~0.73 —
+  the r8 ADVICE finding).
+
+  What "decorrelated" can honestly mean here: the base embeddings are
+  ISOTROPIC in d=64 (measured cos std = 1/8 = the random-direction
+  value, effective rank 62/64), so ANY norm-preserving scheme leaves
+  cross-copy cosines distributed N(0, 1/d) — over ~1e7 copy pairs the
+  tail ABOVE the repo's 0.40 near-dup threshold is ~5e-4 of pairs by
+  construction of the threshold (3.2 sigma), identical to the base
+  corpus's own random tail (measured 4.6e-4). The generator therefore
+  asserts the achievable property: copy-pair cos>=0.40 rate within the
+  i.i.d. envelope (<= 2e-3) and NO artifact cluster above 0.70
+  (count <= 50 vs ~7e4 under the r8 bug). A "max pairwise ~= 0" claim
+  is mathematically impossible at this dimensionality and pair count.
 
 Usage: ``python tools/gen_scaled_sf.py [factor] [table,table,...]``
 (default 10 → sf1, all tables). The optional table list restricts output
@@ -113,37 +133,92 @@ def main() -> None:
         """,
     )
 
-    # embeddings: shift vec_id, rotate the vector by cp MOD dim positions,
-    # then (for cp >= dim, where the rotation alone would wrap back to the
-    # identity and plant exact duplicates — an artifact, not corpus
-    # structure) apply a per-generation deterministic sign pattern keyed by
-    # cp // dim. Both transforms are norm-preserving; a sign-flipped
-    # rotation of a high-dimensional vector is effectively a fresh random
-    # direction. cp = 0..dim-1 keeps the original sf1-pass semantics.
-    emit(
-        "embeddings",
-        f"""
-        WITH rot AS (
-          SELECT vec_id + cp * {OFF} AS vec_id,
-                 cp,
-                 CASE WHEN cp % 64 = 0 THEN embedding
-                      ELSE embedding[(cp % 64) + 1:len(embedding)]
-                           || embedding[1:(cp % 64)]
-                 END AS emb,
-                 label
-          FROM read_parquet('{SRC}/embeddings.parquet'), {copies})
-        SELECT vec_id,
-               CASE WHEN cp < 64 THEN emb
-                    ELSE list_transform(
-                      emb,
-                      (x, j) -> CASE WHEN hash((cp // 64) || ':' || j) % 2 = 0
-                                THEN x ELSE -x END)
-               END AS embedding,
-               label
-        FROM rot
-        """,
-    )
+    # embeddings: shift vec_id; copy cp applies a per-copy seeded random
+    # SIGNED PERMUTATION of the 64 coordinates (cp = 0 identity — byte-
+    # exact originals). Permutation + sign tables are computed in numpy
+    # (fixed seeds — deterministic across runs) and joined in as a copy-
+    # keyed map; the output position j takes sgn[j] * emb[idx[j]].
+    # float32 -> float64 -> negate -> float32 is value-exact, so norms
+    # and same-copy cosines are bit-identical to the base corpus.
+    if only is None or "embeddings" in only:
+        import numpy as np
+
+        cp_rows = []
+        for cp in range(factor):
+            if cp == 0:
+                idx = list(range(1, 65))
+                sgn = [1.0] * 64
+            else:
+                idx = (
+                    np.random.default_rng(10_000 + cp).permutation(64) + 1
+                ).tolist()
+                sgn = (
+                    np.random.default_rng(20_000 + cp)
+                    .choice([-1.0, 1.0], 64)
+                    .tolist()
+                )
+            cp_rows.append((cp, idx, sgn))
+        con.execute("CREATE OR REPLACE TABLE cp_map (cp BIGINT, idx BIGINT[], sgn DOUBLE[])")
+        con.executemany("INSERT INTO cp_map VALUES (?, ?, ?)", cp_rows)
+        emit(
+            "embeddings",
+            f"""
+            SELECT e.vec_id + m.cp * {OFF} AS vec_id,
+                   CASE WHEN m.cp = 0 THEN e.embedding
+                        ELSE CAST(list_transform(range(1, 65),
+                               j -> m.sgn[j] * e.embedding[m.idx[j]])
+                             AS FLOAT[])
+                   END AS embedding,
+                   e.label
+            FROM read_parquet('{SRC}/embeddings.parquet') e, cp_map m
+            """,
+        )
+        _verify_embedding_decorrelation(con, out, factor)
     print(f"wrote {out}")
+
+
+def _verify_embedding_decorrelation(con, out: str, factor: int) -> None:
+    """Assert the achievable decorrelation property on the WRITTEN data
+    (see module docstring): copy-pair cosines behave like independent
+    random directions — tail rate at the 0.40 threshold inside the
+    i.i.d. envelope, and no artifact cluster above 0.70 (the r8
+    fixed-sign-flip bug planted ~36 pairs per base at ~0.73)."""
+    import numpy as np
+
+    if factor < 2:
+        return
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{out}/embeddings.parquet')"
+    ).fetchall()
+    by_base: dict[int, list] = {}
+    for vid, emb in rows:
+        by_base.setdefault(vid % OFF, []).append(emb)
+    n_pairs = 0
+    n_over_thr = 0
+    n_over_70 = 0
+    for copies_of_base in by_base.values():
+        c = np.array(copies_of_base, dtype=np.float64)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        g = np.abs(c @ c.T)
+        iu = np.triu_indices(len(c), 1)
+        v = g[iu]
+        n_pairs += v.size
+        n_over_thr += int((v >= 0.40).sum())
+        n_over_70 += int((v >= 0.70).sum())
+    rate = n_over_thr / max(n_pairs, 1)
+    print(
+        f"embeddings decorrelation: {n_pairs} copy pairs, "
+        f"|cos|>=0.40 rate {rate:.2e} (i.i.d. envelope <= 2e-3), "
+        f"|cos|>=0.70 count {n_over_70} (<= 50)"
+    )
+    assert rate <= 2e-3, (
+        f"copy-pair |cos|>=0.40 rate {rate:.2e} exceeds the i.i.d. "
+        "random-direction envelope — the copier is planting correlation"
+    )
+    assert n_over_70 <= 50, (
+        f"{n_over_70} copy pairs with |cos|>=0.70 — artifact cluster "
+        "(r8 sign-flip-style bug), not a random tail"
+    )
 
 
 if __name__ == "__main__":
