@@ -443,123 +443,184 @@ def embedding_neardup_pairs_bucketed(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    pair_chunks: int = 8,
+    block_rows: int = 8192,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: banded-LSH candidate generation +
-    exact integer-dot verify, never the O(n^2) kernel. The band self-join
-    produces candidate IDs only (narrow shuffle); pairs are deduplicated
-    ACROSS bands before any vector math, vectors re-attach via two
-    equi-joins on the (small, auto-broadcast) signature table, and the
-    verify dot runs Arrow-vectorized (``batch_int_dot``) — one numpy
-    matmul per batch instead of an interpreted per-row lambda.
-    ``embedding_neardup_pairs`` (the exact kernel) remains the recall
-    oracle in tests.
+    """Scale path for embedding near-dup: banded-LSH candidate generation
+    + exact dot verify, with the verify computed as COGROUPED BLOCK
+    MATMULS — candidate pairs are never materialized as rows. Semantics
+    are unchanged from the row-join formulation (same buckets, same
+    exact integer dots, same threshold; ``embedding_neardup_pairs`` — the
+    plain O(n^2) kernel — remains the recall oracle in
+    tests/test_llm_ops.py and the survivor SET is byte-identical).
 
-    Output-explosive-join parallelism (the sf1 scaling lesson; measured
-    5.1 s at sf0.1 → 478 s at sf1, ~94× for 10× data, 1-2 running
-    tasks): a bucket of m rows emits m²/2 candidate pairs out of ONE
-    equi-join key, so the verify work is quadratic in bucket size while
-    the join INPUT stays tiny — and AQE, which sizes stages by input
-    bytes, coalesces the whole verify stage onto a couple of tasks and
-    its skew splitter never fires (the skew is in the join OUTPUT).
-    Two fixes compose here:
+    WHY blocks, not a row join (the r8 sf3 crash): at the declared 0.40
+    cosine threshold a RANDOM pair collides in ~1 of the 16x4 bands
+    (p_rand = 1/2^4 per band x 16 bands), so the band self-join is
+    effectively ALL PAIRS — and the row formulation shipped two ~270 B
+    packed vectors per candidate row. At 60k vectors that is ~1.8e9
+    candidate rows ~ 1 TB through one shuffle: Python workers died 12
+    minutes into stage 130 (.scratch/bench_sim_sf3.log). In block form
+    each bucket-chunk ships its vectors ONCE (wire ~ N x bands x (S+1)
+    x 270 B — linear), and the pair space is walked inside one numpy
+    matmul per tile, emitting only survivors. The quadratic is still
+    paid — but as ~4e-3 ns/pair of BLAS flops instead of ~600 B/pair of
+    shuffle wire.
 
-    1. Triangular chunk-pair salting: each row gets chunk ``c = id %
-       S``; the LEFT side replicates to keys (band, bucket, c, cj) for
-       cj ≥ c and the RIGHT side to (band, bucket, ci, c) for ci ≤ c,
-       splitting each bucket's pair space into S(S+1)/2 independent
-       join keys of (m/S)² work. Every unordered pair lands in exactly
-       one chunk-pair key (cross-chunk: the (min,max) key, sides fixed
-       by the chunk labels; same-chunk: the id< residual keeps one
-       ordering), then least/greatest normalizes — the candidate SET is
-       byte-identical to the plain self-join (oracle hash + pytest
-       certify). Replication is ~(S+1)× on a narrow table — noise next
-       to the quadratic it parallelizes. S=1 degenerates to the plain
-       self-join.
-    2. EXPLICIT ``repartition(n, join keys)`` on both join inputs: a
-       user-specified partition count is exempt from AQE coalescing, so
-       the verify stage actually RUNS with n tasks instead of the 1-2
-       AQE picks from input bytes. Without this, the salting only
-       relabels keys that still land in the same coalesced task."""
+    COST MODEL (recorded in SCALE.md §similarity-decades): candidate
+    volume at a 3.2-sigma threshold is intrinsically ~N^2/2 x P(band
+    collision) — banding at 0.40 is recall bookkeeping, not pruning
+    (LSH theory: rho = ln(1/0.63)/ln(2) ~= 0.66 makes sub-quadratic
+    candidate generation need thousands of bands at >=0.9 recall). At
+    production near-dup thresholds (>=0.8 cosine = 6.4 sigma) the SAME
+    code prunes to near-linear: p_rand stays 1/16 per band while
+    surviving pairs concentrate in shared buckets. The 100 TB answer for
+    low thresholds is semantic clustering first (the IVF machinery),
+    then within-cell blocks.
+
+    Exactness: quantized components are |q| <= ~6e5 (|x| <= 0.58 at
+    QUANT=1e6; guarded at 1.1e7), so every product <= 1.2e14 and every
+    64-term partial sum <= 7.7e15 < 2^53 stays an EXACT integer in
+    float64 — BLAS dgemm (products + sums only) is bit-identical to
+    int64 arithmetic, ~10x faster in numpy, and identical to the DuckDB
+    oracle's double-path ``list_dot_product``.
+
+    Parallelism (the sf1 AQE lesson still applies): the cogroup's
+    input bytes are tiny relative to its compute, so AQE would coalesce
+    the stage onto a couple of tasks. Both sides are therefore
+    ``repartition(n, keys)``-ed explicitly (user-specified counts are
+    exempt from AQE coalescing) and oversized buckets are split by
+    triangular chunk-pair salting — row chunk c = pmod(id, S) (pmod:
+    Spark's % follows the dividend sign), LEFT replicated to (c, cj>=c),
+    RIGHT to (ci<=c, c), so every unordered pair lands in EXACTLY one
+    (band, bucket, ci, cj) group: cross-chunk pairs via the (min, max)
+    key, same-chunk pairs via the id< residual inside the ci==cj block.
+    S adapts to the MEASURED largest bucket (ceil(m_max/block_rows)) —
+    balanced corpora get S=1 and rely on bands x buckets groups for
+    spread; a skewed bucket gets exactly the splitting it needs. Inside
+    the UDF, left rows tile at 1024 so peak block memory is
+    1024 x block_rows x 8 B (~67 MB) regardless of group size.
+    """
     qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
-    # bucket the already-quantized vectors; persist ONLY for the duration
-    # of the candidate build (both self-join sides reuse it), then free —
-    # leaving per-invocation caches pinned would evict longer-lived
-    # persisted tables over a session
-    buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col).persist()
-    n_bucket_rows = buckets.count()  # materialize once; both sides reuse it
-    # both scale measures are pure overhead below ~100k bucket rows
-    # (corpus x bands, known from the materialized count): replication
-    # multiplies a table whose whole pair space fits a couple of tasks,
-    # and the explicit exchanges add fixed task-scheduling cost. S=1 +
-    # no repartition IS the original plain self-join.
-    at_scale = n_bucket_rows >= 100_000
-    S = max(1, pair_chunks) if at_scale else 1
-    # pmod, not %: Spark's % follows the dividend sign, so a negative id
-    # would yield a negative chunk and corrupt the triangular
-    # sequence(chunk, S-1)/sequence(0, chunk) replication ranges
-    chunk = F.pmod(F.col(id_col), F.lit(S)).cast("int")
-    l = buckets.withColumn("chunk", chunk).withColumn(
-        "cj", F.explode(F.expr(f"sequence(chunk, {S - 1})"))
-    ).select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("chunk").alias("ci"),
-        F.col("cj"),
-        F.col(id_col).alias("id_l"),
-    )
-    r = buckets.withColumn("chunk", chunk).withColumn(
-        "ci", F.explode(F.expr("sequence(0, chunk)"))
-    ).select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("ci"),
-        F.col("chunk").alias("cj"),
-        F.col(id_col).alias("id_r"),
-    )
-    # pair-spread parallelism: user-specified counts are exempt from AQE
-    # input-byte coalescing (see docstring point 2)
-    keys = ["band", "bucket", "ci", "cj"]
-    if at_scale:
-        n_pair_parts = max(
-            int(l.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-            S * (S + 1),
-        )
-        l = l.repartition(n_pair_parts, *keys)
-        r = r.repartition(n_pair_parts, *keys)
-    cand = l.join(r, keys).filter(
-        (F.col("ci") < F.col("cj")) | (F.col("id_l") < F.col("id_r"))
-    ).select(
-        F.least("id_l", "id_r").alias("id_a"),
-        F.greatest("id_l", "id_r").alias("id_b"),
-    )
-    # Verify FIRST, dedupe the (tiny) survivor set after: cross-band
-    # duplicate candidates re-run the cheap vectorized matmul (~E[bands
-    # colliding | near-dup] ~ 1.6x rows) but the wide pre-verify
-    # distinct shuffle on millions of candidate pairs disappears — at the
-    # weakly-selective 0.40 threshold that trade measured ~2x end-to-end.
-    # Vectors re-attach int32-PACKED (half the Arrow wire width, ~2x
-    # verify throughput) via EXPLICIT broadcast: the packed table is
-    # O(corpus_ids x dim) int32s — broadcastable far past this
-    # benchmark's size; at a corpus where it exceeds executor memory,
-    # drop the hint and let the pre-bucketed shuffle join take over.
+    # persist ONLY for the duration of the build (bucketing + both
+    # cogroup sides reuse it), then free — leaving per-invocation caches
+    # pinned would evict longer-lived persisted tables over a session
     pack = pack_qv_int32()
     packed = qdf.select(F.col(id_col), pack(F.col("qv")).alias("qvb")).persist()
-    packed.count()  # materialize once; both attach sides reuse it
-    a = packed.select(F.col(id_col).alias("id_a"), F.col("qvb").alias("qb_a"))
-    b = packed.select(F.col(id_col).alias("id_b"), F.col("qvb").alias("qb_b"))
+    packed.count()  # materialize once
+    buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col)
+    # vectors attach to bucket rows ONCE (bands-fold linear replication,
+    # NOT per-pair). Explicit broadcast: the packed table is
+    # O(corpus x dim) int32s — broadcastable far past this benchmark's
+    # size; at a corpus where it exceeds executor memory, drop the hint
+    # and let a shuffle join co-partition on id.
+    bucketed = buckets.join(F.broadcast(packed), id_col).persist()
+    # ONE small action sizes the salt: the largest bucket decides how
+    # many chunk-pair groups its quadratic needs
+    stats = bucketed.groupBy("band", "bucket").count().agg(
+        F.max("count").alias("m_max"), F.sum("count").alias("n_rows")
+    ).collect()[0]
+    m_max = int(stats["m_max"] or 0)
+    S = max(1, -(-m_max // block_rows))  # ceil; 1 = no salting needed
+    chunk = F.pmod(F.col(id_col), F.lit(S)).cast("int")
+    l = (
+        bucketed.withColumn("chunk", chunk)
+        .withColumn("cj", F.explode(F.expr(f"sequence(chunk, {S - 1})")))
+        .select(
+            "band",
+            "bucket",
+            F.col("chunk").alias("ci"),
+            "cj",
+            F.col(id_col).alias("id"),
+            "qvb",
+        )
+    )
+    # the RIGHT side's columns are r_-prefixed: both cogroup sides derive
+    # from the same persisted frame, and renaming gives the analyzer's
+    # ambiguous-self-join check distinct references (cogroup matches
+    # group keys positionally, so the names are free)
+    r = (
+        bucketed.withColumn("chunk", chunk)
+        .withColumn("ci", F.explode(F.expr("sequence(0, chunk)")))
+        .select(
+            F.col("band").alias("r_band"),
+            F.col("bucket").alias("r_bucket"),
+            F.col("ci").alias("r_ci"),
+            F.col("chunk").alias("r_cj"),
+            F.col(id_col).alias("r_id"),
+            F.col("qvb").alias("r_qvb"),
+        )
+    )
+    keys = ["band", "bucket", "ci", "cj"]
+    r_keys = ["r_band", "r_bucket", "r_ci", "r_cj"]
+    n_parts = max(
+        int(l.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        S * (S + 1),
+    )
+    l = l.repartition(n_parts, *keys)
+    r = r.repartition(n_parts, *r_keys)
     thr = int(threshold * QUANT * QUANT)
-    pdot = packed_int_dot()
+
+    def _verify_block(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "dot_q": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        same_chunk = key[2] == key[3]  # ci == cj: one ordering via id<
+        ids_l = left["id"].to_numpy()
+        ids_r = right["r_id"].to_numpy()
+        A = (
+            np.frombuffer(b"".join(left["qvb"].to_numpy()), dtype="<i4")
+            .reshape(len(left), -1)
+            .astype(np.float64)
+        )
+        B = (
+            np.frombuffer(b"".join(right["r_qvb"].to_numpy()), dtype="<i4")
+            .reshape(len(right), -1)
+            .astype(np.float64)
+        )
+        if max(np.abs(A).max(), np.abs(B).max()) > 1.1e7:
+            raise ValueError(
+                "embedding_neardup_pairs_bucketed: quantized component "
+                "exceeds 1.1e7 — float64 dot exactness bound violated"
+            )
+        out_a, out_b, out_d = [], [], []
+        for t0 in range(0, len(A), 1024):
+            D = A[t0 : t0 + 1024] @ B.T  # exact integer dots in float64
+            mask = D >= thr
+            if same_chunk:
+                mask &= ids_l[t0 : t0 + 1024, None] < ids_r[None, :]
+            ia, ib = np.nonzero(mask)
+            if len(ia):
+                da = ids_l[t0 + ia]
+                db = ids_r[ib]
+                out_a.append(np.minimum(da, db))
+                out_b.append(np.maximum(da, db))
+                out_d.append(D[ia, ib].astype(np.int64))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "dot_q": np.concatenate(out_d),
+            }
+        )
+
     survivors = (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .withColumn("dot_q", pdot(F.col("qb_a"), F.col("qb_b")))
-        .filter(F.col("dot_q") >= thr)
-        .select("id_a", "id_b", "dot_q")
+        l.groupBy(*keys)
+        .cogroup(r.groupBy(*r_keys))
+        .applyInPandas(_verify_block, "id_a long, id_b long, dot_q long")
+        # cross-band duplicate SURVIVORS dedupe here — tiny vs the pair
+        # space, and dots are identical across bands so any row wins
         .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint()  # materialize so the persisted inputs can free
     )
-    buckets.unpersist()
+    bucketed.unpersist()
     packed.unpersist()
     return survivors
 
