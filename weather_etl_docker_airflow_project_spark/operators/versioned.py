@@ -162,6 +162,116 @@ class VersionedTable:
             return self.read(version=v_to).limit(0)  # schema-only, no data
         return self.spark.read.parquet(*new_dirs)
 
+    def read_changes_cdc(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        keys: list[str] | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """ROW-LEVEL change feed across ANY commit sequence — the r8
+        verdict's extension of :meth:`read_changes`, which (correctly,
+        per the Delta-CDF contract) refuses ranges crossing an overwrite
+        commit because a file-level delta cannot express them. When the
+        table has a KEY, row-level changes across an overwrite ARE
+        well-defined: this walks the commits one version at a time and
+        emits ``(keys..., change_type, commit_version)`` per commit:
+
+        - an APPEND commit contributes its new batch dirs' keys as
+          ``insert`` — resolved by pure manifest set difference, so the
+          append path still opens O(delta) files and never touches the
+          older snapshot;
+        - an OVERWRITE commit contributes the keyed snapshot diff
+          (:func:`~..operators.cdc.snapshot_diff`) of version v-1 vs v —
+          ``insert`` / ``update`` (fingerprint of ``compare_cols``
+          changed) / ``delete``. This is the one place the feed pays two
+          snapshot reads; that cost is intrinsic (the commit itself
+          rewrote the table) and matches what Delta charges when CDF
+          files are absent.
+
+        The un-keyable case keeps the refusal: with no ``keys`` there is
+        no row identity to diff on, so crossing an overwrite raises just
+        like :meth:`read_changes` (use it directly for append-only
+        ranges). ``compare_cols`` defaults to all non-key columns.
+
+        Per-commit granularity (not a net v_from→v_to collapse) is
+        deliberate: consumers replaying into a sink need the commit
+        boundaries, and a net diff is one ``groupBy(keys).max(version)``
+        away for those that don't."""
+        committed = self.versions()
+        if v_to is None:
+            v_to = committed[-1] if committed else 0
+        for v in (v_from, v_to):
+            if v not in committed:
+                raise ValueError(
+                    f"version {v} not committed at {self.dir} (have {committed})"
+                )
+        if v_to < v_from:
+            raise ValueError(f"v_to {v_to} < v_from {v_from}")
+        from pyspark.sql import functions as F
+
+        from .cdc import snapshot_diff
+
+        parts: list[DataFrame] = []
+        span = [v for v in committed if v_from <= v <= v_to]
+        for prev_v, v in zip(span, span[1:]):
+            prev_dirs = set(self._manifest(prev_v))
+            to_dirs = self._manifest(v)
+            if prev_dirs <= set(to_dirs):  # append commit
+                new_dirs = [d for d in to_dirs if d not in prev_dirs]
+                if not new_dirs:
+                    continue
+                batch = self.spark.read.parquet(*new_dirs)
+                if keys is None:
+                    raise ValueError(
+                        "read_changes_cdc needs keys=[...] for row-level "
+                        "changes; for file-level append deltas use "
+                        "read_changes()"
+                    )
+                parts.append(
+                    batch.select(
+                        *keys,
+                        F.lit("insert").alias("change_type"),
+                        F.lit(v).cast("long").alias("commit_version"),
+                    )
+                )
+            else:  # overwrite commit: keyed row diff or refuse
+                if keys is None:
+                    raise ValueError(
+                        f"versions {prev_v}..{v} at {self.dir} cross an "
+                        "overwrite commit and no keys were given — row "
+                        "identity is undefined; pass keys=[...] or re-read "
+                        "the snapshot"
+                    )
+                old = self.read(version=prev_v)
+                new = self.read(version=v)
+                cmp_cols = compare_cols or [
+                    c for c in new.columns if c not in keys
+                ]
+                parts.append(
+                    snapshot_diff(old, new, keys, cmp_cols).withColumn(
+                        "commit_version", F.lit(v).cast("long")
+                    )
+                )
+        if not parts:
+            if keys is None:
+                raise ValueError(
+                    "read_changes_cdc needs keys=[...] for row-level changes"
+                )
+            return (
+                self.read(version=v_to)
+                .select(
+                    *keys,
+                    F.lit("insert").alias("change_type"),
+                    F.lit(0).cast("long").alias("commit_version"),
+                )
+                .limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
 
 class _VacuumReport:
     def __init__(self, dropped_versions: list[int], removed_dirs: list[str]):

@@ -1103,6 +1103,58 @@ def s22_version_diff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s23_change_feed_cdc",
+    oracle="""
+    SELECT o_orderkey, 'insert' AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS change_type,
+           CAST(3 AS BIGINT) AS commit_version
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'update' AS change_type,
+           CAST(3 AS BIGINT) AS commit_version
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    """,
+    tags=("S23", "S22", "CDC1"),
+)
+def s23_change_feed_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed ACROSS an overwrite commit
+    (VersionedTable.read_changes_cdc — the r9 extension of S22, which
+    refuses such ranges at file level): commit two thirds of orders as
+    v1, append the last third as v2, then OVERWRITE with a snapshot
+    that drops every %7 key and rewrites o_orderstatus to 'X' on every
+    %5 key. Consuming "changes since v1" emits per-commit keyed deltas:
+    v2's batch keys as inserts (still O(delta) files — the manifest walk
+    never opens v1's dirs for the append leg), then the v2->v3 keyed
+    snapshot diff as insert/update/delete (the overwrite leg pays two
+    snapshot reads, intrinsic to a rewrite — the Delta-CDF-less
+    contract). The oracle restates each commit's delta from the source
+    table: v3 deletes = %7 keys, v3 updates = %5-not-%7 keys (status 'X'
+    never collides with TPC-H's O/F/P), no v3 inserts. The un-keyable
+    path keeps S22's refusal (tests/test_round9_ops.py)."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vcdc_"), "orders_v"))
+    t.commit(o.filter(F.col("o_orderkey") % 3 != 2))
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")
+    v3 = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    t.commit(v3, mode="overwrite")
+    return t.read_changes_cdc(
+        v_from=1, keys=["o_orderkey"], compare_cols=["o_orderstatus"]
+    )
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
