@@ -670,6 +670,23 @@ def ivf_cells(
     if not seed_rows:
         raise ValueError("ivf_cells: no seed vectors (corpus empty or no "
                          f"id % {seed_modulus} == 0)")
+    _cell = _cell_assign_udf(seed_rows)
+    qdf = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    )
+    return qdf.select(
+        id_col, "qv", _cell(F.col("qv")).alias("cell")
+    )
+
+
+def _cell_assign_udf(seed_rows):
+    """The shared zero-shuffle IVF assignment kernel: given the collected
+    (sid, sv) seed rows SORTED BY sid ASCENDING, return a pandas_udf that
+    maps a quantized vector to its max-dot cell — one exact int64 numpy
+    matmul per Arrow batch, ``argmax`` first-occurrence-wins reproducing
+    the max-dot/smallest-sid tie rule byte-exactly (the SQL oracles never
+    change). Used by the BUILD path (:func:`ivf_cells`) and the GROW path
+    (:func:`ivf_add`) so both assign identically by construction."""
     sid_arr = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
     sv_mat = np.stack([np.array(r["sv"], dtype=np.int64) for r in seed_rows])
 
@@ -680,12 +697,7 @@ def ivf_cells(
         m = np.stack(qv.to_numpy()).astype(np.int64)
         return pd.Series(sid_arr[(m @ sv_mat.T).argmax(axis=1)])
 
-    qdf = embeddings.select(
-        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
-    )
-    return qdf.select(
-        id_col, "qv", _cell(F.col("qv")).alias("cell")
-    )
+    return _cell
 
 
 def ivf_search(
@@ -1179,24 +1191,34 @@ def ivf_add(
     one column-pruned scan of the index's id column per increment; for
     very large indexes where even that scan matters, track increment ids
     in a JoinView-style commit manifest instead and keep increments
-    disjoint upstream."""
-    from pyspark.sql import Window
+    disjoint upstream.
 
-    seeds = spark.read.parquet(index_path + "/seeds")
+    Assignment shape (r9 fix — the sf3/sf10 decade run caught it): the
+    grow path still used the pre-sf1-rework broadcast-crossJoin +
+    per-id window — |new| × |seeds| interpreted higher-order dots plus a
+    shuffle/sort of that scored table, measured 115 s at sf3 and a
+    multi-minute straggler at sf10 (seeds grow with the corpus, so the
+    scored table grows ~quadratically). It now reuses the build path's
+    zero-shuffle Arrow matmul kernel (:func:`_cell_assign_udf`) — the
+    seed matrix rides the closure, assignment is one map stage, and the
+    grown index stays byte-identical to a one-shot build because both
+    paths share the same kernel by construction."""
+    seeds = spark.read.parquet(index_path + "/seeds").orderBy("sid")
+    # bounded collect: the build capped seeds at max_seeds; re-assert on
+    # read-back so a hand-built oversized index fails loudly, not slowly
+    seed_rows = seeds.limit(65537).collect()
+    if len(seed_rows) > 65536:
+        raise ValueError(
+            f"ivf_add: index at {index_path} has >65536 seeds — rebuild "
+            "with a larger seed_modulus (cells should grow ~sqrt(corpus))"
+        )
     existing_ids = spark.read.parquet(index_path + "/cells").select(
         F.col(id_col).cast("long").alias(id_col)
     )
     new_vectors = new_vectors.join(existing_ids, id_col, "left_anti")
     qdf = new_vectors.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
-    scored = qdf.crossJoin(F.broadcast(seeds)).select(
-        id_col, "qv", "sid", int_dot(F.col("qv"), F.col("sv")).alias("sdot")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sdot").desc(), F.col("sid").asc())
-    celled = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "qv", F.col("sid").alias("cell"))
-    )
+    _cell = _cell_assign_udf(seed_rows)
+    celled = qdf.select(id_col, "qv", _cell(F.col("qv")).alias("cell"))
     (
         celled.repartition("cell")
         .write.mode("append")
