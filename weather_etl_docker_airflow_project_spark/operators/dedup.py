@@ -494,7 +494,13 @@ def _drop_hot_shingles(
         .filter(F.col("df") <= max_shingle_df)
         .drop("df")
     )
-    return sh.join(keep, "shingle", "left_semi")
+    # merge hint (r9, the sf10 lesson): ``keep`` is the corpus's distinct
+    # shingle set — corpus-sized — but it sits behind an aggregate+filter,
+    # whose static cardinality estimate shrinks enough for the planner to
+    # BROADCAST it (512 MB hashed-relation OOM at 500k docs). Sort-merge
+    # is fully spillable; at small scale AQE's measured sizes keep it
+    # cheap, and the hint is what stops the unmeasured static broadcast.
+    return sh.join(keep.hint("merge"), "shingle", "left_semi")
 
 
 def ngram_jaccard_pairs(
@@ -527,9 +533,13 @@ def ngram_jaccard_pairs(
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
+    # merge hints on every corpus-derived join side: the shingle table's
+    # static size estimate is unreliable past the cap aggregate, and a
+    # planner-chosen broadcast of a corpus-sized side is the one plan
+    # shape that cannot survive scale (see _drop_hot_shingles)
     inter = (
         l.join(
-            r,
+            r.hint("merge"),
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
@@ -541,8 +551,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
         .select("id_a", "id_b", "inter", "uni")
@@ -607,21 +617,27 @@ def containment_pairs(
     pair-generating self-join; documents below ``min_shingles`` are
     excluded (trivially contained). Integer threshold arithmetic
     (100*inter >= t*n_sub) — hash-exact."""
+    # persist: the capped shingle table feeds three consumers (sizes +
+    # both self-join sides) — same materialize-once rule as the Jaccard
+    # twin. merge hints on every corpus-derived join side: the r9 sf10
+    # run OOMed here when the planner BROADCAST the entire right shingle
+    # table (512 MB hashed relation) off a static post-aggregate
+    # misestimate; sort-merge spills, and AQE keeps it cheap when small.
     sh = _drop_hot_shingles(
         shingles(df, id_col, text_col), id_col, max_shingle_df
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     left = sh.select(F.col(id_col).alias("id_sub"), "shingle")
     right = sh.select(F.col(id_col).alias("id_sup"), "shingle")
     inter = (
-        left.join(right, "shingle")
+        left.join(right.hint("merge"), "shingle")
         .filter(F.col("id_sub") != F.col("id_sup"))
         .groupBy("id_sub", "id_sup")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
     sub_sz = sizes.select(F.col(id_col).alias("id_sub"), F.col("n_sh").alias("n_sub"))
     return (
-        inter.join(sub_sz, "id_sub")
+        inter.join(sub_sz.hint("merge"), "id_sub")
         .filter(
             (F.col("n_sub") >= min_shingles)
             & (100 * F.col("inter") >= threshold_pct * F.col("n_sub"))
