@@ -170,6 +170,8 @@ HEADLINE = [
     "dq7_snapshot_drift",
     "j16_interval_overlap_join",
     "s22_version_diff_scan",
+    # round-9 additions
+    "s23_change_feed_cdc",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise
