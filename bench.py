@@ -172,6 +172,7 @@ HEADLINE = [
     "s22_version_diff_scan",
     # round-9 additions
     "s23_change_feed_cdc",
+    "l2_semantic_neardup_cells",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -1,12 +1,15 @@
 """Round-9 surface: the versioned table's ROW-LEVEL change feed across
-overwrite commits (read_changes_cdc) — crafted-edge coverage beyond the
-driver oracle (s23_change_feed_cdc certifies the sf0.01 behavior)."""
+overwrite commits (read_changes_cdc) and the cell-scoped semantic
+near-dup (semantic_neardup_cells) — crafted-edge coverage beyond the
+driver oracles (s23_change_feed_cdc / l2_semantic_neardup_cells certify
+the sf0.01 behavior)."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
+from weather_etl_docker_airflow_project_spark.operators import similarity
 from weather_etl_docker_airflow_project_spark.operators.versioned import (
     VersionedTable,
 )
@@ -107,3 +110,88 @@ def test_cdc_update_detection_uses_compare_cols_only(spark, tmp_path):
     t.commit(df2, mode="overwrite")
     assert _feed(t, v_from=1, keys=["k"], compare_cols=["v"]) == []
     assert _feed(t, v_from=1, keys=["k"]) == [(1, "update", 2)]
+
+
+# ---------------------------------------------------------------------------
+# semantic_neardup_cells
+# ---------------------------------------------------------------------------
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"]): (r["dot_q"], r["cell"]) for r in df.collect()
+    }
+
+
+def test_semantic_cells_exact_within_cell_scoped_outside(spark):
+    """Crafted two-cluster corpus: seeds 0 and 125 pull their clusters
+    into separate cells; every intra-cluster pair over threshold is
+    found EXACTLY, and the (deliberately similar) cross-cluster pair is
+    out of scope — the declared SemDeDup boundary trade."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=64)
+    b = -a + rng.normal(scale=0.05, size=64)  # opposite direction cluster
+    rows = []
+    for vid, base in ((0, a), (125, b)):  # the two seeds
+        rows.append((vid, [float(x) for x in base]))
+    for i, base in ((1, a), (2, a), (3, b), (4, b)):
+        v = base + rng.normal(scale=0.05, size=64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    got = _pairs(similarity.semantic_neardup_cells(emb, threshold=0.40))
+    exact = {
+        (r["id_a"], r["id_b"]): r["dot_q"]
+        for r in similarity.embedding_neardup_pairs(emb, threshold=0.40).collect()
+    }
+    # subset of the global kernel with identical dots
+    assert set(got) <= set(exact)
+    for k, (dot, _cell) in got.items():
+        assert exact[k] == dot
+    # completeness within scope: all intra-cluster pairs found, in the
+    # right cells; no cross-cluster pair (different cells by design)
+    cluster_a, cluster_b = {0, 1, 2}, {125, 3, 4}
+    for (ia, ib), (_, cell) in got.items():
+        in_a = ia in cluster_a and ib in cluster_a
+        in_b = ia in cluster_b and ib in cluster_b
+        assert in_a or in_b
+        assert cell == (0 if in_a else 125)
+    assert {(0, 1), (0, 2), (1, 2)} <= set(got)
+    assert {(3, 4), (3, 125), (4, 125)} <= set(got)
+
+
+def test_semantic_cells_subset_of_exact_on_real_data(spark):
+    """On the sf0.01 corpus the cell-scoped result must be exactly the
+    within-cell slice of the global exact kernel — no fabricated pairs,
+    no missed within-cell pair, dots identical."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_cells(emb, 125).select("vec_id", "cell").collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["dot_q"]
+        for r in similarity.embedding_neardup_pairs(emb, threshold=0.40).collect()
+    }
+    expected = {
+        k: v for k, v in exact.items() if cells[k[0]] == cells[k[1]]
+    }
+    got = _pairs(similarity.semantic_neardup_cells(emb, threshold=0.40))
+    assert {k: v[0] for k, v in got.items()} == expected
+    for (ia, ib), (_, cell) in got.items():
+        assert cell == cells[ia] == cells[ib]
+
+
+def test_semantic_cells_salting_path_identical(spark):
+    """Forcing the triangular chunk salting (block_rows smaller than the
+    largest cell) must not change the result set — the kernel's S>1
+    path is byte-identical to S=1."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plain = _pairs(similarity.semantic_neardup_cells(emb, threshold=0.40))
+    salted = _pairs(
+        similarity.semantic_neardup_cells(emb, threshold=0.40, block_rows=16)
+    )
+    assert plain == salted

@@ -435,142 +435,112 @@ def packed_int_dot():
     return pdot
 
 
-def embedding_neardup_pairs_bucketed(
-    embeddings: DataFrame,
-    threshold: float = 0.40,
-    n_bands: int = EMB_BANDS,
-    band_bits: int = EMB_BAND_BITS,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def blocked_pairs_within(
+    grouped: DataFrame,
+    group_cols: list[str],
+    thr: int,
+    id_col: str = "id",
     block_rows: int = 8192,
+    out_group_col: str | None = None,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: banded-LSH candidate generation
-    + exact dot verify, with the verify computed as COGROUPED BLOCK
-    MATMULS — candidate pairs are never materialized as rows. Semantics
-    are unchanged from the row-join formulation (same buckets, same
-    exact integer dots, same threshold; ``embedding_neardup_pairs`` — the
-    plain O(n^2) kernel — remains the recall oracle in
-    tests/test_llm_ops.py and the survivor SET is byte-identical).
+    """The shared COGROUPED BLOCK-MATMUL pair kernel: given a grouped
+    table ``(group_cols..., id, qvb)`` (``qvb`` = int32-packed quantized
+    vector, ``pack_qv_int32``; the caller persists it — two cogroup
+    sides and one sizing action reuse it), emit every WITHIN-GROUP pair
+    with exact integer dot >= ``thr`` as ``(id_a, id_b, dot_q)``
+    (plus the first group column when ``out_group_col`` is set). Pairs
+    are never materialized as rows before the threshold: each group's
+    pair space is walked inside tiled numpy matmuls, and only survivors
+    leave the UDF. Used by the banded-LSH near-dup verify
+    (:func:`embedding_neardup_pairs_bucketed` — groups = band buckets,
+    survivors deduped across bands by the caller) and the cell-scoped
+    semantic near-dup (:func:`semantic_neardup_cells` — groups = IVF
+    cells, each pair in exactly one group).
 
-    WHY blocks, not a row join (the r8 sf3 crash): at the declared 0.40
-    cosine threshold a RANDOM pair collides in ~1 of the 16x4 bands
-    (p_rand = 1/2^4 per band x 16 bands), so the band self-join is
-    effectively ALL PAIRS — and the row formulation shipped two ~270 B
-    packed vectors per candidate row. At 60k vectors that is ~1.8e9
-    candidate rows ~ 1 TB through one shuffle: Python workers died 12
-    minutes into stage 130 (.scratch/bench_sim_sf3.log). In block form
-    each bucket-chunk ships its vectors ONCE (wire ~ N x bands x (S+1)
-    x 270 B — linear), and the pair space is walked inside one numpy
-    matmul per tile, emitting only survivors. The quadratic is still
-    paid — but as ~4e-3 ns/pair of BLAS flops instead of ~600 B/pair of
-    shuffle wire.
-
-    COST MODEL (recorded in SCALE.md §similarity-decades): candidate
-    volume at a 3.2-sigma threshold is intrinsically ~N^2/2 x P(band
-    collision) — banding at 0.40 is recall bookkeeping, not pruning
-    (LSH theory: rho = ln(1/0.63)/ln(2) ~= 0.66 makes sub-quadratic
-    candidate generation need thousands of bands at >=0.9 recall). At
-    production near-dup thresholds (>=0.8 cosine = 6.4 sigma) the SAME
-    code prunes to near-linear: p_rand stays 1/16 per band while
-    surviving pairs concentrate in shared buckets. The 100 TB answer for
-    low thresholds is semantic clustering first (the IVF machinery),
-    then within-cell blocks.
+    WHY blocks, not a row join (the r8 sf3 crash): a row-join verify
+    ships two ~270 B packed vectors PER CANDIDATE PAIR — quadratic
+    wire; 60k vectors at a weak threshold meant ~1.8e9 candidate rows
+    ~ 1 TB through one shuffle and dead Python workers. In block form
+    each group-chunk ships its vectors ONCE (linear wire) and the pair
+    space costs ~4e-3 ns/pair of BLAS flops.
 
     Exactness: quantized components are |q| <= ~6e5 (|x| <= 0.58 at
     QUANT=1e6; guarded at 1.1e7), so every product <= 1.2e14 and every
     64-term partial sum <= 7.7e15 < 2^53 stays an EXACT integer in
     float64 — BLAS dgemm (products + sums only) is bit-identical to
     int64 arithmetic, ~10x faster in numpy, and identical to the DuckDB
-    oracle's double-path ``list_dot_product``.
+    oracles' double-path ``list_dot_product``.
 
-    Parallelism (the sf1 AQE lesson still applies): the cogroup's
-    input bytes are tiny relative to its compute, so AQE would coalesce
-    the stage onto a couple of tasks. Both sides are therefore
-    ``repartition(n, keys)``-ed explicitly (user-specified counts are
-    exempt from AQE coalescing) and oversized buckets are split by
-    triangular chunk-pair salting — row chunk c = pmod(id, S) (pmod:
-    Spark's % follows the dividend sign), LEFT replicated to (c, cj>=c),
-    RIGHT to (ci<=c, c), so every unordered pair lands in EXACTLY one
-    (band, bucket, ci, cj) group: cross-chunk pairs via the (min, max)
-    key, same-chunk pairs via the id< residual inside the ci==cj block.
-    S adapts to the MEASURED largest bucket (ceil(m_max/block_rows)) —
-    balanced corpora get S=1 and rely on bands x buckets groups for
-    spread; a skewed bucket gets exactly the splitting it needs. Inside
-    the UDF, left rows tile at 1024 so peak block memory is
-    1024 x block_rows x 8 B (~67 MB) regardless of group size.
-    """
-    qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
-    # persist ONLY for the duration of the build (bucketing + both
-    # cogroup sides reuse it), then free — leaving per-invocation caches
-    # pinned would evict longer-lived persisted tables over a session
-    pack = pack_qv_int32()
-    packed = qdf.select(F.col(id_col), pack(F.col("qv")).alias("qvb")).persist()
-    packed.count()  # materialize once
-    buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col)
-    # vectors attach to bucket rows ONCE (bands-fold linear replication,
-    # NOT per-pair). Explicit broadcast: the packed table is
-    # O(corpus x dim) int32s — broadcastable far past this benchmark's
-    # size; at a corpus where it exceeds executor memory, drop the hint
-    # and let a shuffle join co-partition on id.
-    bucketed = buckets.join(F.broadcast(packed), id_col).persist()
-    # ONE small action sizes the salt: the largest bucket decides how
-    # many chunk-pair groups its quadratic needs
-    stats = bucketed.groupBy("band", "bucket").count().agg(
-        F.max("count").alias("m_max"), F.sum("count").alias("n_rows")
+    Parallelism (the sf1 AQE lesson): the cogroup's input bytes are
+    tiny relative to its compute, so AQE would coalesce the stage onto
+    a couple of tasks — both sides are ``repartition(n, keys)``-ed
+    explicitly (user counts are exempt from AQE coalescing), and
+    oversized groups are split by triangular chunk-pair salting: row
+    chunk c = pmod(id, S) (pmod: Spark's % follows the dividend sign),
+    LEFT replicated to (c, cj>=c), RIGHT to (ci<=c, c), so every
+    unordered pair lands in EXACTLY one (group, ci, cj) cogroup —
+    cross-chunk pairs via the (min, max) key, same-chunk pairs via the
+    id< residual inside the ci==cj block. S adapts to the MEASURED
+    largest group (ceil(m_max/block_rows)); balanced corpora get S=1
+    and rely on group count for spread. Inside the UDF, left rows tile
+    at 1024 so peak block memory is 1024 x block_rows x 8 B (~67 MB)
+    regardless of group size. The RIGHT side's columns are r_-prefixed:
+    both sides derive from the same persisted frame, and renaming gives
+    the analyzer's ambiguous-self-join check distinct references
+    (cogroup matches group keys positionally, so names are free)."""
+    n_group = len(group_cols)
+    stats = grouped.groupBy(*group_cols).count().agg(
+        F.max("count").alias("m_max")
     ).collect()[0]
     m_max = int(stats["m_max"] or 0)
     S = max(1, -(-m_max // block_rows))  # ceil; 1 = no salting needed
     chunk = F.pmod(F.col(id_col), F.lit(S)).cast("int")
     l = (
-        bucketed.withColumn("chunk", chunk)
+        grouped.withColumn("chunk", chunk)
         .withColumn("cj", F.explode(F.expr(f"sequence(chunk, {S - 1})")))
         .select(
-            "band",
-            "bucket",
+            *group_cols,
             F.col("chunk").alias("ci"),
             "cj",
             F.col(id_col).alias("id"),
             "qvb",
         )
     )
-    # the RIGHT side's columns are r_-prefixed: both cogroup sides derive
-    # from the same persisted frame, and renaming gives the analyzer's
-    # ambiguous-self-join check distinct references (cogroup matches
-    # group keys positionally, so the names are free)
     r = (
-        bucketed.withColumn("chunk", chunk)
+        grouped.withColumn("chunk", chunk)
         .withColumn("ci", F.explode(F.expr("sequence(0, chunk)")))
         .select(
-            F.col("band").alias("r_band"),
-            F.col("bucket").alias("r_bucket"),
+            *[F.col(c).alias(f"r_{c}") for c in group_cols],
             F.col("ci").alias("r_ci"),
             F.col("chunk").alias("r_cj"),
             F.col(id_col).alias("r_id"),
             F.col("qvb").alias("r_qvb"),
         )
     )
-    keys = ["band", "bucket", "ci", "cj"]
-    r_keys = ["r_band", "r_bucket", "r_ci", "r_cj"]
+    keys = [*group_cols, "ci", "cj"]
+    r_keys = [*[f"r_{c}" for c in group_cols], "r_ci", "r_cj"]
     n_parts = max(
         int(l.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
         S * (S + 1),
     )
     l = l.repartition(n_parts, *keys)
     r = r.repartition(n_parts, *r_keys)
-    thr = int(threshold * QUANT * QUANT)
+    out_schema = "id_a long, id_b long, dot_q long"
+    if out_group_col is not None:
+        out_schema += f", {out_group_col} long"
 
     def _verify_block(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "dot_q": pd.Series([], dtype="int64"),
-            }
-        )
+        cols = {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "dot_q": pd.Series([], dtype="int64"),
+        }
+        if out_group_col is not None:
+            cols[out_group_col] = pd.Series([], dtype="int64")
+        empty = pd.DataFrame(cols)
         if not len(left) or not len(right):
             return empty
-        same_chunk = key[2] == key[3]  # ci == cj: one ordering via id<
+        same_chunk = key[n_group] == key[n_group + 1]  # ci == cj: id< rule
         ids_l = left["id"].to_numpy()
         ids_r = right["r_id"].to_numpy()
         A = (
@@ -585,8 +555,8 @@ def embedding_neardup_pairs_bucketed(
         )
         if max(np.abs(A).max(), np.abs(B).max()) > 1.1e7:
             raise ValueError(
-                "embedding_neardup_pairs_bucketed: quantized component "
-                "exceeds 1.1e7 — float64 dot exactness bound violated"
+                "blocked_pairs_within: quantized component exceeds "
+                "1.1e7 — float64 dot exactness bound violated"
             )
         out_a, out_b, out_d = [], [], []
         for t0 in range(0, len(A), 1024):
@@ -603,18 +573,75 @@ def embedding_neardup_pairs_bucketed(
                 out_d.append(D[ia, ib].astype(np.int64))
         if not out_a:
             return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "dot_q": np.concatenate(out_d),
-            }
-        )
+        out = {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "dot_q": np.concatenate(out_d),
+        }
+        if out_group_col is not None:
+            out[out_group_col] = np.full(len(out["id_a"]), key[0], dtype=np.int64)
+        return pd.DataFrame(out)
 
-    survivors = (
+    return (
         l.groupBy(*keys)
         .cogroup(r.groupBy(*r_keys))
-        .applyInPandas(_verify_block, "id_a long, id_b long, dot_q long")
+        .applyInPandas(_verify_block, out_schema)
+    )
+
+
+def embedding_neardup_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    n_bands: int = EMB_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 8192,
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded-LSH candidate generation
+    + exact dot verify, with the verify computed by the shared cogrouped
+    block-matmul kernel (:func:`blocked_pairs_within` — groups = band
+    buckets; candidate pairs never materialize as rows; the r8 sf3
+    crash analysis, exactness proof, salting and AQE notes live on the
+    kernel's docstring). Semantics unchanged from the row-join
+    formulation: same buckets, same exact integer dots, same threshold;
+    ``embedding_neardup_pairs`` (the plain O(n^2) kernel) remains the
+    recall oracle in tests/test_llm_ops.py and the survivor SET is
+    byte-identical.
+
+    COST MODEL (recorded in SCALE.md §similarity-decades): candidate
+    volume at a 3.2-sigma threshold is intrinsically ~N^2/2 x P(band
+    collision) — banding at 0.40 is recall bookkeeping, not pruning
+    (LSH theory: rho = ln(1/0.63)/ln(2) ~= 0.66 makes sub-quadratic
+    candidate generation need thousands of bands at >=0.9 recall). At
+    production near-dup thresholds (>=0.8 cosine = 6.4 sigma) the SAME
+    code prunes to near-linear. The 100 TB answer for LOW thresholds is
+    :func:`semantic_neardup_cells`: cluster first, then block within
+    cells — linear total work, cell-scoped semantics."""
+    qdf = embeddings.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
+    # persist ONLY for the duration of the build (bucketing + both
+    # cogroup sides reuse it), then free — leaving per-invocation caches
+    # pinned would evict longer-lived persisted tables over a session
+    pack = pack_qv_int32()
+    packed = qdf.select(F.col(id_col), pack(F.col("qv")).alias("qvb")).persist()
+    packed.count()  # materialize once
+    buckets = embedding_band_buckets(qdf, n_bands, band_bits, dim, id_col)
+    # vectors attach to bucket rows ONCE (bands-fold linear replication,
+    # NOT per-pair). Explicit broadcast: the packed table is
+    # O(corpus x dim) int32s — broadcastable far past this benchmark's
+    # size; at a corpus where it exceeds executor memory, drop the hint
+    # and let a shuffle join co-partition on id.
+    bucketed = (
+        buckets.join(F.broadcast(packed), id_col)
+        .select("band", "bucket", F.col(id_col).alias("id"), "qvb")
+        .persist()
+    )
+    thr = int(threshold * QUANT * QUANT)
+    survivors = (
+        blocked_pairs_within(
+            bucketed, ["band", "bucket"], thr, block_rows=block_rows
+        )
         # cross-band duplicate SURVIVORS dedupe here — tiny vs the pair
         # space, and dots are identical across bands so any row wins
         .dropDuplicates(["id_a", "id_b"])
@@ -623,6 +650,58 @@ def embedding_neardup_pairs_bucketed(
     bucketed.unpersist()
     packed.unpersist()
     return survivors
+
+
+def semantic_neardup_cells(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    seed_modulus: int = 125,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 8192,
+) -> DataFrame:
+    """CELL-SCOPED semantic near-dup — the SemDeDup-style shape this
+    repo's own decade run (SCALE.md §similarity-decades) prescribes as
+    the 100 TB answer for low-threshold embedding dedup: partition the
+    corpus by the deterministic IVF coarse quantizer (:func:`ivf_cells`
+    — seeds every ``seed_modulus``-th id, exact max-dot assignment,
+    smallest-sid ties), then emit every WITHIN-CELL pair with exact
+    quantized dot >= threshold via the shared block-matmul kernel
+    (:func:`blocked_pairs_within`, groups = cells). Returns
+    ``(id_a, id_b, dot_q, cell)`` — each pair in exactly one cell, so
+    no dedup pass.
+
+    The declared semantics are CELL-SCOPED by design: pairs straddling
+    a cell boundary are out of scope (the SemDeDup trade — at 100 TB
+    you accept boundary misses to make the work linear; multi-probe or
+    a second clustering recovers them if needed). The within-scope
+    result is EXACT — hash-checkable by a SQL oracle that restates the
+    assignment and the within-cell self-join.
+
+    Scale shape vs the banded path: seeds are every ``seed_modulus``-th
+    id, so the EXPECTED cell size stays ~``seed_modulus`` as the corpus
+    grows (cells multiply instead of fattening) and total pair work is
+    ~N x seed_modulus — LINEAR in the corpus, against the banded
+    verify's intrinsic ~N² at weak thresholds. One shuffle (cells),
+    one bounded seed collect, skew handled by the kernel's measured
+    chunk salting. Measured (SCALE.md): at sf10 (200k vectors) this
+    runs the same 0.40 threshold in 7.5 s vs the banded path's 57 s —
+    ~1/8 the wall, with the gap widening every further decade (linear
+    vs quadratic; at sf10 the remaining cost is assignment + shuffle,
+    not pair work)."""
+    celled = ivf_cells(embeddings, seed_modulus, id_col, vec_col)
+    pack = pack_qv_int32()
+    grouped = celled.select(
+        F.col("cell"),
+        F.col(id_col).alias("id"),
+        pack(F.col("qv")).alias("qvb"),
+    ).persist()
+    thr = int(threshold * QUANT * QUANT)
+    out = blocked_pairs_within(
+        grouped, ["cell"], thr, block_rows=block_rows, out_group_col="cell"
+    ).localCheckpoint()  # materialize so the persisted input can free
+    grouped.unpersist()
+    return out
 
 
 def ivf_cells(
@@ -686,15 +765,24 @@ def _cell_assign_udf(seed_rows):
     matmul per Arrow batch, ``argmax`` first-occurrence-wins reproducing
     the max-dot/smallest-sid tie rule byte-exactly (the SQL oracles never
     change). Used by the BUILD path (:func:`ivf_cells`) and the GROW path
-    (:func:`ivf_add`) so both assign identically by construction."""
+    (:func:`ivf_add`) so both assign identically by construction.
+
+    The matmul runs in float64 (BLAS dgemm), not int64 (numpy's int
+    matmul has no BLAS path and measured ~10x slower once seeds reach
+    the ~sqrt(corpus) thousands): quantized components are |q| <= ~6e5,
+    so every product <= 1.2e14 and every 64-term sum <= 7.7e15 < 2^53
+    stays an EXACT integer in float64 — scores, ties, and argmax are
+    bit-identical to the int64 path and to the SQL oracles."""
     sid_arr = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
-    sv_mat = np.stack([np.array(r["sv"], dtype=np.int64) for r in seed_rows])
+    sv_mat = np.stack(
+        [np.array(r["sv"], dtype=np.float64) for r in seed_rows]
+    )
 
     @F.pandas_udf("long")
     def _cell(qv: pd.Series) -> pd.Series:
         if not len(qv):
             return pd.Series([], dtype="int64")
-        m = np.stack(qv.to_numpy()).astype(np.int64)
+        m = np.stack(qv.to_numpy()).astype(np.float64)
         return pd.Series(sid_arr[(m @ sv_mat.T).argmax(axis=1)])
 
     return _cell

@@ -33,17 +33,19 @@ from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 _PRIORITY: tuple[str, ...] = (
     # ================= ROUND-9 WINDOW (first 50) =================
     # Per the r8 verdict items 2+8: (a) flagship first (entry() smoke),
-    # (b) the round-9 surface addition s23_change_feed_cdc (first driver
-    # row), (c) the two plans materially changed in r9 — the embedding
-    # near-dup verify is now cogrouped block matmuls, and dq7 grew the
-    # empty-snapshot raise_error guard — fresh verdicts required by the
-    # repo's own changed-plan rule, (d) the ENTIRE remaining r3 block
-    # (41) + the 5 r4 rows: after this window no query's latest green
-    # row is older than r5. 4 + 46 = 50 exactly.
+    # (b) the round-9 surface additions s23_change_feed_cdc and
+    # l2_semantic_neardup_cells (first driver rows), (c) the embedding
+    # near-dup verify — materially changed in r9 (cogrouped block
+    # matmuls) — per the repo's changed-plan rule, (d) the ENTIRE
+    # remaining r3 block (41) + the 5 r4 rows: after this window no
+    # query's latest green row is older than r5. 4 + 46 = 50 exactly.
+    # (dq7's raise_error-guard change sits at position 51: its r8 row is
+    # fresh, the guard is oracle-neutral and session-contract-verified,
+    # and the two brand-new queries outrank it for window slots.)
     "flagship",
     "s23_change_feed_cdc",
+    "l2_semantic_neardup_cells",
     "l2_embedding_neardup_pairs",
-    "dq7_snapshot_drift",
     "l2_dedup_clusters",
     "l4_token_stats",
     "scd2_customer_segment",
@@ -91,8 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     "t13_stream_semi_join",
     "l3_ivf_persisted_multiquery",
     # ================= PAST THE CUT (positions 51+) ================
-    # r10 rotation order: oldest-green-row-first (r5 block, then r6,
-    # r7), with the r8-window block (freshest currency) at the end.
+    # r10 rotation order: dq7 first (its guard change re-verifies next
+    # round), then oldest-green-row-first (r5 block, then r6, r7), with
+    # the r8-window block (freshest currency) at the end.
+    "dq7_snapshot_drift",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "s10_clustered_compact_scan",

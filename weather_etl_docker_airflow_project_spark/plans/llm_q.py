@@ -403,6 +403,50 @@ def l2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_semantic_neardup_cells",
+    oracle="""
+    WITH c AS (SELECT vec_id, {QV} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM c WHERE vec_id % 125 = 0),
+    assign AS (
+      SELECT c.vec_id, c.qv, s.sid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {DOT_CS} DESC, s.sid ASC) AS rn
+      FROM c, seeds s),
+    cells AS (SELECT vec_id, qv, sid AS cell FROM assign WHERE rn = 1)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           {DOT_LR} AS dot_q, l.cell AS cell
+    FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+    WHERE {DOT_LR} >= {THR}
+    """.format(
+        QV=_QUANT_VEC,
+        DOT_CS="CAST(list_dot_product(c.qv::DOUBLE[], s.sv::DOUBLE[]) "
+        "AS BIGINT)",
+        DOT_LR="CAST(list_dot_product(l.qv::DOUBLE[], r.qv::DOUBLE[]) "
+        "AS BIGINT)",
+        THR=int(0.40 * similarity.QUANT * similarity.QUANT),
+    ),
+    tags=("L2", "L3"),
+)
+def l2_semantic_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CELL-SCOPED semantic near-dup (operators/similarity.
+    semantic_neardup_cells) — the SemDeDup-style 100 TB shape the decade
+    run prescribes for low-threshold embedding dedup: deterministic IVF
+    cell assignment (seeds = every 125th id, exact max-dot, smallest-sid
+    ties — the same quantizer every l3_ivf query oracles), then EXACT
+    within-cell pairs at dot >= 0.40 via the shared block-matmul kernel.
+    Cell-boundary pairs are out of scope BY DECLARED SEMANTICS (the
+    linear-work trade; the banded l2_embedding_neardup_pairs covers the
+    global-scope need), so the oracle is exact: restate the assignment
+    and the within-cell self-join. Expected cell size stays ~125 as the
+    corpus grows — total pair work ~N x 125, linear."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_neardup_cells(
+        emb, threshold=0.40, seed_modulus=125
+    )
+
+
+@query(
     "l2_neardup_pipeline",
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
