@@ -173,6 +173,7 @@ HEADLINE = [
     # round-9 additions
     "s23_change_feed_cdc",
     "l2_semantic_neardup_cells",
+    "s24_compaction_roundtrip",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

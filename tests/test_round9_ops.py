@@ -195,3 +195,58 @@ def test_semantic_cells_salting_path_identical(spark):
         similarity.semantic_neardup_cells(emb, threshold=0.40, block_rows=16)
     )
     assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# compact (OPTIMIZE)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_shrinks_files_preserves_data_and_history(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        compact,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit(
+            spark.range(i * 100, (i + 1) * 100)
+            .withColumnRenamed("id", "k")
+            .repartition(8),
+            mode="append" if i else "overwrite",
+        )
+    before = sorted(r["k"] for r in t.read().collect())
+    rep = compact(t)
+    assert rep.files_after < rep.files_before
+    assert rep.files_after == 1  # tiny data -> one right-sized file
+    assert sorted(r["k"] for r in t.read().collect()) == before
+    # time travel to a pre-compaction version still works (immutability)
+    assert t.read(version=2).count() == 200
+    # the compaction is a normal overwrite commit: file-level changes
+    # refuse the range...
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_changes(v_from=rep.version - 1)
+
+
+def test_compact_cdc_feed_sees_zero_changes(spark, tmp_path):
+    """The defining invariant: compaction rewrites layout, not rows —
+    a keyed CDC consumer crossing the compaction commit sees a version
+    bump and an EMPTY diff."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        compact,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]).repartition(4))
+    t.commit(_mk(spark, [(3, "c")]).repartition(4), mode="append")
+    rep = compact(t)
+    assert _feed(t, v_from=rep.version - 1, keys=["k"]) == []
+
+
+def test_compact_empty_table_raises(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        compact,
+    )
+
+    with pytest.raises(ValueError, match="no commits"):
+        compact(VersionedTable(spark, str(tmp_path / "t")))

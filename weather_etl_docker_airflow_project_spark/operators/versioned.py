@@ -273,6 +273,70 @@ class VersionedTable:
         return out
 
 
+class _CompactReport:
+    def __init__(self, version: int, files_before: int, files_after: int):
+        self.version = version
+        self.files_before = files_before
+        self.files_after = files_after
+
+
+def compact(
+    table: VersionedTable, target_file_bytes: int = 128 * 1024 * 1024
+) -> _CompactReport:
+    """OPTIMIZE for :class:`VersionedTable` — the small-file compaction
+    completing the lakehouse lifecycle (commit → read → time-travel →
+    change feed → CDC → vacuum → COMPACT). Many small appends leave the
+    latest version scattered across tiny parquet fragments; at 100 TB
+    that is the classic small-file problem (every scan pays per-file
+    open/footer costs, the driver pays per-file listing). Compaction
+    reads the latest snapshot, coalesces it to
+    ``ceil(bytes / target_file_bytes)`` partitions, and publishes the
+    rewrite as a normal OVERWRITE commit — one new batch dir, identical
+    rows.
+
+    Everything rides the existing commit machinery, so every invariant
+    holds by construction: old versions stay readable (immutability),
+    concurrent writers CAS on the manifest, a torn compaction leaves no
+    visible version, and :func:`vacuum` retires the fragment dirs once
+    the retention window passes. Because the rewrite changes NO rows,
+    ``read_changes_cdc`` across the compaction commit emits an EMPTY
+    keyed diff (pytest-pinned) — consumers see a version bump, zero
+    changes; file-level ``read_changes`` refuses the range exactly as
+    for any overwrite (correct: the delta is not an append set).
+
+    ``coalesce`` (narrow, no shuffle), not ``repartition``: merging
+    fragments needs no redistribution, and a full shuffle of a 100 TB
+    table to fix file sizes would be the tail wagging the dog. The
+    trade — coalesced partitions inherit input skew — is acceptable for
+    a maintenance job whose goal is fewer, bigger files. Sizing walks
+    the local filesystem (the FS-listing cost every OPTIMIZE pays; on
+    HDFS/S3 swap in the FileSystem API)."""
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    dirs = table._manifest(committed[-1])
+    total_bytes = 0
+    n_files = 0
+    for d in dirs:
+        for root, _sub, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total_bytes += os.path.getsize(os.path.join(root, f))
+                    n_files += 1
+    n_parts = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = table.read()
+    version = table.commit(df.coalesce(n_parts), mode="overwrite")
+    after_dirs = table._manifest(version)
+    n_after = sum(
+        1
+        for d in after_dirs
+        for _root, _sub, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return _CompactReport(version, n_files, n_after)
+
+
 class _VacuumReport:
     def __init__(self, dropped_versions: list[int], removed_dirs: list[str]):
         self.dropped_versions = dropped_versions

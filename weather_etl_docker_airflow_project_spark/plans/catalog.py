@@ -33,18 +33,21 @@ from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 _PRIORITY: tuple[str, ...] = (
     # ================= ROUND-9 WINDOW (first 50) =================
     # Per the r8 verdict items 2+8: (a) flagship first (entry() smoke),
-    # (b) the round-9 surface additions s23_change_feed_cdc and
-    # l2_semantic_neardup_cells (first driver rows), (c) the embedding
-    # near-dup verify — materially changed in r9 (cogrouped block
-    # matmuls) — per the repo's changed-plan rule, (d) the ENTIRE
-    # remaining r3 block (41) + the 5 r4 rows: after this window no
-    # query's latest green row is older than r5. 4 + 46 = 50 exactly.
+    # (b) the three round-9 surface additions — s23_change_feed_cdc,
+    # l2_semantic_neardup_cells, s24_compaction_roundtrip — each needing
+    # its FIRST driver row, (c) the embedding near-dup verify —
+    # materially changed in r9 (cogrouped block matmuls) — per the
+    # repo's changed-plan rule, (d) the remaining r3 block (41) + 4 of
+    # the 5 r4 rows: after this window no query's latest green row is
+    # older than r4, and only ONE (l3_ivf_persisted_multiquery, see
+    # below) is older than r5. 5 + 45 = 50 exactly.
     # (dq7's raise_error-guard change sits at position 51: its r8 row is
     # fresh, the guard is oracle-neutral and session-contract-verified,
-    # and the two brand-new queries outrank it for window slots.)
+    # and the brand-new queries outrank it for window slots.)
     "flagship",
     "s23_change_feed_cdc",
     "l2_semantic_neardup_cells",
+    "s24_compaction_roundtrip",
     "l2_embedding_neardup_pairs",
     "l2_dedup_clusters",
     "l4_token_stats",
@@ -91,12 +94,16 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q13_customer_distribution",
     "tpch_q22_global_sales_opportunity",
     "t13_stream_semi_join",
-    "l3_ivf_persisted_multiquery",
     # ================= PAST THE CUT (positions 51+) ================
     # r10 rotation order: dq7 first (its guard change re-verifies next
-    # round), then oldest-green-row-first (r5 block, then r6, r7), with
-    # the r8-window block (freshest currency) at the end.
+    # round), then l3_ivf_persisted_multiquery (the one r4 row displaced
+    # by s24's first-driver-row slot — it re-MATCHed twice in the r9
+    # session contract runs and was re-measured at 4 scales, so its
+    # hard-signal debt is the smallest in the stale block), then
+    # oldest-green-row-first (r5, r6, r7), with the r8-window block
+    # (freshest currency) at the end.
     "dq7_snapshot_drift",
+    "l3_ivf_persisted_multiquery",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "s10_clustered_compact_scan",

@@ -1155,6 +1155,53 @@ def s23_change_feed_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s24_compaction_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_sum
+    FROM orders
+    """,
+    tags=("S24", "S20"),
+)
+def s24_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/compaction for the versioned table
+    (operators/versioned.compact): orders lands as SIX append commits,
+    each deliberately fragmented (repartition(8) → ~48 small parquet
+    files — the small-file problem every long-lived append table
+    accretes), then one compact() rewrites the snapshot as a normal
+    overwrite commit with coalesced right-sized files. The declared
+    output reads the COMPACTED version — count, key checksum, exact
+    DECIMAL price sum — and the oracle recomputes from the source
+    table, so any row lost/duplicated/mutated by the rewrite
+    hash-fails. Physical-layout assertions (file count actually
+    shrinks, old versions stay readable, read_changes_cdc across the
+    compaction emits ZERO changes) are pytest-gated in
+    tests/test_round9_ops.py — file counts are engine-specific and
+    don't belong in a cross-engine oracle."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, compact
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vcmp_"), "orders_v"))
+    for i in range(6):
+        t.commit(
+            o.filter(F.col("o_orderkey") % 6 == i).repartition(8),
+            mode="append" if i else "overwrite",
+        )
+    compact(t)
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_sum"),
+    )
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
