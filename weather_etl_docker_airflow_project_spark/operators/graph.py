@@ -106,7 +106,11 @@ def pagerank_fixed_point(
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
-def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    broadcast_adj: bool = False,
+    max_broadcast_edges: int = 8_000_000,
+) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
     ``edges`` must be the canonical deduplicated edge table ``(a, b)``
@@ -146,6 +150,13 @@ def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
     1.2M-edge sf0.1 co-purchase graph). Leave False for web-scale |V|
     (the attaches then co-shuffle on ``src``/``dst``).
 
+    The hint is GATED on the measured edge count (r9 — the 30x decade
+    run caught the naked hint OOMing the broadcast build): the
+    adjacency payload totals |E| longs regardless of |V|, so past
+    ``max_broadcast_edges`` (default 8M ~ 64 MB of array entries) the
+    hint is ignored and the attaches co-shuffle. The count is ~free:
+    the oriented table was just localCheckpoint-materialized.
+
     Returns ``(node, n_triangles)`` — nodes that close at least one
     triangle, exact BIGINT counts (order-free, hash-exact vs a SQL
     oracle restating the same orientation).
@@ -163,8 +174,13 @@ def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
     keyed = deg.select("n", F.expr("d * 4294967296 + n").alias("key"))
     ka, kb = keyed.alias("ka"), keyed.alias("kb")
+    # merge hints (r9 — the 30x decade run caught it): past the explode
+    # + distinct, the EDGE table's static size estimate collapses and
+    # the planner broadcast e itself (a ~600 MB hashed relation at 36M
+    # edges — broadcast-build OOM). Sort-merge is spillable either way
+    # round; AQE's measured runtime stats keep small graphs cheap.
     oriented = (
-        e.join(ka, F.col("a") == F.col("ka.n"))
+        e.hint("merge").join(ka, F.col("a") == F.col("ka.n"))
         .join(kb, F.col("b") == F.col("kb.n"))
         .select(
             F.when(F.col("ka.key") < F.col("kb.key"), F.col("a")).otherwise(F.col("b")).alias("src"),
@@ -174,7 +190,7 @@ def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     adj_u = adj.select(F.col("src"), F.col("nbrs").alias("u_nbrs"))
     adj_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("v_nbrs"))
-    if broadcast_adj:
+    if broadcast_adj and oriented.count() <= max_broadcast_edges:
         adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
     tri_e = (
         oriented.select("src", "dst")

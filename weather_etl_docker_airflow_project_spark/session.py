@@ -48,7 +48,17 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep broadcast joins available for dimension tables.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] is driver == all 32 executor threads in ONE JVM: heap
+        # must cover 32 concurrent task sort/hash buffers plus pinned
+        # localCheckpoint blocks. 8g (the small-SF default through r8)
+        # tipped over at the 30x decade scale — a long bench session's
+        # accumulated checkpoints plus one 36M-edge orientation killed
+        # the context. 32g is still a quarter of the host; a real
+        # cluster splits this across executors and the number is per
+        # -executor ordinary.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
