@@ -27,6 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Bench-host heap sizing (NOT the library default, which stays 8g): a
+# long bench session's accumulated localCheckpoints plus the decade-scale
+# inputs need the bigger heap; see session._default_driver_mem.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 from weather_etl_docker_airflow_project_spark.plans import catalog  # noqa: E402
 from weather_etl_docker_airflow_project_spark.session import build_session  # noqa: E402
 

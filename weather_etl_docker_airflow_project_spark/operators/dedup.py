@@ -550,13 +550,20 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa.hint("merge"), "id_a")
         .join(sb.hint("merge"), "id_b")
         .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
         .select("id_a", "id_b", "inter", "uni")
+        # materialize the (small) pair table so the corpus-sized shingle
+        # cache can free NOW instead of pinning for the session — the
+        # similarity.py cache-hygiene rule (pinned per-call caches evict
+        # longer-lived persisted tables)
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def fuzzy_blocked_pairs(
@@ -636,14 +643,19 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
     sub_sz = sizes.select(F.col(id_col).alias("id_sub"), F.col("n_sh").alias("n_sub"))
-    return (
+    out = (
         inter.join(sub_sz.hint("merge"), "id_sub")
         .filter(
             (F.col("n_sub") >= min_shingles)
             & (100 * F.col("inter") >= threshold_pct * F.col("n_sub"))
         )
         .select("id_sub", "id_sup", "inter", F.col("n_sub").cast("long"))
+        # see ngram_jaccard_pairs: checkpoint the small pair table so the
+        # corpus-sized shingle cache frees per-invocation
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def band_index_path(sf_dir: str) -> str:

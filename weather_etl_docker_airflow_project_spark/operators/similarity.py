@@ -730,10 +730,11 @@ def ivf_cells(
     multiply). Assignment is now ONE zero-shuffle Arrow map stage: the
     seed matrix (bounded driver collect, ``max_seeds``-capped exactly
     like ``pq_search``'s ``max_fit_rows``) rides the UDF closure sorted
-    by sid ascending, each batch scores via an exact int64 numpy matmul,
-    and ``argmax`` — first occurrence wins — reproduces the
-    max-dot/smallest-sid tie rule byte-exactly, so the SQL oracles never
-    change. Dots are |QUANT²|·dim ≤ 2^46·64 < 2^63: no overflow."""
+    by sid ascending, each batch scores via a float64 BLAS matmul whose
+    dots stay EXACT integers (components guarded |q| <= 1.1e7, so every
+    64-term dot < 2^53 — see :func:`_cell_assign_udf`), and ``argmax`` —
+    first occurrence wins — reproduces the max-dot/smallest-sid tie rule
+    byte-exactly, so the SQL oracles never change."""
     seeds = (
         embeddings.filter(F.col(id_col) % seed_modulus == 0)
         .select(F.col(id_col).alias("sid"), quantize(F.col(vec_col)).alias("sv"))
@@ -761,8 +762,8 @@ def ivf_cells(
 def _cell_assign_udf(seed_rows):
     """The shared zero-shuffle IVF assignment kernel: given the collected
     (sid, sv) seed rows SORTED BY sid ASCENDING, return a pandas_udf that
-    maps a quantized vector to its max-dot cell — one exact int64 numpy
-    matmul per Arrow batch, ``argmax`` first-occurrence-wins reproducing
+    maps a quantized vector to its max-dot cell — one exact-integer
+    float64 matmul per Arrow batch, ``argmax`` first-occurrence-wins reproducing
     the max-dot/smallest-sid tie rule byte-exactly (the SQL oracles never
     change). Used by the BUILD path (:func:`ivf_cells`) and the GROW path
     (:func:`ivf_add`) so both assign identically by construction.
@@ -777,12 +778,26 @@ def _cell_assign_udf(seed_rows):
     sv_mat = np.stack(
         [np.array(r["sv"], dtype=np.float64) for r in seed_rows]
     )
+    # same float64-exactness guard as blocked_pairs_within: a component
+    # past 1.1e7 would make dots inexact in float64 and silently corrupt
+    # the max-dot/smallest-sid tie-break vs the SQL oracles — check the
+    # seed matrix once here, each Arrow batch below
+    if len(sv_mat) and np.abs(sv_mat).max() > 1.1e7:
+        raise ValueError(
+            "_cell_assign_udf: quantized seed component exceeds 1.1e7 — "
+            "float64 dot exactness bound violated"
+        )
 
     @F.pandas_udf("long")
     def _cell(qv: pd.Series) -> pd.Series:
         if not len(qv):
             return pd.Series([], dtype="int64")
         m = np.stack(qv.to_numpy()).astype(np.float64)
+        if np.abs(m).max() > 1.1e7:
+            raise ValueError(
+                "_cell_assign_udf: quantized vector component exceeds "
+                "1.1e7 — float64 dot exactness bound violated"
+            )
         return pd.Series(sid_arr[(m @ sv_mat.T).argmax(axis=1)])
 
     return _cell
@@ -1253,6 +1268,7 @@ def ivf_add(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_seeds: int = 65536,
 ) -> None:
     """Incremental IVF index maintenance: assign NEW vectors to the
     EXISTING seed centroids (read from the index's own ``seeds`` table —
@@ -1292,12 +1308,15 @@ def ivf_add(
     grown index stays byte-identical to a one-shot build because both
     paths share the same kernel by construction."""
     seeds = spark.read.parquet(index_path + "/seeds").orderBy("sid")
-    # bounded collect: the build capped seeds at max_seeds; re-assert on
-    # read-back so a hand-built oversized index fails loudly, not slowly
-    seed_rows = seeds.limit(65537).collect()
-    if len(seed_rows) > 65536:
+    # bounded collect: the build capped seeds at its max_seeds; re-assert
+    # the SAME cap on read-back so a hand-built oversized index fails
+    # loudly, not slowly — an index legitimately built with
+    # ivf_cells(max_seeds=N) stays growable by passing the same N here
+    seed_rows = seeds.limit(max_seeds + 1).collect()
+    if len(seed_rows) > max_seeds:
         raise ValueError(
-            f"ivf_add: index at {index_path} has >65536 seeds — rebuild "
+            f"ivf_add: index at {index_path} has >{max_seeds} seeds — "
+            "pass the max_seeds the index was built with, or rebuild "
             "with a larger seed_modulus (cells should grow ~sqrt(corpus))"
         )
     existing_ids = spark.read.parquet(index_path + "/cells").select(

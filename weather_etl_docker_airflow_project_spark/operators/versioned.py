@@ -61,7 +61,12 @@ class VersionedTable:
         with open(os.path.join(self._versions, str(version))) as f:
             return [line.strip() for line in f if line.strip()]
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        expected_base_version: int | None = None,
+    ) -> int:
         """Write ``df`` as a new immutable batch and publish the next
         version. ``mode='append'`` extends the previous version's
         manifest; ``mode='overwrite'`` starts the new version from just
@@ -75,11 +80,36 @@ class VersionedTable:
         REPLACE the winner's manifest and lose its batch from every
         later version. Requires a store with atomic put-if-absent
         (POSIX link, HDFS create, S3 If-None-Match / DynamoDB lock —
-        the same substrate Delta's commit protocol needs)."""
+        the same substrate Delta's commit protocol needs).
+
+        ``expected_base_version`` is the read-modify-write guard: a
+        writer that READ version B to produce ``df`` (compaction, any
+        future MERGE) passes B, and the commit publishes B+1 or raises
+        :class:`ConcurrentCommitError` — never a later number. Without
+        it, a concurrent append landing between that writer's read and
+        its publish would get a LOWER version than the rewrite, and the
+        rewrite's snapshot would silently drop the append's rows (the
+        exact conflict Delta's OPTIMIZE detects). Pinning the version
+        number makes the ``os.link`` CAS itself the conflict detector:
+        the interloper's B+1 manifest makes ours lose the link race.
+        Blind appends (no read dependency) keep passing None — they
+        commute with any interleaving, so last-reader-wins numbering is
+        correct for them."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         existing = self.versions()
-        version = (existing[-1] + 1) if existing else 1
+        if expected_base_version is not None:
+            base = existing[-1] if existing else 0
+            if base != expected_base_version:
+                raise ConcurrentCommitError(
+                    f"commit at {self.dir} expected base version "
+                    f"{expected_base_version} but latest is {base}: a "
+                    "concurrent commit landed after this writer's read; "
+                    "re-read and retry"
+                )
+            version = expected_base_version + 1
+        else:
+            version = (existing[-1] + 1) if existing else 1
         batch = os.path.join(self._data, f"batch_{version}_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(batch)
         dirs = (
@@ -295,10 +325,17 @@ def compact(
     rows.
 
     Everything rides the existing commit machinery, so every invariant
-    holds by construction: old versions stay readable (immutability),
-    concurrent writers CAS on the manifest, a torn compaction leaves no
-    visible version, and :func:`vacuum` retires the fragment dirs once
-    the retention window passes. Because the rewrite changes NO rows,
+    holds by construction: old versions stay readable (immutability), a
+    torn compaction leaves no visible version, and :func:`vacuum`
+    retires the fragment dirs once the retention window passes.
+    Compaction is a READ-MODIFY-WRITE, so the bare manifest CAS is not
+    enough on its own: a concurrent append landing between our read and
+    our publish would take a lower version number and be silently erased
+    by the rewrite's snapshot. The base version captured before the read
+    is therefore passed as ``expected_base_version`` — the commit
+    publishes exactly base+1 or raises :class:`ConcurrentCommitError`
+    (rows unchanged by definition, so retrying compact() is always
+    safe) — the same conflict rule Delta's OPTIMIZE enforces. Because the rewrite changes NO rows,
     ``read_changes_cdc`` across the compaction commit emits an EMPTY
     keyed diff (pytest-pinned) — consumers see a version bump, zero
     changes; file-level ``read_changes`` refuses the range exactly as
@@ -314,7 +351,8 @@ def compact(
     committed = table.versions()
     if not committed:
         raise ValueError(f"versioned table at {table.dir} has no commits")
-    dirs = table._manifest(committed[-1])
+    base_version = committed[-1]
+    dirs = table._manifest(base_version)
     total_bytes = 0
     n_files = 0
     for d in dirs:
@@ -324,8 +362,12 @@ def compact(
                     total_bytes += os.path.getsize(os.path.join(root, f))
                     n_files += 1
     n_parts = max(1, -(-total_bytes // target_file_bytes))  # ceil
-    df = table.read()
-    version = table.commit(df.coalesce(n_parts), mode="overwrite")
+    df = table.read(version=base_version)
+    version = table.commit(
+        df.coalesce(n_parts),
+        mode="overwrite",
+        expected_base_version=base_version,
+    )
     after_dirs = table._manifest(version)
     n_after = sum(
         1

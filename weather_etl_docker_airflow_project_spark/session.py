@@ -21,6 +21,23 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem() -> str:
+    """Library-default driver heap: 8g, never more than half of detected
+    system memory (floor 2g). Small-SF tests and sf0.01 runs fit in 8g;
+    hosts below ~16 GB get a heap the OS can actually grant instead of
+    an OOM-kill under load. Decade-scale harnesses opt into more via
+    SPARK_GRAFT_DRIVER_MEM — a bench-host sizing, not a library one."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(8, total_gb // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def build_session(
     app_name: str = "weather-etl-spark-engine",
     master: str | None = None,
@@ -50,14 +67,17 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local[32] is driver == all 32 executor threads in ONE JVM: heap
         # must cover 32 concurrent task sort/hash buffers plus pinned
-        # localCheckpoint blocks. 8g (the small-SF default through r8)
-        # tipped over at the 30x decade scale — a long bench session's
-        # accumulated checkpoints plus one 36M-edge orientation killed
-        # the context. 32g is still a quarter of the host; a real
-        # cluster splits this across executors and the number is per
-        # -executor ordinary.
+        # localCheckpoint blocks. The LIBRARY default stays 8g — enough
+        # for every test/sf0.01 path and safe on small hosts (a 32g
+        # default would get the JVM OOM-killed on a <32 GB container).
+        # The decade-scale harnesses (bench.py, tools/measure_*) export
+        # SPARK_GRAFT_DRIVER_MEM=32g themselves: 8g tipped over at the
+        # 30x decade (accumulated checkpoints + one 36M-edge
+        # orientation), but that is a bench-host sizing, not a library
+        # policy. On a real cluster this is per-executor ordinary.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
         .config("spark.ui.enabled", "false")
     )
