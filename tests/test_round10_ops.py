@@ -21,6 +21,13 @@ def _mk(spark, rows):
     return spark.createDataFrame(rows, ["k", "v"])
 
 
+def _feed(t, **kw):
+    return sorted(
+        (r["k"], r["change_type"], r["commit_version"])
+        for r in t.read_changes_cdc(**kw).collect()
+    )
+
+
 # ---------------------------------------------------------------------------
 # commit(expected_base_version=...) — read-modify-write guard
 # ---------------------------------------------------------------------------
@@ -141,3 +148,102 @@ def test_pair_builders_release_shingle_cache(spark, fn):
     # exactly the checkpointed result may remain pinned; the shingle
     # cache (a second, corpus-sized entry) must be gone
     assert len(new) <= 1
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert (MERGE INTO)
+# ---------------------------------------------------------------------------
+
+
+def _merge_mod():
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        merge_upsert,
+    )
+
+    return merge_upsert
+
+
+def test_merge_updates_inserts_and_carries_over(spark, tmp_path):
+    merge_upsert = _merge_mod()
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v = merge_upsert(t, _mk(spark, [(2, "B!"), (9, "new")]), keys=["k"])
+    assert v == 2
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, "a"),  # carried over
+        (2, "B!"),  # updated
+        (3, "c"),  # carried over
+        (9, "new"),  # inserted
+    }
+    # time travel: the pre-merge snapshot is intact
+    assert {(r["k"], r["v"]) for r in t.read(version=1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # keyed CDC across the merge sees exactly the update + insert
+    feed = _feed(t, v_from=1, keys=["k"], compare_cols=["v"])
+    assert feed == [(2, "update", 2), (9, "insert", 2)]
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    merge_upsert = _merge_mod()
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="duplicate merge-key"):
+        merge_upsert(t, _mk(spark, [(2, "x"), (2, "y")]), keys=["k"])
+
+
+def test_merge_schema_mismatch_raises(spark, tmp_path):
+    merge_upsert = _merge_mod()
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(1, "a", 0)], ["k", "v", "extra"])
+    with pytest.raises(ValueError, match="must equal"):
+        merge_upsert(t, bad, keys=["k"])
+
+
+def test_merge_detects_concurrent_append(spark, tmp_path, monkeypatch):
+    """Same read-modify-write race as compact: an append landing between
+    the merge's read and its publish fails the merge, its rows survive."""
+    merge_upsert = _merge_mod()
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    other = VersionedTable(spark, str(tmp_path / "t"))
+    real_read = t.read
+
+    def read_with_interloper(version=None):
+        other.commit(_mk(spark, [(99, "z")]), mode="append")
+        return real_read(version=version)
+
+    monkeypatch.setattr(t, "read", read_with_interloper)
+    with pytest.raises(ConcurrentCommitError):
+        merge_upsert(t, _mk(spark, [(1, "A!")]), keys=["k"])
+    latest = {(r["k"], r["v"]) for r in other.read().collect()}
+    assert latest == {(1, "a"), (99, "z")}
+    # retry against the new base applies the update and keeps the append
+    monkeypatch.setattr(t, "read", real_read)
+    merge_upsert(t, _mk(spark, [(1, "A!")]), keys=["k"])
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, "A!"), (99, "z")}
+
+
+def test_semantic_dedup_keep_contract(spark):
+    """Every corpus vector appears exactly once; kept iff it is its
+    cluster's minimum (or a singleton); dropped rows point at a kept
+    canonical in the same cluster."""
+    from weather_etl_docker_airflow_project_spark.plans.llm_q import (
+        l2_semantic_dedup_keep,
+    )
+
+    rows = l2_semantic_dedup_keep(spark, "/root/testdata/sf0.001").collect()
+    n_emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert len(rows) == n_emb
+    assert len({r["vec_id"] for r in rows}) == n_emb
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1 and kept[0]["vec_id"] == cid == min(
+            m["vec_id"] for m in members
+        )

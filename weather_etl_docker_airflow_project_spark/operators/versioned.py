@@ -427,3 +427,70 @@ def vacuum(table: VersionedTable, retain_versions: int = 1) -> _VacuumReport:
                 shutil.rmtree(full)
                 removed.append(full)
     return _VacuumReport(drop, removed)
+
+
+def merge_upsert(
+    table: VersionedTable,
+    source: DataFrame,
+    keys: list[str],
+    validate_source_keys: bool = True,
+) -> int:
+    """MERGE INTO for :class:`VersionedTable` — row-level upsert with
+    lakehouse semantics (Delta's ``WHEN MATCHED THEN UPDATE SET * WHEN
+    NOT MATCHED THEN INSERT *``; reference parity: the anti-join upsert
+    at ``operators/upsert.py`` re-expresses the DAG's per-record
+    INSERT-or-skip, and this is its update-capable lakehouse twin).
+
+    Copy-on-write, one declarative plan: the new snapshot is
+    ``source UNION (target LEFT ANTI source ON keys)`` — matched target
+    rows are replaced wholesale by their source row, unmatched source
+    rows are inserted, everything else carries over. One shuffle on the
+    merge keys (the anti join); at 100 TB both sides hash-partition on
+    the same keys and AQE handles skew, exactly like any big equi-join.
+    A key-bucketed table layout would make it co-located; partial-file
+    rewrite (only files containing matched keys, Delta's actual
+    copy-on-write) is the refinement when the matched set is sparse —
+    the commit contract is identical.
+
+    Read-modify-write safety: the base version is captured BEFORE the
+    target read and pinned through ``expected_base_version``, so a
+    concurrent append landing mid-merge fails THIS commit with
+    :class:`ConcurrentCommitError` (re-run to retry against the new
+    base) instead of being silently erased by the rewrite — the same
+    conflict rule as :func:`compact`.
+
+    ``validate_source_keys``: Delta raises when multiple source rows
+    match one target row (the merge would be ambiguous); one count
+    vs distinct-count job enforces the same contract here.
+    """
+    if not keys:
+        raise ValueError("merge_upsert needs at least one merge key")
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    base_version = committed[-1]
+    target = table.read(version=base_version)
+    missing = [k for k in keys if k not in source.columns]
+    if missing or set(source.columns) != set(target.columns):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} must equal "
+            f"target columns {sorted(target.columns)} and contain the "
+            f"merge keys {keys}"
+        )
+    if validate_source_keys:
+        from pyspark.sql import functions as F
+
+        n, nd = source.agg(
+            F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+        ).first()
+        if n != nd:
+            raise ValueError(
+                f"merge source has {n - nd} duplicate merge-key rows: a "
+                "target row would match multiple source rows (ambiguous "
+                "merge, the Delta error contract)"
+            )
+    survivors = target.join(source.select(*keys), keys, "left_anti")
+    merged = source.select(*target.columns).unionByName(survivors)
+    return table.commit(
+        merged, mode="overwrite", expected_base_version=base_version
+    )

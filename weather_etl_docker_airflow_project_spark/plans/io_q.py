@@ -1202,6 +1202,51 @@ def s24_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s25_versioned_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 4 <> 0),
+    src AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus FROM orders
+      WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, o_orderstatus FROM src
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+    """,
+    tags=("S25", "S20", "J5"),
+)
+def s25_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the versioned table (operators/versioned.
+    merge_upsert — Delta's WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+    INSERT *, the update-capable twin of the reference's per-record
+    INSERT-or-skip upsert at operators/upsert.py; reference behavior:
+    ``airflow/dags/weather_etl.py`` dedup-insert into MySQL): the target
+    starts as orders minus every 4th key, the source is every 3rd key
+    with o_orderstatus rewritten to 'M' — so %3-and-not-%4 keys are
+    UPDATES (replaced wholesale), %3-and-%4 keys are INSERTS, the rest
+    carry over untouched. One anti-join shuffle on the merge key builds
+    the new snapshot; the commit pins expected_base_version so a
+    concurrent append mid-merge fails loudly instead of being erased
+    (conflict + duplicate-source-key contracts pytest-gated in
+    tests/test_round10_ops.py). The oracle restates the merged snapshot
+    set-theoretically from the source table; any row lost, duplicated,
+    or left un-updated by the rewrite hash-fails."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vmrg_"), "orders_v"))
+    t.commit(o.filter(F.col("o_orderkey") % 4 != 0))
+    src = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_orderstatus", F.lit("M")
+    )
+    merge_upsert(t, src, keys=["o_orderkey"])
+    return t.read().select("o_orderkey", "o_orderstatus")
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",

@@ -447,6 +447,76 @@ def l2_semantic_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_semantic_dedup_keep",
+    oracle="""
+    WITH RECURSIVE c AS (SELECT vec_id, {QV} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM c WHERE vec_id % 125 = 0),
+    assign AS (
+      SELECT c.vec_id, c.qv, s.sid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {DOT_CS} DESC, s.sid ASC) AS rn
+      FROM c, seeds s),
+    cells AS (SELECT vec_id, qv, sid AS cell FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+      WHERE {DOT_LR} >= {THR}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(cc.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(cc.cluster_id, e.vec_id) = e.vec_id AS kept
+    FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
+    """.format(
+        QV=_QUANT_VEC,
+        DOT_CS="CAST(list_dot_product(c.qv::DOUBLE[], s.sv::DOUBLE[]) "
+        "AS BIGINT)",
+        DOT_LR="CAST(list_dot_product(l.qv::DOUBLE[], r.qv::DOUBLE[]) "
+        "AS BIGINT)",
+        THR=int(0.40 * similarity.QUANT * similarity.QUANT),
+    ),
+    tags=("L2", "L6"),
+)
+def l2_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: the full KEEP decision for every corpus
+    vector, not just the near-dup pair list — cell-scoped semantic pairs
+    (similarity.semantic_neardup_cells, the linear-work r9 shape), then
+    connected components via alternating star contraction (O(log^2 n)
+    rounds, operators/components.py) pick one canonical survivor per
+    duplicate cluster (the minimum id — deterministic, oracle-able), and
+    a left join against the id column marks every vector kept/dropped.
+    Singletons keep themselves (cluster_id = own id). This is the row a
+    training-data pipeline actually consumes: filter kept, join back to
+    payloads. Scale: pairs ~N x modulus (linear), CC rounds log-bounded,
+    final join one shuffle on id. The oracle recomputes the same
+    fixpoint with a recursive CTE over the same within-cell pairs."""
+    from ..operators.components import connected_components_star
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_neardup_cells(
+        emb, threshold=0.40, seed_modulus=125
+    ).select("id_a", "id_b")
+    cc = connected_components_star(pairs).withColumnRenamed("doc_id", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+@query(
     "l2_neardup_pipeline",
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}, {_minhash_bands_sql()},
@@ -476,24 +546,38 @@ def l2_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
     sh = dedup.shingles(docs, "doc_id", "text")
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("ls"), F.count("*").alias("n_sh")
+    # Verify wire shape (r10 rework — the sf10 decade's worst
+    # non-quadratic tail at 21.6 s): the old verify collect_set'd every
+    # doc's FULL shingle array and shipped BOTH arrays through the
+    # candidate join — fat rows, re-shipped per candidate pair, and the
+    # array_intersect runs driver-row-at-a-time in codegen. Now the
+    # intersection is a narrow shingle EQUI-join restricted to candidate
+    # pairs: expand each candidate by side-a's shingle rows (|cand| x
+    # avg_shingles small rows), inner-join on (id_b, shingle) — matches
+    # ARE the intersection because shingles() emits distinct shingles
+    # per doc — then count per pair with map-side partial aggregation.
+    # Work stays proportional to candidates; no corpus-pair blowup
+    # because cand (sub-quadratic, banded) drives the expansion. merge
+    # hints on every corpus-derived side (the r9 misbroadcast lesson).
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sha.hint("merge"), "id_a")
+        .join(shb.hint("merge"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    a = sets.select(
-        F.col("doc_id").alias("id_a"), F.col("ls").alias("ls_a"), F.col("n_sh").alias("n_a")
-    )
-    b = sets.select(
-        F.col("doc_id").alias("id_b"), F.col("ls").alias("ls_b"), F.col("n_sh").alias("n_b")
-    )
-    inter = F.size(F.array_intersect(F.col("ls_a"), F.col("ls_b"))).cast("long")
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        inter.join(na.hint("merge"), "id_a")
+        .join(nb.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
-            inter.alias("inter"),
-            (F.col("n_a") + F.col("n_b") - inter).alias("uni"),
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("uni"),
         )
         .filter(F.lit(100) * F.col("inter") >= F.lit(60) * F.col("uni"))
     )
