@@ -548,31 +548,42 @@ def l2_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingles(docs, "doc_id", "text")
     # Verify wire shape (r10 rework — the sf10 decade's worst
     # non-quadratic tail at 21.6 s): the old verify collect_set'd every
-    # doc's FULL shingle array and shipped BOTH arrays through the
-    # candidate join — fat rows, re-shipped per candidate pair, and the
-    # array_intersect runs driver-row-at-a-time in codegen. Now the
-    # intersection is a narrow shingle EQUI-join restricted to candidate
-    # pairs: expand each candidate by side-a's shingle rows (|cand| x
-    # avg_shingles small rows), inner-join on (id_b, shingle) — matches
-    # ARE the intersection because shingles() emits distinct shingles
-    # per doc — then count per pair with map-side partial aggregation.
-    # Work stays proportional to candidates; no corpus-pair blowup
-    # because cand (sub-quadratic, banded) drives the expansion. merge
-    # hints on every corpus-derived side (the r9 misbroadcast lesson).
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    # doc's FULL shingle array and shipped BOTH corpus-sized array
+    # tables through the candidate joins — fat rows for every doc, not
+    # just candidates, and array_intersect over long arrays outside any
+    # vectorized path. Now the corpus leaves the plan FIRST: one
+    # map-side LEFT SEMI (candidate doc-id set broadcast) restricts the
+    # shingle table to candidate docs, after which everything —
+    # intersection as a narrow (id_b, shingle) equi-join (matches ARE
+    # the intersection because shingles() emits distinct shingles per
+    # doc), map-side partial counts, and the size joins (n_sh from the
+    # restricted table is exact: the semi filter is per-doc) — is
+    # proportional to |candidates|, never to the corpus. No join hints:
+    # every post-restriction side carries runtime sizes AQE can see, so
+    # small candidate sets get broadcast joins and a dup-heavy corpus
+    # (|cand| ~ N) degrades to plain hash shuffles on the same plan.
+    cand = cand.localCheckpoint()  # cut the LSH lineage: 3 consumers below
+    cand_docs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        cand.join(sha.hint("merge"), "id_a")
-        .join(shb.hint("merge"), ["id_b", "shingle"])
+        cand.join(shc.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            shc.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(na.hint("merge"), "id_a")
-        .join(nb.hint("merge"), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
