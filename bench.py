@@ -179,6 +179,10 @@ HEADLINE = [
     "s23_change_feed_cdc",
     "l2_semantic_neardup_cells",
     "s24_compaction_roundtrip",
+    "s25_versioned_merge_upsert",
+    "l2_semantic_dedup_keep",
+    "s26_shallow_clone_divergence",
+    "cdc3_replicate_changefeed",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

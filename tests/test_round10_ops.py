@@ -247,3 +247,72 @@ def test_semantic_dedup_keep_contract(spark):
         assert len(kept) == 1 and kept[0]["vec_id"] == cid == min(
             m["vec_id"] for m in members
         )
+
+
+# ---------------------------------------------------------------------------
+# clone (shallow) + replicate_changes (CDC sink)
+# ---------------------------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    import glob
+
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        clone,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    c = clone(t, str(tmp_path / "cl"))
+    # zero-copy: the clone holds NO parquet of its own yet
+    assert glob.glob(str(tmp_path / "cl") + "/data/**/*.parquet", recursive=True) == []
+    assert {(r["k"], r["v"]) for r in c.read().collect()} == {(1, "a"), (2, "b")}
+    # divergence: clone writes stage under the CLONE's data dir and
+    # never disturb the source
+    c.commit(_mk(spark, [(9, "z")]), mode="append")
+    assert glob.glob(str(tmp_path / "cl") + "/data/**/*.parquet", recursive=True)
+    assert {r["k"] for r in c.read().collect()} == {1, 2, 9}
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    # and source writes never disturb the clone
+    t.commit(_mk(spark, [(7, "s")]), mode="append")
+    assert {r["k"] for r in c.read().collect()} == {1, 2, 9}
+
+
+def test_clone_pinned_version_and_occupied_target(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        clone,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.commit(_mk(spark, [(2, "b")]), mode="append")
+    c = clone(t, str(tmp_path / "cl1"), version=1)
+    assert {r["k"] for r in c.read().collect()} == {1}
+    with pytest.raises(ValueError, match="already has commits"):
+        clone(t, str(tmp_path / "cl1"))
+    with pytest.raises(ValueError, match="not committed"):
+        clone(t, str(tmp_path / "cl2"), version=9)
+
+
+def test_replicate_changes_replays_all_change_types(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        clone,
+        replicate_changes,
+    )
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    replica = clone(src, str(tmp_path / "rep"), version=1)
+    # commit 2: append (inserts); commit 3: overwrite with an update
+    # (2 -> B), a delete (3), and an insert (5)
+    src.commit(_mk(spark, [(4, "d")]), mode="append")
+    src.commit(
+        _mk(spark, [(1, "a"), (2, "B"), (4, "d"), (5, "e")]), mode="overwrite"
+    )
+    replicate_changes(src, replica, v_from=1, keys=["k"])
+    want = {(1, "a"), (2, "B"), (4, "d"), (5, "e")}
+    assert {(r["k"], r["v"]) for r in replica.read().collect()} == want
+    # idempotent tail: replaying a no-change range publishes nothing
+    before = replica.versions()
+    replicate_changes(src, replica, v_from=src.versions()[-1], keys=["k"])
+    assert replica.versions() == before

@@ -494,3 +494,117 @@ def merge_upsert(
     return table.commit(
         merged, mode="overwrite", expected_base_version=base_version
     )
+
+
+def clone(
+    table: VersionedTable, target_dir: str, version: int | None = None
+) -> VersionedTable:
+    """SHALLOW CLONE — a new :class:`VersionedTable` whose first version
+    REFERENCES the source's batch dirs, copying zero data (Delta's
+    ``CREATE TABLE ... SHALLOW CLONE``, the zero-copy dev/test-branch
+    primitive; at 100 TB a clone is a metadata write, not a 100 TB
+    copy). The clone's manifest lists the source version's batch dirs
+    verbatim — valid because data files are immutable by the table
+    contract — and subsequent commits to the clone stage their batches
+    under the CLONE's own ``data/``, so writes diverge without ever
+    touching the source (copy-on-write at batch granularity).
+
+    The standard shallow-clone caveat applies and is inherited
+    deliberately: :func:`vacuum` on the SOURCE retires dirs the clone
+    may still reference (Delta documents the same hazard). Deep-clone =
+    clone + :func:`compact` (the rewrite re-homes every row into the
+    clone's own storage).
+    """
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    v = committed[-1] if version is None else version
+    if v not in committed:
+        raise ValueError(
+            f"version {v} not committed at {table.dir} (have {committed})"
+        )
+    target = VersionedTable(table.spark, target_dir)
+    if target.versions():
+        raise ValueError(f"clone target {target_dir} already has commits")
+    dirs = table._manifest(v)
+    os.makedirs(target._versions, exist_ok=True)
+    tmp = os.path.join(target._versions, ".1.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(os.path.realpath(d) for d in dirs) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(target._versions, "1")
+    try:
+        os.link(tmp, final)  # same atomic create-if-absent as commit()
+    except FileExistsError:
+        os.remove(tmp)
+        raise ConcurrentCommitError(
+            f"clone target {target_dir} version 1 was published by "
+            "another writer"
+        ) from None
+    os.remove(tmp)
+    return target
+
+
+def replicate_changes(
+    source: VersionedTable,
+    target: VersionedTable,
+    v_from: int,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> int:
+    """Change-feed CONSUMER: replay the source table's commits after
+    ``v_from`` into ``target`` — the sink half of the CDC story
+    (read_changes_cdc is the producer half; together they are the
+    standard lakehouse replication loop: feed → MERGE per commit).
+    ``target`` must hold the source's ``v_from`` snapshot (start with
+    :func:`clone` + :func:`compact`, or any equal copy).
+
+    Per source commit, in commit order (the feed's per-commit
+    granularity exists exactly for this):
+
+    - ``insert``/``update`` keys are joined back to THAT source
+      version's snapshot for payloads (the feed itself is keys-only —
+      O(changes) rows on the wire; payload attach is one keyed
+      semi-join against the pinned snapshot) and applied with
+      :func:`merge_upsert` — so each replayed commit inherits the
+      read-modify-write conflict guard on the target.
+    - ``delete`` keys are applied as an anti-join overwrite commit,
+      pinned to the target base version the deletes were computed
+      against (same guard).
+
+    Returns the target's final version. Replay cost is O(changed rows +
+    one snapshot semi-join per replayed commit) — never a full-history
+    copy; commits with no changes for a leg publish nothing for it."""
+    from pyspark.sql import functions as F
+
+    feed = source.read_changes_cdc(
+        v_from=v_from, keys=keys, compare_cols=compare_cols
+    )
+    commits = sorted(
+        r["commit_version"]
+        for r in feed.select("commit_version").distinct().collect()
+    )
+    final_version = target.versions()[-1]
+    for v in commits:
+        batch = feed.filter(F.col("commit_version") == v)
+        upsert_keys = batch.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select(*keys)
+        delete_keys = batch.filter(F.col("change_type") == "delete").select(
+            *keys
+        )
+        if upsert_keys.limit(1).count():
+            payload = source.read(version=v).join(
+                upsert_keys, keys, "left_semi"
+            )
+            final_version = merge_upsert(target, payload, keys=keys)
+        if delete_keys.limit(1).count():
+            base = target.versions()[-1]
+            kept = target.read(version=base).join(
+                delete_keys, keys, "left_anti"
+            )
+            final_version = target.commit(
+                kept, mode="overwrite", expected_base_version=base
+            )
+    return final_version

@@ -31,77 +31,29 @@ from . import mining_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-9 WINDOW (first 50) =================
-    # Per the r8 verdict items 2+8: (a) flagship first (entry() smoke),
-    # (b) the three round-9 surface additions — s23_change_feed_cdc,
-    # l2_semantic_neardup_cells, s24_compaction_roundtrip — each needing
-    # its FIRST driver row, (c) the embedding near-dup verify —
-    # materially changed in r9 (cogrouped block matmuls) — per the
-    # repo's changed-plan rule, (d) the remaining r3 block (41) + 4 of
-    # the 5 r4 rows: after this window no query's latest green row is
-    # older than r4, and only ONE (l3_ivf_persisted_multiquery, see
-    # below) is older than r5. 5 + 45 = 50 exactly.
-    # (dq7's raise_error-guard change sits at position 51: its r8 row is
-    # fresh, the guard is oracle-neutral and session-contract-verified,
-    # and the brand-new queries outrank it for window slots.)
+    # ================= ROUND-10 WINDOW (first 50) =================
+    # Head block (10): flagship (entry() smoke), the FOUR round-10
+    # surface additions needing their FIRST driver row
+    # (s25_versioned_merge_upsert, l2_semantic_dedup_keep,
+    # s26_shallow_clone_divergence, cdc3_replicate_changefeed), the four
+    # plans materially CHANGED this round (l2_neardup_pipeline's
+    # candidate-proportional verify + its consumer l2_dedup_clusters;
+    # l2_ngram_jaccard_pairs / l2_containment_pairs now localCheckpoint
+    # + release their shingle caches), s24 (compact() now pins
+    # expected_base_version), and the two documented r9 carryovers
+    # (dq7's guard change, l3_ivf_persisted_multiquery's displaced r4
+    # row). Remaining 40 slots: the rotation in oldest-green-row-first
+    # order (the r5 block) exactly as the r9 list prescribed.
     "flagship",
-    "s23_change_feed_cdc",
-    "l2_semantic_neardup_cells",
-    "s24_compaction_roundtrip",
-    "l2_embedding_neardup_pairs",
+    "s25_versioned_merge_upsert",
+    "l2_semantic_dedup_keep",
+    "s26_shallow_clone_divergence",
+    "cdc3_replicate_changefeed",
+    "l2_neardup_pipeline",
     "l2_dedup_clusters",
-    "l4_token_stats",
-    "scd2_customer_segment",
-    "tpch_q10_returned_items",
-    "j1_inner_segment_revenue",
-    "j2_left_outer_order_counts",
-    "j3_broadcast_nation_rollcall",
-    "j4_semi_customers_with_open_orders",
-    "j6_theta_nation_pairs",
-    "j7_range_value_buckets",
-    "j8_asof_error_after_click",
-    "j9_cross_region_segment_grid",
-    "a1_count_with_predicate",
-    "a3_distinct_status_priority",
-    "a5_rollup_lineitem_status",
-    "a5_grouping_sets_order_mix",
-    "a6_filtered_aggregate",
-    "a7_collect_statuses",
-    "a8_pivot_status_by_priority",
-    "a9_unpivot_status_counts",
-    "a10_exact_percentiles",
-    "a11_value_histogram",
-    "a12_mode_event_type_per_user",
-    "w2_lag_value_delta",
-    "w3_moving_avg_value",
-    "o1_top20_orders",
-    "o4_max_by_customer_per_nation",
-    "u1_union_active_parties",
-    "u2_intersect_custkeys",
-    "u3_except_custkeys",
-    "p3_equality_conjunction",
-    "p5_predicate_suite",
-    "p6_pruned_projection",
-    "p7_decorrelated_subquery",
-    "f5_datetime_suite",
-    "f6_string_suite",
-    "f7_math_suite",
-    "f8_conditional_suite",
-    "l3_ann_lsh_multiquery",
-    "l6_sequence_packing_firstfit",
-    "l3_knn_multiquery",
-    "tpch_q7_volume_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q22_global_sales_opportunity",
-    "t13_stream_semi_join",
-    # ================= PAST THE CUT (positions 51+) ================
-    # r10 rotation order: dq7 first (its guard change re-verifies next
-    # round), then l3_ivf_persisted_multiquery (the one r4 row displaced
-    # by s24's first-driver-row slot — it re-MATCHed twice in the r9
-    # session contract runs and was re-measured at 4 scales, so its
-    # hard-signal debt is the smallest in the stale block), then
-    # oldest-green-row-first (r5, r6, r7), with the r8-window block
-    # (freshest currency) at the end.
+    "l2_ngram_jaccard_pairs",
+    "l2_containment_pairs",
+    "s24_compaction_roundtrip",
     "dq7_snapshot_drift",
     "l3_ivf_persisted_multiquery",
     "tpch_q14_promo_revenue",
@@ -127,7 +79,6 @@ _PRIORITY: tuple[str, ...] = (
     "u4_schema_drift_union",
     "s18_dynamic_partition_overwrite",
     "l5_scene_cuts",
-    "l2_containment_pairs",
     "l7_mixture_rebalance",
     "w6_value_streaks",
     "ts10_rolling_zscore",
@@ -143,6 +94,10 @@ _PRIORITY: tuple[str, ...] = (
     "l5_resize_pixels",
     "t18_stream_union_fanin",
     "a22_approx_topk",
+    # ================= PAST THE CUT (positions 51+) ================
+    # r11 rotation order: the rest of the r5/r6 block oldest-first,
+    # then r6/r7-era rows, the r8 window block, and the r9 window
+    # block (freshest currency) at the very end.
     "p11_collation_group",
     "f18_variant_explode",
     "j15_cogroup_merge",
@@ -246,7 +201,6 @@ _PRIORITY: tuple[str, ...] = (
     "ts11_markov_transitions",
     "w10_analytic_suite",
     "dq6_column_profile",
-    # -- r8 window block (freshest; r10 rotation tail)
     "j13_bloom_pruned_join",
     "l6_ngram_contamination",
     "j16_interval_overlap_join",
@@ -260,7 +214,6 @@ _PRIORITY: tuple[str, ...] = (
     "f9_json_suite",
     "l1_exact_dedup",
     "l2_minhash_lsh_pairs",
-    "l2_neardup_pipeline",
     "l2_simhash_neardup_pairs",
     "l2_simhash_signatures",
     "l3_ann_lsh_bucketed",
@@ -293,7 +246,53 @@ _PRIORITY: tuple[str, ...] = (
     "t7_stream_dedup_within_watermark",
     "t8_stateful_user_stats",
     "t9_stream_stream_join",
-    "l2_ngram_jaccard_pairs",
+    "s23_change_feed_cdc",
+    "l2_semantic_neardup_cells",
+    "l2_embedding_neardup_pairs",
+    "l4_token_stats",
+    "scd2_customer_segment",
+    "tpch_q10_returned_items",
+    "j1_inner_segment_revenue",
+    "j2_left_outer_order_counts",
+    "j3_broadcast_nation_rollcall",
+    "j4_semi_customers_with_open_orders",
+    "j6_theta_nation_pairs",
+    "j7_range_value_buckets",
+    "j8_asof_error_after_click",
+    "j9_cross_region_segment_grid",
+    "a1_count_with_predicate",
+    "a3_distinct_status_priority",
+    "a5_rollup_lineitem_status",
+    "a5_grouping_sets_order_mix",
+    "a6_filtered_aggregate",
+    "a7_collect_statuses",
+    "a8_pivot_status_by_priority",
+    "a9_unpivot_status_counts",
+    "a10_exact_percentiles",
+    "a11_value_histogram",
+    "a12_mode_event_type_per_user",
+    "w2_lag_value_delta",
+    "w3_moving_avg_value",
+    "o1_top20_orders",
+    "o4_max_by_customer_per_nation",
+    "u1_union_active_parties",
+    "u2_intersect_custkeys",
+    "u3_except_custkeys",
+    "p3_equality_conjunction",
+    "p5_predicate_suite",
+    "p6_pruned_projection",
+    "p7_decorrelated_subquery",
+    "f5_datetime_suite",
+    "f6_string_suite",
+    "f7_math_suite",
+    "f8_conditional_suite",
+    "l3_ann_lsh_multiquery",
+    "l6_sequence_packing_firstfit",
+    "l3_knn_multiquery",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity",
+    "t13_stream_semi_join",
 )
 
 

@@ -1247,6 +1247,113 @@ def s25_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("o_orderkey", "o_orderstatus")
 
 
+@query(
+    "s26_shallow_clone_divergence",
+    oracle="""
+    WITH extra AS (
+      SELECT o_orderkey + 100000000 AS k FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT 'source' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders
+    UNION ALL
+    SELECT 'clone' AS side,
+           CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM extra)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT sum(o_orderkey) FROM orders) + (SELECT sum(k) FROM extra)
+                AS BIGINT) AS key_checksum
+    """,
+    tags=("S26", "S20"),
+)
+def s26_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (operators/versioned.clone — Delta's zero-copy
+    CREATE TABLE ... SHALLOW CLONE): the clone's first manifest
+    references the source's immutable batch dirs, so cloning a 100 TB
+    table writes one manifest, not 100 TB. The query proves the
+    copy-on-write divergence contract end-to-end: build a two-commit
+    source, clone it, APPEND key-shifted rows to the clone — the source
+    must be byte-unchanged while the clone sees source+delta (each side
+    declared as count + key checksum; the oracle restates both from the
+    source table). The zero-copy property itself (no parquet under the
+    clone's data/ until its own first append) is pytest-gated —
+    file-layout facts don't belong in a cross-engine oracle."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, clone
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vcln_"), "orders_v"))
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    c = clone(t, _os.path.join(scratch_dir("vcln_"), "orders_clone"))
+    c.commit(
+        o.filter(F.col("o_orderkey") % 5 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey")
+        ),
+        mode="append",
+    )
+    sides = []
+    for side, tab in (("source", t), ("clone", c)):
+        sides.append(
+            tab.read().agg(
+                F.lit(side).alias("side"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            )
+        )
+    return sides[0].unionByName(sides[1])
+
+
+@query(
+    "cdc3_replicate_changefeed",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    tags=("CDC3", "S23", "S25", "S26"),
+)
+def cdc3_replicate_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC SINK half, closing the replication loop the s23 feed
+    opened (operators/versioned.replicate_changes): clone the source at
+    v1 (zero-copy starting snapshot), then replay every later source
+    commit into the clone — inserts/updates via merge_upsert (payloads
+    re-attached from the pinned source snapshot by one keyed semi-join;
+    the feed ships keys only), deletes via an anti-join overwrite, every
+    replayed commit pinned to its target base version (the r10 conflict
+    guard). Source history is s23's exact shape: append, append, then
+    an overwrite that drops every %7 key and rewrites %5 keys to 'X'.
+    The declared output is the REPLICA's final snapshot; the oracle
+    restates the source's final state straight from the orders table —
+    any change-type mix-up, missed delete, stale payload, or replay
+    ordering bug diverges the replica and hash-fails. Replay cost is
+    O(changed rows) per commit, never a history copy."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        clone,
+        replicate_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    src = VersionedTable(spark, _os.path.join(scratch_dir("vrep_"), "src_v"))
+    src.commit(o.filter(F.col("o_orderkey") % 3 != 2))
+    src.commit(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")
+    v3 = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    src.commit(v3, mode="overwrite")
+    replica = clone(
+        src, _os.path.join(scratch_dir("vrep_"), "replica_v"), version=1
+    )
+    replicate_changes(src, replica, v_from=1, keys=["o_orderkey"])
+    return replica.read().select("o_orderkey", "o_orderstatus")
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
