@@ -316,3 +316,43 @@ def test_replicate_changes_replays_all_change_types(spark, tmp_path):
     before = replica.versions()
     replicate_changes(src, replica, v_from=src.versions()[-1], keys=["k"])
     assert replica.versions() == before
+
+
+# ---------------------------------------------------------------------------
+# triangle wedge-stream regime (big-graph path)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_wedge_stream_matches_attach_path(spark):
+    """The bloom-filtered wedge-stream regime (entered past
+    max_attach_edges) must be row-identical to the attach formulation —
+    the bloom is pure plan shape (fp removed by the exact semi-join)."""
+    from weather_etl_docker_airflow_project_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    grp = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    capped = grp.filter((F.size("ps") <= 8) & (F.size("ps") >= 2))
+    pair = F.expr(
+        "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, "
+        "size(ps) - i - 1), b -> named_struct('a', a, 'b', b))))"
+    )
+    edges = (
+        capped.select(F.explode(pair).alias("e"))
+        .select(F.col("e.a").cast("long").alias("a"), F.col("e.b").cast("long").alias("b"))
+        .distinct()
+    )
+    attach = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(edges).collect()
+    }
+    stream = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(edges, max_attach_edges=0).collect()
+    }
+    assert attach == stream and len(attach) > 0

@@ -85,7 +85,7 @@ def build_bloom_bitmap(
     words. The only driver-side materialization is the word table
     (``<= m/64`` rows), never the build keys."""
     pos = positions_udf(log2_m, n_hashes)
-    words = (
+    words_df = (
         # NULL keys never equi-join, so dropping them from the build is
         # exact (and keeps the Arrow UDF free of NaN->int casts).
         build.filter(F.col(key_col).isNotNull())
@@ -96,35 +96,50 @@ def build_bloom_bitmap(
         )
         .groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("bits"))
-        .collect()
     )
     bitmap = np.zeros(1 << (log2_m - 6), dtype=np.uint64)
-    for r in words:
-        # bit_or returns a signed BIGINT; a word with bit 63 set comes back
-        # negative. Reinterpret the two's-complement bits rather than
-        # value-convert (np.uint64(negative) is deprecated and raises on
-        # NumPy >= 2.0).
-        bitmap[r["word_idx"]] = np.int64(r["bits"]).view(np.uint64)
+    # Arrow columnar collect, not Row collect: a large filter (log2_m=30
+    # for a 10^8-key build, r10's wedge-stream use) has up to m/64 = 16M
+    # nonzero words — Row objects there cost ~GBs of driver Python heap,
+    # the Arrow table ~260 MB. bit_or returns signed BIGINT; a word with
+    # bit 63 set comes back negative, so reinterpret the two's-complement
+    # bits rather than value-convert (np.uint64(negative) raises on
+    # NumPy >= 2.0).
+    tbl = words_df.toArrow()
+    idx = tbl.column("word_idx").to_numpy().astype(np.int64)
+    bits = tbl.column("bits").to_numpy().astype(np.int64).view(np.uint64)
+    bitmap[idx] = bits
     return bitmap
 
 
 def might_contain_udf(
-    bitmap: np.ndarray,
+    bitmap,
     log2_m: int = DEFAULT_LOG2_M,
     n_hashes: int = DEFAULT_N_HASHES,
 ):
     """Arrow UDF: long key -> boolean (no false negatives). NULL keys test
-    False — a NULL never equi-joins, so pruning it is exact."""
+    False — a NULL never equi-joins, so pruning it is exact.
+
+    ``bitmap`` is either the ndarray itself (fine at the default 128 KiB
+    sizing) or a ``SparkContext.broadcast`` of it. LARGE bitmaps MUST go
+    through a broadcast: a closure-embedded ndarray is re-shipped and
+    re-unpickled through the worker pipe for EVERY task — at the r10
+    wedge-stream sizing (log2_m=30, 128 MiB) 32 concurrent tasks
+    streaming 128 MiB commands crashed the Python workers outright; a
+    broadcast is fetched once per worker process and cached across
+    tasks."""
     consts = _hash_constants(n_hashes)
+    from pyspark.broadcast import Broadcast
 
     @F.pandas_udf("boolean")
     def _test(keys: pd.Series) -> pd.Series:
+        bm = bitmap.value if isinstance(bitmap, Broadcast) else bitmap
         if not len(keys):
             return pd.Series([], dtype=bool)
         valid = keys.notna().to_numpy()
         kv = keys.fillna(0).to_numpy(dtype=np.int64)
         pos = _positions(kv, consts, log2_m)
-        words = bitmap[pos >> np.uint64(6)]
+        words = bm[pos >> np.uint64(6)]
         bits = (words >> (pos & np.uint64(63))) & np.uint64(1)
         return pd.Series(bits.all(axis=1) & valid)
 

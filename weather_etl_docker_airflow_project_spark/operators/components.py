@@ -17,6 +17,8 @@ same contract)."""
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -161,13 +163,21 @@ def connected_components_star(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        # DISK_ONLY (r10 — the g2 sf10 lesson generalized): the default
+        # MEMORY_AND_DISK caches the |E|-sized table DESERIALIZED, and an
+        # iterative operator pins one such block set PER ROUND while the
+        # round's own sort-merge tasks compete for the same heap. Edge
+        # rows are two longs — disk-backed blocks cost ~nothing to
+        # re-read and remove the heap cliff at billion-edge scale.
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     converged = False
     for _ in range(max_iterations):
         # localCheckpoint per round: iterative plans must cut lineage or
         # driver-side re-analysis of the accreting tree OOMs (NOTES.md)
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            storageLevel=StorageLevel.DISK_ONLY
+        )
         same_count = new_edges.count() == edges.count()
         if same_count and new_edges.exceptAll(edges).isEmpty():
             converged = True

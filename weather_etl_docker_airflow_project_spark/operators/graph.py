@@ -41,6 +41,8 @@ authority weighting over web corpora).
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, functions as F
 
 SCALE = 10**9
@@ -110,6 +112,7 @@ def triangle_counts(
     edges: DataFrame,
     broadcast_adj: bool = False,
     max_broadcast_edges: int = 8_000_000,
+    max_attach_edges: int = 16_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
@@ -167,9 +170,19 @@ def triangle_counts(
     # through lineage unless materialized (same policy as the LSH bucket
     # tables in operators/similarity.py), so both are checkpointed —
     # without this the corpus-scale edge build runs five times.
+    # DISK_ONLY (r10 — the sf10/120M-edge run OOMed the 32g local JVM):
+    # localCheckpoint's default MEMORY_AND_DISK caches both |E|-sized
+    # tables DESERIALIZED (~50 B/row of object overhead ≈ 6 GB each at
+    # 120M edges) while 32 concurrent sort-merge tasks want the same
+    # heap. Edge rows are two longs — (de)serialization is cheap and
+    # each checkpoint is read back at most twice, so disk-backed blocks
+    # cost ~nothing at small scale (sf0.1 unchanged, 4.5 s warm) and
+    # remove the heap cliff entirely at the decade scales.
+    from pyspark.storagelevel import StorageLevel
+
     e = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     nodes = e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
     keyed = deg.select("n", F.expr("d * 4294967296 + n").alias("key"))
@@ -186,11 +199,14 @@ def triangle_counts(
             F.when(F.col("ka.key") < F.col("kb.key"), F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(F.col("ka.key") < F.col("kb.key"), F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    n_edges = oriented.count()  # ~free: reads the checkpoint block index
+    if n_edges > max_attach_edges:
+        return _triangle_counts_wedge_stream(e, oriented, n_edges)
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     adj_u = adj.select(F.col("src"), F.col("nbrs").alias("u_nbrs"))
     adj_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("v_nbrs"))
-    if broadcast_adj and oriented.count() <= max_broadcast_edges:
+    if broadcast_adj and n_edges <= max_broadcast_edges:
         adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
     tri_e = (
         oriented.select("src", "dst")
@@ -219,3 +235,106 @@ def triangle_counts(
         )
     )
     return counts.groupBy("node").agg(F.sum("c").cast("long").alias("n_triangles"))
+
+
+def _triangle_counts_wedge_stream(
+    e: DataFrame, oriented: DataFrame, n_edges: int
+) -> DataFrame:
+    """The big-graph regime of :func:`triangle_counts` — identical
+    output, communication turned from shuffle bytes into a map-side
+    stream (r10; the sf10/120M-edge decade run is why it exists).
+
+    The attach formulation above ships every edge's TWO adjacency
+    arrays through two joins: Sum_over_edges(d_out(u) + d_out(v)) array
+    entries — ~Sum(d^2), measured ~60 GB of shuffle+sort spill at 120M
+    edges, which first OOMed the deserialized checkpoint cache and then
+    (DISK_ONLY) filled the host's scratch disk. The same Theta(E^1.5)
+    wedge work is unavoidable (triangle counting's communication lower
+    bound), but it does NOT have to be materialized:
+
+    1. adjacency once per NODE (one narrow groupBy of the oriented
+       edges — the only corpus-wide shuffle this path performs),
+    2. wedges (v, w) generated AND probed inside ONE ``mapInPandas``
+       stage over the adjacency table: per node, ``np.triu_indices``
+       expands the sorted neighbor array to its pairs and every pair is
+       tested against a BLOOM FILTER of the canonical edge set (the j13
+       machinery: distributed bitmap build via map-side ``bit_or``,
+       ~8 bits/edge, fp ~1-2%, bitmap shipped as a Spark BROADCAST so
+       workers fetch it once). Fusing generation+probe in the same
+       numpy kernel matters enormously: a first cut that exploded
+       wedges in codegen and filtered with a scalar pandas_udf paid the
+       JVM->Arrow->Python transfer PER WEDGE (~Theta(E^1.5) keys — 892 s
+       at sf3 vs 103 s for the attach path); fused, Python receives the
+       adjacency itself (O(|E|) longs) and only survivors come back,
+    3. only survivors — actual triangles plus the tiny fp stream — pay
+       a narrow exact semi-join against the edge table, which removes
+       every false positive: the declared result stays EXACT, the
+       filter is pure plan shape (the j13 exactness argument verbatim).
+
+    Probe keys pack (v, w) into one uint64 (v * 2^32 + w) — valid under
+    the operator's existing id < 2^32 contract (the orientation key
+    already requires it) and bit-identical to the build side's BIGINT
+    expression. On a real cluster the same shape holds: step 2 is
+    embarrassingly parallel map work; only steps 1 and 3 shuffle, both
+    O(|E|) narrow rows."""
+    import pandas as pd
+
+    from .bloomjoin import _hash_constants, _positions, build_bloom_bitmap
+
+    log2_m = min(30, max(20, int(np.ceil(np.log2(max(n_edges, 1) * 8)))))
+    n_hashes = 5
+    ekeys = e.select(F.expr("a * 4294967296 + b").alias("ek"))
+    bitmap = build_bloom_bitmap(ekeys, "ek", log2_m=log2_m, n_hashes=n_hashes)
+    # broadcast, NOT closure: a 128 MiB closure ships with every task and
+    # crashes the workers; the broadcast is fetched once per worker
+    bitmap_bc = e.sparkSession.sparkContext.broadcast(bitmap)
+    consts = _hash_constants(n_hashes)
+    shift = np.uint64(64 - log2_m)
+
+    def _wedge_survivors(batches):
+        bm = bitmap_bc.value
+        for pdf in batches:
+            out_u, out_v, out_w = [], [], []
+            for u, nbrs in zip(pdf["src"].to_numpy(), pdf["nbrs"]):
+                a = np.asarray(nbrs, dtype=np.int64)
+                k = len(a)
+                if k < 2:
+                    continue
+                ii, jj = np.triu_indices(k, 1)
+                v, w = a[ii], a[jj]
+                keys = (v.astype(np.uint64) << np.uint64(32)) | w.astype(
+                    np.uint64
+                )
+                pos = ((keys + np.uint64(1))[:, None] * consts[None, :]) >> shift
+                words = bm[pos >> np.uint64(6)]
+                hit = (
+                    (words >> (pos & np.uint64(63))) & np.uint64(1)
+                ).all(axis=1)
+                n_hit = int(hit.sum())
+                if n_hit:
+                    out_u.append(np.full(n_hit, u, dtype=np.int64))
+                    out_v.append(v[hit])
+                    out_w.append(w[hit])
+            if out_u:
+                yield pd.DataFrame(
+                    {
+                        "u": np.concatenate(out_u),
+                        "v": np.concatenate(out_v),
+                        "w": np.concatenate(out_w),
+                    }
+                )
+
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    cand = adj.mapInPandas(_wedge_survivors, "u long, v long, w long")
+    closing = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = cand.join(closing.hint("shuffle_hash"), ["v", "w"], "left_semi")
+    counts = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return counts.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
