@@ -127,6 +127,7 @@ HEADLINE = [
     "s18_dynamic_partition_overwrite",
     "l5_scene_cuts",
     "l2_containment_pairs",
+    "l2_ngram_jaccard_pairs",
     "l7_mixture_rebalance",
     "w6_value_streaks",
     "ts10_rolling_zscore",
