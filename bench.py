@@ -184,6 +184,7 @@ HEADLINE = [
     "l2_semantic_dedup_keep",
     "s26_shallow_clone_divergence",
     "cdc3_replicate_changefeed",
+    "s27_constraint_enforced_commits",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -356,3 +356,65 @@ def test_triangle_wedge_stream_matches_attach_path(spark):
         for r in triangle_counts(edges, max_attach_edges=0).collect()
     }
     assert attach == stream and len(attach) > 0
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (S27) + NULL-key merge semantics
+# ---------------------------------------------------------------------------
+
+
+def test_merge_null_key_rows_insert_without_tripping_validation(spark, tmp_path):
+    """A NULL merge key never matches any target row (standard SQL MERGE:
+    NOT MATCHED -> insert); it must not trip the duplicate-source-key
+    validation (count_distinct ignores NULLs — the r10 self-review fix)."""
+    merge_upsert = _merge_mod()
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    src = spark.createDataFrame([(2, "b"), (None, "nk")], "k int, v string")
+    merge_upsert(t, src, keys=["k"])
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (None, "nk")}
+
+
+def test_constraints_reject_bad_commit_and_publish_nothing(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_constraints(["k > 0", "v IS NOT NULL"])
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    with pytest.raises(ConstraintViolation, match="2 row"):
+        t.commit(_mk(spark, [(-1, "x"), (0, "y"), (3, "ok")]), mode="append")
+    # nothing published: still exactly one version, snapshot intact
+    assert t.versions() == [1]
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    # vacuum reclaims the torn batch dir
+    import glob
+
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        vacuum,
+    )
+
+    assert len(glob.glob(str(tmp_path / "t" / "data" / "batch_*"))) == 2
+    vacuum(t, retain_versions=1)
+    assert len(glob.glob(str(tmp_path / "t" / "data" / "batch_*"))) == 1
+
+
+def test_constraints_unknown_satisfies_and_drop(spark, tmp_path):
+    """SQL CHECK: NULL/UNKNOWN satisfies — a NULL v passes `v <> 'x'`
+    unless an explicit IS NOT NULL constraint exists; set_constraints([])
+    drops enforcement."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_constraints(["v <> 'x'"])
+    t.commit(spark.createDataFrame([(1, None)], "k int, v string"))  # UNKNOWN ok
+    assert t.read().count() == 1
+    with pytest.raises(ConstraintViolation):
+        t.commit(_mk(spark, [(2, "x")]), mode="append")
+    t.set_constraints([])
+    t.commit(_mk(spark, [(2, "x")]), mode="append")  # dropped -> accepted
+    assert t.read().count() == 2

@@ -44,12 +44,44 @@ class ConcurrentCommitError(RuntimeError):
     optimistic-concurrency loop."""
 
 
+class ConstraintViolation(ValueError):
+    """A commit's batch contained rows failing a table CHECK constraint.
+    Nothing became visible: constraints are evaluated in the SAME pass
+    that writes the batch (``df.observe`` — zero extra jobs), and the
+    manifest is only published afterwards, so a violating commit is a
+    torn commit — its staged batch dir is unreferenced and the next
+    :func:`vacuum` reclaims it."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, table_dir: str):
         self.spark = spark
         self.dir = table_dir
         self._versions = os.path.join(table_dir, "_versions")
         self._data = os.path.join(table_dir, "data")
+        self._constraints_file = os.path.join(table_dir, "_constraints")
+
+    def set_constraints(self, exprs: list[str]) -> None:
+        """Declare table-level CHECK constraints (Delta's ``ALTER TABLE
+        ADD CONSTRAINT ... CHECK`` in miniature): SQL boolean expressions
+        every subsequently committed row must satisfy. SQL CHECK
+        semantics — a row violates only when the expression is FALSE;
+        UNKNOWN/NULL satisfies (enforce non-nullness with an explicit
+        ``IS NOT NULL`` constraint). Persisted tmp+fsync+rename like the
+        manifests; pass ``[]`` to drop all constraints."""
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self._constraints_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(exprs) + ("\n" if exprs else ""))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._constraints_file)
+
+    def constraints(self) -> list[str]:
+        if not os.path.exists(self._constraints_file):
+            return []
+        with open(self._constraints_file) as f:
+            return [line.strip() for line in f if line.strip()]
 
     def versions(self) -> list[int]:
         """Sorted committed version numbers (manifest presence = commit)."""
@@ -111,7 +143,34 @@ class VersionedTable:
         else:
             version = (existing[-1] + 1) if existing else 1
         batch = os.path.join(self._data, f"batch_{version}_{uuid.uuid4().hex[:8]}")
+        checks = self.constraints()
+        obs = None
+        if checks:
+            # CHECK enforcement in the SAME pass as the batch write
+            # (df.observe piggybacks on the write job — no second scan
+            # of a 100 TB batch). Violation semantics: FALSE violates,
+            # UNKNOWN satisfies (SQL/Delta CHECK). On violation the
+            # batch is already on disk but the manifest below is never
+            # published — torn-commit invisibility does the rollback.
+            from functools import reduce
+
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            viol = reduce(
+                lambda a, b: a | b,
+                [F.expr(f"NOT coalesce(({c}), true)") for c in checks],
+            )
+            obs = Observation(f"constraints_{uuid.uuid4().hex[:8]}")
+            df = df.observe(obs, F.sum(viol.cast("long")).alias("n_bad"))
         df.write.mode("overwrite").parquet(batch)
+        if obs is not None and (obs.get["n_bad"] or 0) > 0:
+            raise ConstraintViolation(
+                f"commit at {self.dir} rejected: {obs.get['n_bad']} row(s) "
+                f"violate CHECK constraints {checks}; no version was "
+                "published (the staged batch is unreferenced — vacuum "
+                "reclaims it)"
+            )
         dirs = (
             (self._manifest(existing[-1]) if existing and mode == "append" else [])
             + [batch]
@@ -480,7 +539,15 @@ def merge_upsert(
     if validate_source_keys:
         from pyspark.sql import functions as F
 
-        n, nd = source.agg(
+        # count_distinct ignores NULLs, so restrict the duplicate check
+        # to non-NULL-key rows: a NULL merge key never equi-matches any
+        # target row (standard SQL MERGE: NOT MATCHED -> plain insert),
+        # so NULL-key source rows are legal and must not trip the
+        # ambiguity error — only true key collisions are ambiguous.
+        nonnull = source
+        for k in keys:
+            nonnull = nonnull.filter(F.col(k).isNotNull())
+        n, nd = nonnull.agg(
             F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
         ).first()
         if n != nd:

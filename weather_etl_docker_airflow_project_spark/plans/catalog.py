@@ -32,10 +32,11 @@ from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
     # ================= ROUND-10 WINDOW (first 50) =================
-    # Head block (10): flagship (entry() smoke), the FOUR round-10
+    # Head block (10): flagship (entry() smoke), the FIVE round-10
     # surface additions needing their FIRST driver row
     # (s25_versioned_merge_upsert, l2_semantic_dedup_keep,
-    # s26_shallow_clone_divergence, cdc3_replicate_changefeed), the four
+    # s26_shallow_clone_divergence, cdc3_replicate_changefeed,
+    # s27_constraint_enforced_commits), the four
     # plans materially CHANGED this round (l2_neardup_pipeline's
     # candidate-proportional verify + its consumer l2_dedup_clusters;
     # l2_ngram_jaccard_pairs / l2_containment_pairs now localCheckpoint
@@ -49,6 +50,7 @@ _PRIORITY: tuple[str, ...] = (
     "l2_semantic_dedup_keep",
     "s26_shallow_clone_divergence",
     "cdc3_replicate_changefeed",
+    "s27_constraint_enforced_commits",
     "l2_neardup_pipeline",
     "l2_dedup_clusters",
     "l2_ngram_jaccard_pairs",
@@ -93,11 +95,11 @@ _PRIORITY: tuple[str, ...] = (
     "u5_bag_set_ops",
     "l5_resize_pixels",
     "t18_stream_union_fanin",
-    "a22_approx_topk",
     # ================= PAST THE CUT (positions 51+) ================
     # r11 rotation order: the rest of the r5/r6 block oldest-first,
     # then r6/r7-era rows, the r8 window block, and the r9 window
     # block (freshest currency) at the very end.
+    "a22_approx_topk",
     "p11_collation_group",
     "f18_variant_explode",
     "j15_cogroup_merge",

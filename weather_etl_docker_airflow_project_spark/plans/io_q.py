@@ -1354,6 +1354,58 @@ def cdc3_replicate_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replica.read().select("o_orderkey", "o_orderstatus")
 
 
+@query(
+    "s27_constraint_enforced_commits",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(1 AS BIGINT) AS n_versions
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    tags=("S27", "S20", "DQ1"),
+)
+def s27_constraint_enforced_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level CHECK constraints on the versioned table
+    (VersionedTable.set_constraints — Delta's ALTER TABLE ADD CONSTRAINT
+    CHECK in miniature), completing the write side of the lakehouse
+    lifecycle: every commit mode (append/overwrite/merge/compact)
+    validates its batch IN THE SAME PASS that writes it (df.observe —
+    no second scan of a 100 TB batch), and a violating commit publishes
+    NOTHING (torn-commit invisibility is the rollback). The query
+    declares constraints, lands a valid half of orders, then attempts a
+    batch whose status column is rewritten to an out-of-domain value —
+    the ConstraintViolation must fire and the table must still read as
+    exactly the valid commit with exactly ONE version (the declared
+    n_versions column); the oracle restates that snapshot. UNKNOWN
+    semantics (NULL satisfies CHECK) pytest-gated in
+    tests/test_round10_ops.py."""
+    import os as _os
+
+    from ..operators.versioned import ConstraintViolation, VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vchk_"), "orders_v"))
+    t.set_constraints(
+        ["o_orderkey IS NOT NULL", "o_orderstatus IN ('O', 'F', 'P')"]
+    )
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 0))
+    try:
+        t.commit(
+            o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+                "o_orderstatus", F.lit("ZZ")
+            ),
+            mode="append",
+        )
+        raise AssertionError("constraint violation did not raise")
+    except ConstraintViolation:
+        pass
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.lit(len(t.versions())).cast("long").alias("n_versions"),
+    )
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
