@@ -113,6 +113,7 @@ def triangle_counts(
     broadcast_adj: bool = False,
     max_broadcast_edges: int = 8_000_000,
     max_attach_edges: int = 16_000_000,
+    kernel_task_factor: int = 0,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
@@ -202,7 +203,9 @@ def triangle_counts(
     ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     n_edges = oriented.count()  # ~free: reads the checkpoint block index
     if n_edges > max_attach_edges:
-        return _triangle_counts_wedge_stream(e, oriented, n_edges)
+        return _triangle_counts_wedge_stream(
+            e, oriented, n_edges, kernel_task_factor
+        )
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     adj_u = adj.select(F.col("src"), F.col("nbrs").alias("u_nbrs"))
     adj_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("v_nbrs"))
@@ -238,7 +241,7 @@ def triangle_counts(
 
 
 def _triangle_counts_wedge_stream(
-    e: DataFrame, oriented: DataFrame, n_edges: int
+    e: DataFrame, oriented: DataFrame, n_edges: int, kernel_task_factor: int = 0
 ) -> DataFrame:
     """The big-graph regime of :func:`triangle_counts` — identical
     output, communication turned from shuffle bytes into a map-side
@@ -327,6 +330,20 @@ def _triangle_counts_wedge_stream(
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
+    # kernel_task_factor is the skew dial for the kernel stage:
+    # per-partition wedge work is Sum(k^2) over its nodes — invisible to
+    # AQE (which balances BYTES). Default OFF: an A/B at 12M edges
+    # measured no win (32.4-35.3 s with 8x round-robin tasks vs
+    # 28.7-37.1 s without — noise), because the adjacency hash already
+    # spreads hubs at these scales; the dial exists for graphs whose
+    # hub mass concentrates in few partitions (set >0 for N-x
+    # round-robin tasks — k^2 cost is per-ROW, so round-robin beats any
+    # hash key).
+    if kernel_task_factor:
+        n_kernel_tasks = kernel_task_factor * int(
+            oriented.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        adj = adj.repartition(n_kernel_tasks)
     cand = adj.mapInPandas(_wedge_survivors, "u long, v long, w long")
     closing = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
     tri = cand.join(closing.hint("shuffle_hash"), ["v", "w"], "left_semi")
