@@ -185,6 +185,7 @@ HEADLINE = [
     "s26_shallow_clone_divergence",
     "cdc3_replicate_changefeed",
     "s27_constraint_enforced_commits",
+    "t21_stream_merge_upsert",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -418,3 +418,34 @@ def test_constraints_unknown_satisfies_and_drop(spark, tmp_path):
     t.set_constraints([])
     t.commit(_mk(spark, [(2, "x")]), mode="append")  # dropped -> accepted
     assert t.read().count() == 2
+
+
+def test_merge_conditional_update(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN UPDATE: condition-true rows replaced,
+    condition-false/UNKNOWN matched rows carried over untouched,
+    unmatched source rows still insert."""
+    merge_upsert = _merge_mod()
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, None, "c")],
+            "k int, ts int, v string",
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, 11, "A"), (2, 5, "stale"), (3, 7, "C"), (9, 1, "new")],
+        "k int, ts int, v string",
+    )
+    merge_upsert(t, src, keys=["k"], when_matched_condition="s.ts > t.ts")
+    got = {(r["k"], r["ts"], r["v"]) for r in t.read().collect()}
+    assert got == {
+        (1, 11, "A"),    # 11 > 10: replaced
+        (2, 20, "b"),    # 5 > 20 false: carried over
+        (3, None, "c"),  # 7 > NULL unknown: carried over (SQL MERGE)
+        (9, 1, "new"),   # unmatched: inserted
+    }
+    # idempotent replay: merging the same source again changes nothing
+    v_before = t.versions()[-1]
+    merge_upsert(t, src, keys=["k"], when_matched_condition="s.ts > t.ts")
+    assert {(r["k"], r["ts"], r["v"]) for r in t.read().collect()} == got
+    assert t.versions()[-1] == v_before + 1  # a commit happened, rows equal

@@ -493,6 +493,7 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     validate_source_keys: bool = True,
+    when_matched_condition: str | None = None,
 ) -> int:
     """MERGE INTO for :class:`VersionedTable` — row-level upsert with
     lakehouse semantics (Delta's ``WHEN MATCHED THEN UPDATE SET * WHEN
@@ -556,8 +557,35 @@ def merge_upsert(
                 "target row would match multiple source rows (ambiguous "
                 "merge, the Delta error contract)"
             )
-    survivors = target.join(source.select(*keys), keys, "left_anti")
-    merged = source.select(*target.columns).unionByName(survivors)
+    if when_matched_condition is None:
+        survivors = target.join(source.select(*keys), keys, "left_anti")
+        merged = source.select(*target.columns).unionByName(survivors)
+    else:
+        # Conditional merge (Delta's WHEN MATCHED AND <cond> THEN UPDATE
+        # SET * / WHEN NOT MATCHED THEN INSERT *): the condition is a
+        # SQL boolean over aliases ``s`` (source) and ``t`` (target),
+        # e.g. ``s.event_id > t.event_id`` — the standard CDC
+        # keep-the-latest merge. A matched target row whose condition
+        # is FALSE/UNKNOWN is carried over untouched; unmatched source
+        # rows still insert. Same shuffle shape: every join keys on the
+        # merge keys.
+        from pyspark.sql import functions as F
+
+        s, t = source.alias("s"), target.alias("t")
+        # plain equality (NULL never matches), consistent with the
+        # unconditional path's anti-join semantics and SQL MERGE ON
+        on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys]
+        cond = F.expr(when_matched_condition)
+        upd = (
+            t.join(s, on, "inner")
+            .filter(cond)
+            .select([F.col(f"s.{c}").alias(c) for c in target.columns])
+        )
+        keep_t = target.join(upd.select(*keys), keys, "left_anti")
+        ins = source.join(target.select(*keys), keys, "left_anti")
+        merged = keep_t.unionByName(upd).unionByName(
+            ins.select(*target.columns)
+        )
     return table.commit(
         merged, mode="overwrite", expected_base_version=base_version
     )

@@ -51,6 +51,7 @@ _PRIORITY: tuple[str, ...] = (
     "s26_shallow_clone_divergence",
     "cdc3_replicate_changefeed",
     "s27_constraint_enforced_commits",
+    "t21_stream_merge_upsert",
     "l2_neardup_pipeline",
     "l2_dedup_clusters",
     "l2_ngram_jaccard_pairs",
@@ -94,11 +95,11 @@ _PRIORITY: tuple[str, ...] = (
     "l6_target_encode",
     "u5_bag_set_ops",
     "l5_resize_pixels",
-    "t18_stream_union_fanin",
     # ================= PAST THE CUT (positions 51+) ================
     # r11 rotation order: the rest of the r5/r6 block oldest-first,
     # then r6/r7-era rows, the r8 window block, and the r9 window
     # block (freshest currency) at the very end.
+    "t18_stream_union_fanin",
     "a22_approx_topk",
     "p11_collation_group",
     "f18_variant_explode",

@@ -761,3 +761,34 @@ def t20_stream_versioned_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("id_checksum"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "t21_stream_merge_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, max(event_id) AS event_id
+      FROM events WHERE user_id < 60 GROUP BY user_id)
+    SELECT l.user_id, l.event_id, e.event_type
+    FROM latest l JOIN events e
+      ON e.user_id = l.user_id AND e.event_id = l.event_id
+    """,
+    tags=("T1", "S25", "CDC2"),
+)
+def t21_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE into the versioned table
+    (streaming/windows.stream_merge_upserts): each micro-batch reduces
+    to its per-user latest record and merges with ``WHEN MATCHED AND
+    s.event_id > t.event_id THEN UPDATE SET * / WHEN NOT MATCHED INSERT
+    *`` — Delta's foreachBatch-MERGE recipe, the UPDATE-capable
+    completion of t2's insert-only streaming upsert. The conditional
+    rule makes the drained state batching-independent (a row is only
+    ever replaced by a larger event_id), so the oracle restates it as a
+    plain per-user argmax over the source feed with NO assumption about
+    file/batch order — a green hash certifies the whole loop: per-batch
+    dedup, conditional replace, insert, and the per-commit
+    expected-base pin. Scale: per batch one merge-key shuffle over
+    |table| + |batch| (copy-on-write; Delta's file-pruned merge is the
+    refinement), state bounded by distinct keys, not stream length."""
+    table = windows.stream_merge_upserts(spark, sf_dir, user_cap=60)
+    return table.read().select("user_id", "event_id", "event_type")

@@ -496,3 +496,79 @@ def stream_versioned_commits(
             "versioned-commit stream drain did not finish within 300s"
         )
     return table
+
+
+def stream_merge_upserts(
+    spark: SparkSession,
+    sf_dir: str,
+    user_cap: int = 60,
+    base_dir: str | None = None,
+):
+    """T21's builder: streaming MERGE — each micro-batch of an event
+    feed is reduced to its per-user LATEST record (greatest event_id)
+    and merged into a :class:`~..operators.versioned.VersionedTable`
+    with the conditional rule ``WHEN MATCHED AND s.event_id >
+    t.event_id THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`` —
+    the standard CDC keep-the-latest sink (Delta's streaming
+    foreachBatch-MERGE recipe). The conditional merge makes the final
+    state BATCHING-INDEPENDENT by construction: whatever order the
+    files land in, a key's row can only ever be replaced by a larger
+    event_id, so the drained table holds exactly each user's global
+    maximum — restatable by a plain SQL oracle, no ordering assumption
+    on the file stream at all. Each replayed batch commits through the
+    expected-base-version pin, so the sink also inherits the
+    read-modify-write conflict guard per micro-batch."""
+    from pyspark.sql import Window
+
+    from ..io import load_table, scratch_dir
+    from ..operators.versioned import VersionedTable, merge_upsert
+
+    base = base_dir or scratch_dir("vmerge_stream")
+    if os.path.exists(os.path.join(base, "table")):
+        raise ValueError(
+            f"versioned table already exists under {base!r} — "
+            "stream_merge_upserts needs a fresh base_dir per run"
+        )
+    src = os.path.join(base, "files")
+    feed = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < user_cap)
+        .select("event_id", "user_id", "event_type")
+    )
+    feed.repartition(5).write.mode("overwrite").parquet(src)
+    table = VersionedTable(spark, os.path.join(base, "table"))
+    # seed commit: the merge needs a base version; an empty slice of the
+    # feed's schema is the clean zero state (limit(0) keeps types exact)
+    table.commit(feed.limit(0))
+
+    def _merge_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merge_upsert(
+            table,
+            latest,
+            keys=["user_id"],
+            when_matched_condition="s.event_id > t.event_id",
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("merge-upsert stream drain did not finish in 300s")
+    return table
