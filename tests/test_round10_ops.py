@@ -84,16 +84,28 @@ def test_compact_detects_concurrent_append(spark, tmp_path, monkeypatch):
 
 
 def test_cell_assign_rejects_overscale_seed_components():
+    # dim 4: bound = floor(sqrt(2^53/4)) ~ 4.74e7 — 5e7 must raise
     with pytest.raises(ValueError, match="exactness bound"):
         similarity._cell_assign_udf(
-            [{"sid": 0, "sv": [2 * 10**7] * 4}, {"sid": 1, "sv": [1] * 4}]
+            [{"sid": 0, "sv": [5 * 10**7] * 4}, {"sid": 1, "sv": [1] * 4}]
         )
+
+
+def test_cell_assign_bound_is_dimension_derived():
+    # r10 advice: the old hardcoded 1.1e7 was only valid to dim 64. A
+    # WIDE vector with 1.1e7 components must now be rejected (dim 256:
+    # bound ~ 5.9e6 < 1.1e7)...
+    with pytest.raises(ValueError, match="exactness bound"):
+        similarity._cell_assign_udf([{"sid": 0, "sv": [11_000_000] * 256}])
+    # ...while a NARROW one may legally exceed the old constant
+    similarity._cell_assign_udf([{"sid": 0, "sv": [2 * 10**7] * 4}])
+    assert similarity.exact_dot_bound(64) > 1.1e7 > similarity.exact_dot_bound(256)
 
 
 def test_cell_assign_rejects_overscale_batch_components(spark):
     _cell = similarity._cell_assign_udf([{"sid": 0, "sv": [1, 1, 1, 1]}])
     df = spark.createDataFrame(
-        [(1, [2 * 10**7, 0, 0, 0])], ["id", "qv"]
+        [(1, [5 * 10**7, 0, 0, 0])], ["id", "qv"]
     ).select("id", F.col("qv").cast("array<long>").alias("qv"))
     with pytest.raises(Exception, match="exactness bound"):
         df.select(_cell(F.col("qv")).alias("cell")).collect()

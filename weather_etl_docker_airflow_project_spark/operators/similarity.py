@@ -34,6 +34,20 @@ from ..functions.xhash import plane_components
 QUANT = 1_000_000  # 1e6 quantization: float32 precision ~1e-7 at |x|<1
 
 
+def exact_dot_bound(dim: int) -> float:
+    """Largest |component| for which a ``dim``-term integer dot product
+    stays an EXACT integer in float64: requires
+    ``dim * bound**2 <= 2**53``, i.e. ``bound = floor(sqrt(2**53/dim))``.
+    The guards below derive the bound from the ACTUAL vector width
+    instead of a constant — a hardcoded 1.1e7 is only sufficient for
+    dim <= 64 (64 * (1.1e7)^2 ~ 7.7e15 < 2^53); a wider vector would
+    pass that check while its dots silently lose exactness against the
+    SQL oracles (round-10 advice)."""
+    import math
+
+    return float(math.floor(math.sqrt(2.0**53 / max(1, dim))))
+
+
 def quantize(vec: Column) -> Column:
     """array<float> -> array<long> of round(x * 1e6). The float32 is cast
     to double BEFORE multiplying so both engines round the identical
@@ -465,7 +479,8 @@ def blocked_pairs_within(
     space costs ~4e-3 ns/pair of BLAS flops.
 
     Exactness: quantized components are |q| <= ~6e5 (|x| <= 0.58 at
-    QUANT=1e6; guarded at 1.1e7), so every product <= 1.2e14 and every
+    QUANT=1e6; guarded at sqrt(2^53/dim), :func:`exact_dot_bound`), so
+    every product <= 1.2e14 and every
     64-term partial sum <= 7.7e15 < 2^53 stays an EXACT integer in
     float64 — BLAS dgemm (products + sums only) is bit-identical to
     int64 arithmetic, ~10x faster in numpy, and identical to the DuckDB
@@ -553,10 +568,12 @@ def blocked_pairs_within(
             .reshape(len(right), -1)
             .astype(np.float64)
         )
-        if max(np.abs(A).max(), np.abs(B).max()) > 1.1e7:
+        bound = exact_dot_bound(A.shape[1])
+        if max(np.abs(A).max(), np.abs(B).max()) > bound:
             raise ValueError(
                 "blocked_pairs_within: quantized component exceeds "
-                "1.1e7 — float64 dot exactness bound violated"
+                f"{bound:.0f} (dim {A.shape[1]}) — float64 dot exactness "
+                "bound violated"
             )
         out_a, out_b, out_d = [], [], []
         for t0 in range(0, len(A), 1024):
@@ -731,7 +748,8 @@ def ivf_cells(
     seed matrix (bounded driver collect, ``max_seeds``-capped exactly
     like ``pq_search``'s ``max_fit_rows``) rides the UDF closure sorted
     by sid ascending, each batch scores via a float64 BLAS matmul whose
-    dots stay EXACT integers (components guarded |q| <= 1.1e7, so every
+    dots stay EXACT integers (components guarded |q| <=
+    sqrt(2^53/dim) via :func:`exact_dot_bound`, so every
     64-term dot < 2^53 — see :func:`_cell_assign_udf`), and ``argmax`` —
     first occurrence wins — reproduces the max-dot/smallest-sid tie rule
     byte-exactly, so the SQL oracles never change."""
@@ -778,14 +796,17 @@ def _cell_assign_udf(seed_rows):
     sv_mat = np.stack(
         [np.array(r["sv"], dtype=np.float64) for r in seed_rows]
     )
-    # same float64-exactness guard as blocked_pairs_within: a component
-    # past 1.1e7 would make dots inexact in float64 and silently corrupt
-    # the max-dot/smallest-sid tie-break vs the SQL oracles — check the
-    # seed matrix once here, each Arrow batch below
-    if len(sv_mat) and np.abs(sv_mat).max() > 1.1e7:
+    # same float64-exactness guard as blocked_pairs_within, derived from
+    # the ACTUAL dimension (exact_dot_bound): a component past
+    # sqrt(2^53/dim) would make dots inexact in float64 and silently
+    # corrupt the max-dot/smallest-sid tie-break vs the SQL oracles —
+    # check the seed matrix once here, each Arrow batch below
+    _bound = exact_dot_bound(sv_mat.shape[1]) if len(sv_mat) else 0.0
+    if len(sv_mat) and np.abs(sv_mat).max() > _bound:
         raise ValueError(
-            "_cell_assign_udf: quantized seed component exceeds 1.1e7 — "
-            "float64 dot exactness bound violated"
+            f"_cell_assign_udf: quantized seed component exceeds "
+            f"{_bound:.0f} (dim {sv_mat.shape[1]}) — float64 dot "
+            "exactness bound violated"
         )
 
     @F.pandas_udf("long")
@@ -793,10 +814,11 @@ def _cell_assign_udf(seed_rows):
         if not len(qv):
             return pd.Series([], dtype="int64")
         m = np.stack(qv.to_numpy()).astype(np.float64)
-        if np.abs(m).max() > 1.1e7:
+        if np.abs(m).max() > exact_dot_bound(m.shape[1]):
             raise ValueError(
                 "_cell_assign_udf: quantized vector component exceeds "
-                "1.1e7 — float64 dot exactness bound violated"
+                f"{exact_dot_bound(m.shape[1]):.0f} (dim {m.shape[1]}) — "
+                "float64 dot exactness bound violated"
             )
         return pd.Series(sid_arr[(m @ sv_mat.T).argmax(axis=1)])
 
