@@ -31,81 +31,43 @@ from . import mining_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-10 WINDOW (first 50) =================
-    # Head block (10): flagship (entry() smoke), the FIVE round-10
+    # ================= ROUND-11 WINDOW (first 50) =================
+    # Head block (10): flagship (entry() smoke), the TWO round-11
     # surface additions needing their FIRST driver row
-    # (s25_versioned_merge_upsert, l2_semantic_dedup_keep,
-    # s26_shallow_clone_divergence, cdc3_replicate_changefeed,
-    # s27_constraint_enforced_commits), the four
-    # plans materially CHANGED this round (l2_neardup_pipeline's
-    # candidate-proportional verify + its consumer l2_dedup_clusters;
-    # l2_ngram_jaccard_pairs / l2_containment_pairs now localCheckpoint
-    # + release their shingle caches), s24 (compact() now pins
-    # expected_base_version), and the two documented r9 carryovers
-    # (dq7's guard change, l3_ivf_persisted_multiquery's displaced r4
-    # row). Remaining 40 slots: the rotation in oldest-green-row-first
-    # order (the r5 block) exactly as the r9 list prescribed.
+    # (s28_bucketed_sparse_merge — bucket-granular copy-on-write MERGE,
+    # the r10 verdict's top task; s29_clone_safe_vacuum — clone-aware
+    # vacuum), and the SEVEN versioned-family queries whose machinery
+    # materially changed this round (merge_upsert restructured around
+    # the granular split; replicate_changes now checkpoints its feed,
+    # batches leg probes, and deletes via delete_by_keys;
+    # read_changes_cdc gained bucket pruning; compact gained the
+    # layout branch; clone copies constraints+layout; commit refactored
+    # through _write_batch/_publish_manifest; t21 rides merge_upsert).
+    # Next 7: the entire r5-currency tail (a22, dq4, f18, j15, p11,
+    # p12, t18 — the verdict's item 2, burned in full). Remaining 33:
+    # the r6 tier in the documented rotation order (11 r6 queries left
+    # for the r12 window head: l5_audio_features .. w1_top3).
+    # ================= PAST THE CUT (positions 51+) ================
+    # r12 rotation order: remaining r6 tier first, then r7, r8, r9,
+    # r10 tiers (freshest currency last), preserving the prior
+    # rotation order within each tier.
     "flagship",
+    "s28_bucketed_sparse_merge",
+    "s29_clone_safe_vacuum",
     "s25_versioned_merge_upsert",
-    "l2_semantic_dedup_keep",
-    "s26_shallow_clone_divergence",
     "cdc3_replicate_changefeed",
+    "s23_change_feed_cdc",
+    "s24_compaction_roundtrip",
+    "s26_shallow_clone_divergence",
     "s27_constraint_enforced_commits",
     "t21_stream_merge_upsert",
-    "l2_neardup_pipeline",
-    "l2_dedup_clusters",
-    "l2_ngram_jaccard_pairs",
-    "l2_containment_pairs",
-    "s24_compaction_roundtrip",
-    "dq7_snapshot_drift",
-    "l3_ivf_persisted_multiquery",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "s10_clustered_compact_scan",
-    "g1_pagerank_purchase_graph",
-    "a19_frequent_pairs",
-    "ts8_ewma_smoothing",
-    "p8_lateral_topk",
-    "p9_recursive_month_spine",
-    "f15_xml_suite",
-    "s15_python_datasource_feed",
-    "s16_python_datasource_sink",
-    "t15_stream_python_source",
-    "dq3_table_fingerprint",
-    "s17_binaryfile_ingest",
-    "j12_temporal_dim_join",
-    "l6_leakage_safe_split",
-    "t16_stream_file_sink",
-    "f16_sql_udf_suite",
-    "l3_mmr_rerank",
-    "ts9_rolling_wau",
-    "u4_schema_drift_union",
-    "s18_dynamic_partition_overwrite",
-    "l5_scene_cuts",
-    "l7_mixture_rebalance",
-    "w6_value_streaks",
-    "ts10_rolling_zscore",
-    "cdc2_apply_changelog",
-    "s19_corrupt_record_handling",
-    "w7_ratio_to_report",
-    "f17_try_suite",
-    "l3_knn_filtered",
-    "j14_asof_tolerance",
-    "t17_stream_multibatch",
-    "l6_target_encode",
-    "u5_bag_set_ops",
-    "l5_resize_pixels",
-    # ================= PAST THE CUT (positions 51+) ================
-    # r11 rotation order: the rest of the r5/r6 block oldest-first,
-    # then r6/r7-era rows, the r8 window block, and the r9 window
-    # block (freshest currency) at the very end.
-    "t18_stream_union_fanin",
     "a22_approx_topk",
-    "p11_collation_group",
+    "dq4_observed_metrics",
     "f18_variant_explode",
     "j15_cogroup_merge",
-    "dq4_observed_metrics",
+    "p11_collation_group",
     "p12_parameterized_sql",
+    "t18_stream_union_fanin",
     "l3_int8_quantize",
     "l4_feature_hash_embed",
     "l6_deterministic_shuffle",
@@ -119,11 +81,6 @@ _PRIORITY: tuple[str, ...] = (
     "o5_pareto_frontier",
     "s14_orc_roundtrip",
     "l4_inverted_probe",
-    "l4_bpe_train",
-    "a17_sketch_rollup",
-    "l3_pq_search",
-    "a15_approx_percentiles",
-    "l3_ivf_kmeans_search",
     "l4_ngram_lm",
     "l3_ivf_add",
     "a21_incremental_join",
@@ -169,7 +126,6 @@ _PRIORITY: tuple[str, ...] = (
     "dq5_referential_integrity",
     "s20_versioned_time_travel",
     "t20_stream_versioned_commits",
-    "l4_bpe_encode",
     "l6_sequence_packing",
     "a20_weighted_median",
     "l3_ann_persisted_multiquery",
@@ -194,7 +150,6 @@ _PRIORITY: tuple[str, ...] = (
     "j7_bucketed_interval_join",
     "f10_array_suite",
     "f11_map_suite",
-    "a4_approx_count_distinct",
     "tpch_q5_local_supplier_volume",
     "a5_cube_order_grid",
     "l6_exact_stratified_take",
@@ -249,7 +204,6 @@ _PRIORITY: tuple[str, ...] = (
     "t7_stream_dedup_within_watermark",
     "t8_stateful_user_stats",
     "t9_stream_stream_join",
-    "s23_change_feed_cdc",
     "l2_semantic_neardup_cells",
     "l2_embedding_neardup_pairs",
     "l4_token_stats",
@@ -296,6 +250,56 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q13_customer_distribution",
     "tpch_q22_global_sales_opportunity",
     "t13_stream_semi_join",
+    "l2_semantic_dedup_keep",
+    "l2_neardup_pipeline",
+    "l2_dedup_clusters",
+    "l2_ngram_jaccard_pairs",
+    "l2_containment_pairs",
+    "dq7_snapshot_drift",
+    "l3_ivf_persisted_multiquery",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "s10_clustered_compact_scan",
+    "g1_pagerank_purchase_graph",
+    "a19_frequent_pairs",
+    "ts8_ewma_smoothing",
+    "p8_lateral_topk",
+    "p9_recursive_month_spine",
+    "f15_xml_suite",
+    "s15_python_datasource_feed",
+    "s16_python_datasource_sink",
+    "t15_stream_python_source",
+    "dq3_table_fingerprint",
+    "s17_binaryfile_ingest",
+    "j12_temporal_dim_join",
+    "l6_leakage_safe_split",
+    "t16_stream_file_sink",
+    "f16_sql_udf_suite",
+    "l3_mmr_rerank",
+    "ts9_rolling_wau",
+    "u4_schema_drift_union",
+    "s18_dynamic_partition_overwrite",
+    "l5_scene_cuts",
+    "l7_mixture_rebalance",
+    "w6_value_streaks",
+    "ts10_rolling_zscore",
+    "cdc2_apply_changelog",
+    "s19_corrupt_record_handling",
+    "w7_ratio_to_report",
+    "f17_try_suite",
+    "l3_knn_filtered",
+    "j14_asof_tolerance",
+    "t17_stream_multibatch",
+    "l6_target_encode",
+    "u5_bag_set_ops",
+    "l5_resize_pixels",
+    "l4_bpe_train",
+    "a17_sketch_rollup",
+    "l3_pq_search",
+    "a15_approx_percentiles",
+    "l3_ivf_kmeans_search",
+    "l4_bpe_encode",
+    "a4_approx_count_distinct",
 )
 
 

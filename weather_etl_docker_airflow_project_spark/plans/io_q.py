@@ -1406,6 +1406,148 @@ def s27_constraint_enforced_commits(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "s28_bucketed_sparse_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 4 <> 0),
+    src AS (
+      SELECT o_orderkey, 'B' AS o_orderstatus FROM orders
+      WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey LIMIT 25),
+    del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 131 = 0 ORDER BY o_orderkey LIMIT 10),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus FROM src
+      UNION ALL
+      SELECT b.o_orderkey, b.o_orderstatus FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey))
+    SELECT m.o_orderkey, m.o_orderstatus FROM merged m
+    WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.o_orderkey = m.o_orderkey)
+    """,
+    tags=("S28", "S25", "S20"),
+)
+def s28_bucketed_sparse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-granular copy-on-write MERGE + DELETE (the round-10
+    verdict's top task; `VersionedTable.set_layout` +
+    operators/versioned.merge_upsert/delete_by_keys): the table declares
+    a key-bucket layout (bucket = pmod(xxhash64(o_orderkey), 16)), so a
+    sparse merge reads and rewrites ONLY the buckets containing source
+    keys and carries every untouched bucket dir into the new manifest BY
+    REFERENCE — Delta's file-granular copy-on-write at bucket
+    granularity. At 100 TB this is the difference between a merge
+    writing ~0.1% of the table and writing 100% of it (s25's documented
+    refinement). History here: bucketed base = orders minus every 4th
+    key over 64 buckets; sparse MERGE flips the 25 smallest %97 keys to
+    status 'B' (a CONSTANT key count, so the touch stays sparse at
+    every scale factor — at most 25 of 64 buckets rewritten whether the
+    table holds 15k or 15M rows); bucket-granular DELETE drops the 10
+    smallest %131 keys. The declared output is
+    the final snapshot; the oracle restates it set-theoretically — any
+    bucket mis-assignment (a key matched in one bucket but rewritten in
+    another), dropped carry dir, or double-counted rewrite hash-fails.
+    The mechanism facts (untouched bucket dirs byte-identical, manifests
+    mixing referenced + fresh dirs, pruned CDC across the merge) are
+    pytest-gated in tests/test_round11_ops.py."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        delete_by_keys,
+        merge_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vbkt_"), "orders_v"))
+    t.set_layout(["o_orderkey"], 64)
+    t.commit(o.filter(F.col("o_orderkey") % 4 != 0))
+    base_manifest = set(t._manifest(1))
+    src = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .orderBy("o_orderkey")
+        .limit(25)
+        .withColumn("o_orderstatus", F.lit("B"))
+    )
+    v2 = merge_upsert(t, src, keys=["o_orderkey"])
+    # engine-side sanity that the merge really was granular: 25 keys
+    # touch at most 25 of 64 buckets, so the new manifest must CARRY
+    # untouched bucket dirs by reference (os-level metadata check,
+    # costs no Spark job)
+    carried = sum(1 for d in t._manifest(v2) if d in base_manifest)
+    if carried < len(base_manifest) - 25:
+        raise AssertionError(
+            f"sparse merge carried only {carried} of {len(base_manifest)} "
+            "bucket dirs — rewrite was not bucket-granular"
+        )
+    delete_by_keys(
+        t,
+        o.filter(F.col("o_orderkey") % 131 == 0)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    return t.read().select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "s29_clone_safe_vacuum",
+    oracle="""
+    SELECT 'source' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'clone' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    tags=("S29", "S26", "S20"),
+)
+def s29_clone_safe_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-aware VACUUM (operators/versioned.vacuum(protect_roots=…),
+    the round-10 verdict's item 5): a shallow clone references its
+    source's batch dirs verbatim, so a plain source vacuum can retire
+    dirs the clone still needs (the documented Delta-parity hazard,
+    pinned by tests/test_round11_ops.py::
+    test_vacuum_without_protection_breaks_clone). With ``protect_roots``
+    the vacuum scans every manifest of every table under the shared
+    storage root — metadata cost only — and keeps any dir a clone
+    references. History: source commits the even keys (v1), is cloned,
+    then OVERWRITES itself with the odd keys (v2) — making v1's batch
+    unreferenced by the source — and vacuums with retention 1 under
+    protection. The declared output reads BOTH tables after the vacuum:
+    the source must show only v2's odd keys, the clone must still read
+    v1's even keys (if the vacuum deleted the protected dir, the clone
+    read fails outright; if it under-deleted, the source side would
+    still pass — so the pytest additionally asserts the unprotected
+    counterfactual). The oracle restates both snapshots."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, clone, vacuum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = scratch_dir("vsafe_")
+    t = VersionedTable(spark, _os.path.join(root, "orders_v"))
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 0))
+    c = clone(t, _os.path.join(root, "orders_clone"))
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 1), mode="overwrite")
+    rep = vacuum(t, retain_versions=1, protect_roots=[root])
+    if not rep.protected_dirs:
+        raise AssertionError(
+            "vacuum protected nothing — the clone's reference was missed"
+        )
+    sides = []
+    for side, tab in (("source", t), ("clone", c)):
+        sides.append(
+            tab.read().agg(
+                F.lit(side).alias("side"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            )
+        )
+    return sides[0].unionByName(sides[1])
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
