@@ -337,3 +337,48 @@ def test_replicate_changes_into_bucketed_replica(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in replica.read().collect()
     ) == sorted((r["k"], r["v"]) for r in src.read().collect())
+
+
+# ---------------------------------------------------------------------------
+# wedge-stream kernel: chunked per-node expansion (r10 advice)
+# ---------------------------------------------------------------------------
+
+
+def test_wedge_stream_chunked_matches_unchunked(spark):
+    """A tiny wedge_slice forces MANY slices per hub node (the hub has
+    ~19*38 wedges vs slice=7); results must be identical to the
+    single-slice expansion and to the attach path — slicing is pure
+    memory shape, never semantics."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from weather_etl_docker_airflow_project_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(11)
+    n = 40
+    es = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15}
+    es |= {(0, b) for b in range(1, n)}  # full-degree hub
+    adj = {v: set() for v in range(n)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: Counter = Counter()
+    for u, v, w in itertools.combinations(range(n), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            want.update((u, v, w))
+    edges = spark.createDataFrame(sorted(es), "a long, b long")
+    chunked = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            edges, max_attach_edges=0, wedge_slice=7
+        ).collect()
+    }
+    assert chunked == dict(want)
+    unchunked = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges, max_attach_edges=0).collect()
+    }
+    assert chunked == unchunked

@@ -108,12 +108,20 @@ def pagerank_fixed_point(
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
+#: wedges expanded per numpy slice inside the wedge-stream kernel: caps
+#: the per-slice (n_wedges x n_hashes) uint64 probe matrix at ~80 MB
+#: regardless of hub degree (r10 advice — a sqrt(E)-degree hub would
+#: otherwise materialize ~10^8 wedges in one allocation)
+_WEDGE_SLICE = 2_000_000
+
+
 def triangle_counts(
     edges: DataFrame,
     broadcast_adj: bool = False,
     max_broadcast_edges: int = 8_000_000,
     max_attach_edges: int = 16_000_000,
     kernel_task_factor: int = 0,
+    wedge_slice: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
@@ -204,7 +212,7 @@ def triangle_counts(
     n_edges = oriented.count()  # ~free: reads the checkpoint block index
     if n_edges > max_attach_edges:
         return _triangle_counts_wedge_stream(
-            e, oriented, n_edges, kernel_task_factor
+            e, oriented, n_edges, kernel_task_factor, wedge_slice
         )
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     adj_u = adj.select(F.col("src"), F.col("nbrs").alias("u_nbrs"))
@@ -241,7 +249,11 @@ def triangle_counts(
 
 
 def _triangle_counts_wedge_stream(
-    e: DataFrame, oriented: DataFrame, n_edges: int, kernel_task_factor: int = 0
+    e: DataFrame,
+    oriented: DataFrame,
+    n_edges: int,
+    kernel_task_factor: int = 0,
+    wedge_slice: int | None = None,
 ) -> DataFrame:
     """The big-graph regime of :func:`triangle_counts` — identical
     output, communication turned from shuffle bytes into a map-side
@@ -293,6 +305,9 @@ def _triangle_counts_wedge_stream(
     bitmap_bc = e.sparkSession.sparkContext.broadcast(bitmap)
     consts = _hash_constants(n_hashes)
     shift = np.uint64(64 - log2_m)
+    # captured as a closure cell (not a module-global lookup) so the
+    # value rides the pickled kernel to the workers deterministically
+    slice_cap = int(wedge_slice or _WEDGE_SLICE)
 
     def _wedge_survivors(batches):
         bm = bitmap_bc.value
@@ -303,21 +318,51 @@ def _triangle_counts_wedge_stream(
                 k = len(a)
                 if k < 2:
                     continue
-                ii, jj = np.triu_indices(k, 1)
-                v, w = a[ii], a[jj]
-                keys = (v.astype(np.uint64) << np.uint64(32)) | w.astype(
-                    np.uint64
-                )
-                pos = ((keys + np.uint64(1))[:, None] * consts[None, :]) >> shift
-                words = bm[pos >> np.uint64(6)]
-                hit = (
-                    (words >> (pos & np.uint64(63))) & np.uint64(1)
-                ).all(axis=1)
-                n_hit = int(hit.sum())
-                if n_hit:
-                    out_u.append(np.full(n_hit, u, dtype=np.int64))
-                    out_v.append(v[hit])
-                    out_w.append(w[hit])
+                # Per-node wedge expansion is CHUNKED (r10 advice): a
+                # hub at the orientation's O(sqrt(E)) degree bound
+                # (~15k at 120M edges) has ~10^8 wedges — one
+                # triu_indices + (n_wedges x n_hashes) probe matrix
+                # would be multi-GB inside a single Python worker. Rows
+                # are sliced so each slice holds <= _WEDGE_SLICE wedges
+                # (peak ~n_hashes*8B*slice ~ 80 MB), bounding memory
+                # regardless of hub degree. Row i contributes k-1-i
+                # wedges (j > i), so slice bounds come from one cumsum
+                # + searchsorted — no per-row Python loop.
+                row_counts = k - 1 - np.arange(k - 1, dtype=np.int64)
+                cum = np.cumsum(row_counts)
+                if cum[-1] > slice_cap:
+                    targets = np.arange(slice_cap, cum[-1], slice_cap)
+                    cuts = np.searchsorted(cum, targets, side="left") + 1
+                    bounds = np.unique(np.concatenate(([0], cuts, [k - 1])))
+                else:
+                    bounds = np.array([0, k - 1])
+                for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                    counts = row_counts[r0:r1]
+                    total = int(counts.sum())
+                    if total == 0:
+                        continue
+                    ii = np.repeat(np.arange(r0, r1), counts)
+                    seg_starts = np.concatenate(
+                        ([0], np.cumsum(counts[:-1]))
+                    )
+                    offs = np.arange(total) - np.repeat(seg_starts, counts)
+                    jj = ii + 1 + offs
+                    v, w = a[ii], a[jj]
+                    keys = (v.astype(np.uint64) << np.uint64(32)) | w.astype(
+                        np.uint64
+                    )
+                    pos = (
+                        (keys + np.uint64(1))[:, None] * consts[None, :]
+                    ) >> shift
+                    words = bm[pos >> np.uint64(6)]
+                    hit = (
+                        (words >> (pos & np.uint64(63))) & np.uint64(1)
+                    ).all(axis=1)
+                    n_hit = int(hit.sum())
+                    if n_hit:
+                        out_u.append(np.full(n_hit, u, dtype=np.int64))
+                        out_v.append(v[hit])
+                        out_w.append(w[hit])
             if out_u:
                 yield pd.DataFrame(
                     {
