@@ -186,6 +186,10 @@ HEADLINE = [
     "cdc3_replicate_changefeed",
     "s27_constraint_enforced_commits",
     "t21_stream_merge_upsert",
+    # round-11 additions
+    "s28_bucketed_sparse_merge",
+    "s29_clone_safe_vacuum",
+    "s30_bucket_pruned_lookup",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -382,3 +382,42 @@ def test_wedge_stream_chunked_matches_unchunked(spark):
         for r in triangle_counts(edges, max_attach_edges=0).collect()
     }
     assert chunked == unchunked
+
+
+# ---------------------------------------------------------------------------
+# read_at_keys: bucket-pruned point lookup
+# ---------------------------------------------------------------------------
+
+
+def test_read_at_keys_prunes_and_matches(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=200, buckets=16)
+    probe = spark.createDataFrame([(5,), (42,), (9999,), (None,)], "k long")
+    got = sorted(
+        (r["k"], r["v"]) for r in t.read_at_keys(probe, keys=["k"]).collect()
+    )
+    # 9999 absent, NULL matches nothing
+    assert got == [(5, "v5"), (42, "v42")]
+    # pruning actually narrowed the scan
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        _granular_split,
+    )
+
+    split = _granular_split(t, 1, probe, ["k"])
+    assert split is not None and len(split[1]) < len(t._manifest(1))
+
+
+def test_read_at_keys_fallback_unbucketed(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    probe = spark.createDataFrame([(2,)], "k long")
+    assert [(r["k"], r["v"]) for r in t.read_at_keys(probe, keys=["k"]).collect()] == [
+        (2, "b")
+    ]
+
+
+def test_read_at_keys_time_travel(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=20, buckets=4)
+    merge_upsert(t, _mk(spark, [(3, "NEW")]), keys=["k"])
+    probe = spark.createDataFrame([(3,)], "k long")
+    assert [r["v"] for r in t.read_at_keys(probe, ["k"], version=1).collect()] == ["v3"]
+    assert [r["v"] for r in t.read_at_keys(probe, ["k"], version=2).collect()] == ["NEW"]

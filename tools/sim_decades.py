@@ -2,14 +2,16 @@
 sf0.1 / sf1 / sf3 / sf10 (1x / 10x / 30x / 100x documents+embeddings),
 calibration-normalized, rendered as the SCALE.md markdown table.
 
-Reads the four ``.scratch/BENCH_SIM_r9_sf*.json`` files produced by the
-``SPARK_GRAFT_ONLY=l1_,l2_,l3_`` bench subset runs. Ratios are
+Reads the four ``.scratch/BENCH_SIM_<label>_sf*.json`` files produced by
+the ``SPARK_GRAFT_ONLY=l1_,l2_,l3_`` bench subset runs (label defaults to
+``r9``, the committed similarity-decade measurement — pass ``--label rN``
+to render a re-measure without editing this file). Ratios are
 (t_sfX / cal_sfX) / (t_sf0.1 / cal_sf0.1) — the calibration probe is
 fixed pure-codegen work, cancelling host-speed drift between runs.
 A query is flagged when its 100x ratio exceeds 100 (superlinear past
 the data multiply itself).
 
-Usage: python tools/sim_decades.py [--markdown]
+Usage: python tools/sim_decades.py [--markdown] [--label r9]
 """
 
 from __future__ import annotations
@@ -23,9 +25,12 @@ SCALES = [("sf0.1", 1), ("sf1", 10), ("sf3", 30), ("sf10", 100)]
 
 
 def main() -> None:
+    label = "r9"
+    if "--label" in sys.argv:
+        label = sys.argv[sys.argv.index("--label") + 1]
     runs = {}
     for name, _ in SCALES:
-        path = os.path.join(ROOT, ".scratch", f"BENCH_SIM_r9_{name}.json")
+        path = os.path.join(ROOT, ".scratch", f"BENCH_SIM_{label}_{name}.json")
         runs[name] = json.load(open(path))
     base = runs["sf0.1"]
     names = list(base["queries"])

@@ -1548,6 +1548,50 @@ def s29_clone_safe_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sides[0].unionByName(sides[1])
 
 
+@query(
+    "s30_bucket_pruned_lookup",
+    oracle="""
+    WITH probe AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 1009 = 0
+      ORDER BY o_orderkey LIMIT 20)
+    SELECT o.o_orderkey, o.o_orderstatus
+    FROM orders o JOIN probe p ON o.o_orderkey = p.o_orderkey
+    """,
+    tags=("S30", "S28", "S20"),
+)
+def s30_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup on the bucketed versioned table
+    (`VersionedTable.read_at_keys` — the READ-side payoff of the S28
+    layout, hand-rolled partition pruning): a batch of 20 probe keys can
+    only live in ≤20 of the 64 bucket dirs, so the scan opens those dirs
+    only — at 100 TB a key lookup reads ~20/64ths of nothing, not the
+    table — and an exact semi-join inside the pruned scan returns the
+    rows. The engine asserts the pruning actually happened (touched-dir
+    count < manifest size, an os-level metadata check); the oracle
+    restates the lookup as a plain join, so a bucket mis-route (a key
+    written to one bucket but probed in another) returns missing rows
+    and hash-fails. Constant probe count keeps the check
+    scale-independent (the s28 lesson)."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, _granular_split
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vlkp_"), "orders_v"))
+    t.set_layout(["o_orderkey"], 64)
+    t.commit(o)
+    probe = (
+        o.filter(F.col("o_orderkey") % 1009 == 0)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select("o_orderkey")
+    )
+    split = _granular_split(t, 1, probe, ["o_orderkey"])
+    if split is None or len(split[1]) >= len(t._manifest(1)):
+        raise AssertionError("lookup did not prune buckets")
+    return t.read_at_keys(probe, keys=["o_orderkey"])
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
