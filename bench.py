@@ -190,6 +190,7 @@ HEADLINE = [
     "s28_bucketed_sparse_merge",
     "s29_clone_safe_vacuum",
     "s30_bucket_pruned_lookup",
+    "s31_versioned_schema_evolution",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -421,3 +421,97 @@ def test_read_at_keys_time_travel(spark, tmp_path):
     probe = spark.createDataFrame([(3,)], "k long")
     assert [r["v"] for r in t.read_at_keys(probe, ["k"], version=1).collect()] == ["v3"]
     assert [r["v"] for r in t.read_at_keys(probe, ["k"], version=2).collect()] == ["NEW"]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (S31): schema-in-manifest, additive appends
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_append_requires_flag(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        t.commit(evolved, mode="append")
+    t.commit(evolved, mode="append", allow_schema_evolution=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    # pre-evolution row surfaces NULL for the added column
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel reads v1 with ITS schema — no phantom column
+    assert t.read(version=1).columns == ["k", "v"]
+    assert t.read(version=2).columns == ["k", "v", "score"]
+
+
+def test_schema_evolution_is_additive_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="additive-only"):
+        t.commit(
+            spark.createDataFrame([(2,)], "k long"),
+            mode="append",
+            allow_schema_evolution=True,
+        )
+    with pytest.raises(ValueError, match="column types"):
+        t.commit(
+            spark.createDataFrame([(2, 3)], "k long, v long"),
+            mode="append",
+            allow_schema_evolution=True,
+        )
+    # overwrite MAY replace the schema wholesale (overwriteSchema)
+    t.commit(
+        spark.createDataFrame([(9, 1.5)], "k long, score double"),
+        mode="overwrite",
+        allow_schema_evolution=True,
+    )
+    assert t.read().columns == ["k", "score"]
+
+
+def test_schema_evolution_on_bucketed_table(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=40, buckets=4)
+    evolved = spark.createDataFrame(
+        [(100, "x", 7.0)], "k long, v string, score double"
+    )
+    t.commit(evolved, mode="append", allow_schema_evolution=True)
+    # granular merge still works post-evolution: pruned target reads fill
+    # the evolved column with NULL under the version schema
+    src = spark.createDataFrame([(3, "UPD", 1.0)], "k long, v string, score double")
+    merge_upsert(t, src, keys=["k"])
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert rows[3] == ("UPD", 1.0) and rows[100] == ("x", 7.0)
+    assert rows[5] == ("v5", None)
+    assert len(rows) == 41
+
+
+def test_schema_evolution_cdc_restricts_to_common_columns(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_layout(["k"], 4)
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    t.commit(
+        spark.createDataFrame([(3, "c", 1.0)], "k long, v string, score double"),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    merge_upsert(
+        t,
+        spark.createDataFrame([(1, "A2", None)], "k long, v string, score double"),
+        keys=["k"],
+    )
+    feed = sorted(
+        (r["k"], r["change_type"], r["commit_version"])
+        for r in t.read_changes_cdc(v_from=1, keys=["k"]).collect()
+    )
+    assert feed == [(1, "update", 3), (3, "insert", 2)]
+
+
+def test_clone_carries_snapshot_schema(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.commit(
+        spark.createDataFrame([(2, "b", 5.0)], "k long, v string, score double"),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    c = clone(t, str(tmp_path / "c"))
+    assert c.read().columns == ["k", "v", "score"]
+    assert {r["k"]: r["score"] for r in c.read().collect()} == {1: None, 2: 5.0}

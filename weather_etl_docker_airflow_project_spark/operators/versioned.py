@@ -171,13 +171,33 @@ class VersionedTable:
 
     def _manifest(self, version: int) -> list[str]:
         with open(os.path.join(self._versions, str(version))) as f:
-            return [line.strip() for line in f if line.strip()]
+            return [
+                line.strip()
+                for line in f
+                if line.strip() and not line.startswith("#")
+            ]
+
+    def snapshot_schema(self, version: int):
+        """The snapshot's LOGICAL schema as recorded in the version's
+        manifest (``#schema=`` header line), or None for manifests
+        published before schema tracking. Delta's schema-in-log
+        approach: the reader gets the schema from one metadata line
+        instead of a ``mergeSchema`` footer scan over every file — at
+        100 TB the difference between O(1) and O(files) planning."""
+        from pyspark.sql.types import StructType
+
+        with open(os.path.join(self._versions, str(version))) as f:
+            for line in f:
+                if line.startswith("#schema="):
+                    return StructType.fromJson(json.loads(line[len("#schema="):]))
+        return None
 
     def commit(
         self,
         df: DataFrame,
         mode: str = "append",
         expected_base_version: int | None = None,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """Write ``df`` as a new immutable batch and publish the next
         version. ``mode='append'`` extends the previous version's
@@ -206,10 +226,53 @@ class VersionedTable:
         the interloper's B+1 manifest makes ours lose the link race.
         Blind appends (no read dependency) keep passing None — they
         commute with any interleaving, so last-reader-wins numbering is
-        correct for them."""
+        correct for them.
+
+        Schema evolution (``allow_schema_evolution``, Delta's
+        mergeSchema/overwriteSchema in miniature): every manifest
+        records the snapshot's logical schema (a ``#schema=`` header
+        line — one CAS-protected metadata write, so readers never
+        footer-scan). An APPEND whose columns drift from the recorded
+        schema raises unless the flag is set, and evolution is
+        ADDITIVE-ONLY: the batch must contain every existing column
+        with unchanged types (new nullable columns join the schema; old
+        files surface NULL for them at read — no history rewrite). An
+        OVERWRITE replaces the snapshot, so with the flag its schema
+        may change arbitrarily (overwriteSchema semantics). Pre-tracking
+        manifests have no recorded schema; the next commit records one."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         existing = self.versions()
+        if existing:
+            prev_schema = self.snapshot_schema(existing[-1])
+            if prev_schema is not None:
+                prev_fields = {f.name: f.dataType for f in prev_schema.fields}
+                new_fields = {f.name: f.dataType for f in df.schema.fields}
+                drifted = set(new_fields) != set(prev_fields)
+                if drifted and not allow_schema_evolution:
+                    raise ValueError(
+                        f"commit batch columns {sorted(new_fields)} differ "
+                        f"from the table schema {sorted(prev_fields)}; pass "
+                        "allow_schema_evolution=True to evolve (append: "
+                        "additive-only; overwrite: replaces the schema)"
+                    )
+                if mode == "append":
+                    missing = set(prev_fields) - set(new_fields)
+                    if missing:
+                        raise ValueError(
+                            "append-mode schema evolution is additive-only; "
+                            f"batch is missing existing columns {sorted(missing)}"
+                        )
+                    changed = [
+                        n
+                        for n, t in prev_fields.items()
+                        if n in new_fields and new_fields[n] != t
+                    ]
+                    if changed:
+                        raise ValueError(
+                            f"schema evolution cannot change column types "
+                            f"(changed: {sorted(changed)})"
+                        )
         if expected_base_version is not None:
             base = existing[-1] if existing else 0
             if base != expected_base_version:
@@ -227,7 +290,7 @@ class VersionedTable:
             (self._manifest(existing[-1]) if existing and mode == "append" else [])
             + new_dirs
         )
-        self._publish_manifest(dirs, version)
+        self._publish_manifest(dirs, version, schema=df.schema)
         return version
 
     def _write_batch(self, df: DataFrame, version: int) -> list[str]:
@@ -297,7 +360,9 @@ class VersionedTable:
             )
         return [batch]
 
-    def _publish_manifest(self, dirs: list[str], version: int) -> None:
+    def _publish_manifest(
+        self, dirs: list[str], version: int, schema=None
+    ) -> None:
         """Publish ``dirs`` as version ``version`` via the atomic
         create-if-absent CAS (``os.link``): when two writers race for the
         same version number exactly one wins and the other gets
@@ -305,10 +370,15 @@ class VersionedTable:
         REPLACE the winner's manifest and lose its batch from every later
         version. Requires a store with atomic put-if-absent (POSIX link,
         HDFS create, S3 If-None-Match / DynamoDB lock — the same
-        substrate Delta's commit protocol needs)."""
+        substrate Delta's commit protocol needs). ``schema`` (a
+        StructType) is recorded as a ``#schema=`` header line — the
+        snapshot's logical schema rides the same atomic metadata write
+        as the file list, so schema and data can never tear apart."""
         os.makedirs(self._versions, exist_ok=True)
         tmp = os.path.join(self._versions, f".{version}.tmp")
         with open(tmp, "w") as f:
+            if schema is not None:
+                f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
             f.write("\n".join(dirs) + "\n")
             f.flush()
             os.fsync(f.fileno())
@@ -333,7 +403,12 @@ class VersionedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: the union of the version's batch dirs (latest
-        committed version when ``version`` is None)."""
+        committed version when ``version`` is None). When the manifest
+        records a schema it is applied to the scan: files written before
+        an additive schema evolution surface NULL for the added columns
+        (parquet missing-column fill), and planning never footer-scans
+        for a merged schema — each version reads with ITS OWN recorded
+        schema, so time travel across an evolution is exact."""
         committed = self.versions()
         if not committed:
             raise ValueError(f"versioned table at {self.dir} has no commits")
@@ -342,7 +417,17 @@ class VersionedTable:
             raise ValueError(
                 f"version {v} not committed at {self.dir} (have {committed})"
             )
-        return self.spark.read.parquet(*self._manifest(v))
+        return self._read_dirs(self._manifest(v), v)
+
+    def _read_dirs(self, dirs: list[str], version: int) -> DataFrame:
+        """Scan a subset of a version's dirs under the VERSION's recorded
+        schema (when present) — bucket-pruned reads must fill evolved-in
+        columns with NULL exactly like the full snapshot read does."""
+        reader = self.spark.read
+        schema = self.snapshot_schema(version)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*dirs)
 
     def read_at_keys(
         self, keys_df: DataFrame, keys: list[str], version: int | None = None
@@ -370,7 +455,7 @@ class VersionedTable:
             _carry, touched_dirs = split
             if not touched_dirs:
                 return self.read(version=v).limit(0)
-            base = self.spark.read.parquet(*touched_dirs)
+            base = self._read_dirs(touched_dirs, v)
         else:
             base = self.read(version=v)
         return base.join(keys_df.select(*keys), keys, "left_semi")
@@ -540,20 +625,28 @@ class VersionedTable:
                     if not old_dirs and not new_dirs2:
                         continue  # every bucket's dir set identical
                     old = (
-                        self.spark.read.parquet(*old_dirs)
+                        self._read_dirs(old_dirs, prev_v)
                         if old_dirs
                         else self.read(version=prev_v).limit(0)
                     )
                     new = (
-                        self.spark.read.parquet(*new_dirs2)
+                        self._read_dirs(new_dirs2, v)
                         if new_dirs2
                         else self.read(version=v).limit(0)
                     )
                 else:
                     old = self.read(version=prev_v)
                     new = self.read(version=v)
+                # auto-restrict the fingerprint to columns BOTH sides
+                # have: across an additive schema evolution the older
+                # snapshot lacks the new columns, and a keyed diff over
+                # them is undefined (every row would look "updated"
+                # from NULL); callers wanting evolution-aware updates
+                # pass compare_cols explicitly
                 cmp_cols = compare_cols or [
-                    c for c in new.columns if c not in keys
+                    c
+                    for c in new.columns
+                    if c not in keys and c in old.columns
                 ]
                 parts.append(
                     snapshot_diff(old, new, keys, cmp_cols).withColumn(
@@ -857,7 +950,7 @@ def merge_upsert(
         # the merge target shrinks to the touched buckets; everything
         # else rides into the new manifest by reference below
         target_side = (
-            table.spark.read.parquet(*touched_dirs)
+            table._read_dirs(touched_dirs, base_version)
             if touched_dirs
             else target.limit(0)
         )
@@ -974,7 +1067,9 @@ def _commit_granular(
     same conflict rule as :func:`compact`, no extra bookkeeping."""
     version = base_version + 1
     new_dirs = table._write_batch(rewritten, version)
-    table._publish_manifest(carry_dirs + new_dirs, version)
+    table._publish_manifest(
+        carry_dirs + new_dirs, version, schema=rewritten.schema
+    )
     return version
 
 
@@ -1003,7 +1098,7 @@ def delete_by_keys(
         if not touched_dirs:  # no bucket holds any of these keys
             kept = table.read(version=base_version).limit(0)
         else:
-            kept = table.spark.read.parquet(*touched_dirs).join(
+            kept = table._read_dirs(touched_dirs, base_version).join(
                 delete_keys.select(*keys), keys, "left_anti"
             )
         return _commit_granular(table, kept, carry, base_version)
@@ -1053,23 +1148,14 @@ def clone(
     target = VersionedTable(table.spark, target_dir)
     if target.versions():
         raise ValueError(f"clone target {target_dir} already has commits")
-    dirs = table._manifest(v)
-    os.makedirs(target._versions, exist_ok=True)
-    tmp = os.path.join(target._versions, ".1.tmp")
-    with open(tmp, "w") as f:
-        f.write("\n".join(os.path.realpath(d) for d in dirs) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    final = os.path.join(target._versions, "1")
+    dirs = [os.path.realpath(d) for d in table._manifest(v)]
     try:
-        os.link(tmp, final)  # same atomic create-if-absent as commit()
-    except FileExistsError:
-        os.remove(tmp)
+        target._publish_manifest(dirs, 1, schema=table.snapshot_schema(v))
+    except ConcurrentCommitError:
         raise ConcurrentCommitError(
             f"clone target {target_dir} version 1 was published by "
             "another writer"
         ) from None
-    os.remove(tmp)
     # carry table metadata: constraints + bucket layout (tmp+fsync+rename
     # like every metadata write)
     for src_file, dst_file in (

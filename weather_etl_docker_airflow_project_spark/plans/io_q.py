@@ -1592,6 +1592,67 @@ def s30_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_at_keys(probe, keys=["o_orderkey"])
 
 
+@query(
+    "s31_versioned_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_priced,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS price_sum,
+           CAST(2 AS BIGINT) AS n_cols_v1
+    FROM orders
+    """,
+    tags=("S31", "S20", "S11"),
+)
+def s31_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the VERSIONED table (commit(...,
+    allow_schema_evolution=True)) — s11's mergeSchema story upgraded to
+    Delta's schema-in-log: every manifest records its snapshot's logical
+    schema in the SAME atomic metadata write as the file list, so (a)
+    planning never footer-scans O(files) for a merged schema — the one
+    metadata line is O(1) at 100 TB, (b) additive appends never rewrite
+    history (old files surface NULL for new columns via the recorded
+    read schema), and (c) time travel across the evolution is exact:
+    version 1 reads with version 1's schema, no phantom columns.
+    History: even keys land as (o_orderkey, o_orderstatus); odd keys
+    append WITH o_totalprice under the evolution flag (un-flagged drift
+    raises — pytest-gated with the additive-only and type-stability
+    rules, tests/test_round11_ops.py). Declared output: snapshot row
+    count, non-NULL count of the evolved column (exactly the odd keys —
+    any misfilled NULL breaks it), the DECIMAL-routed price sum over
+    evolved rows, and version 1's column count read back by time travel
+    (proving the old schema survived the evolution)."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vevo_"), "orders_v"))
+    t.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
+    )
+    t.commit(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    n_cols_v1 = len(t.read(version=1).columns)
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("n_priced"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_sum"),
+        F.lit(n_cols_v1).cast("long").alias("n_cols_v1"),
+    )
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
