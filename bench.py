@@ -191,6 +191,7 @@ HEADLINE = [
     "s29_clone_safe_vacuum",
     "s30_bucket_pruned_lookup",
     "s31_versioned_schema_evolution",
+    "s32_deletion_vector_delete",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

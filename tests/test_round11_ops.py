@@ -515,3 +515,108 @@ def test_clone_carries_snapshot_schema(spark, tmp_path):
     c = clone(t, str(tmp_path / "c"))
     assert c.read().columns == ["k", "v", "score"]
     assert {r["k"]: r["score"] for r in c.read().collect()} == {1: None, 2: 5.0}
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (S32): merge-on-read deletes
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_writes_no_data(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=100, buckets=8)
+    m1 = t._manifest(1)
+    delete_by_keys(
+        t,
+        spark.createDataFrame([(5,), (77,), (424242,)], "k long"),
+        keys=["k"],
+        merge_on_read=True,
+    )
+    # the DV commit references the SAME data dirs — zero rewrite
+    assert t._manifest(2) == m1
+    assert len(t.deletion_vectors(2)) == 1
+    snap = {r["k"] for r in t.read().collect()}
+    assert 5 not in snap and 77 not in snap and len(snap) == 98
+    # time travel: pre-DV version still shows the rows
+    assert 5 in {r["k"] for r in t.read(version=1).collect()}
+
+
+def test_dv_reinsert_is_visible(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=50, buckets=4)
+    delete_by_keys(
+        t, spark.createDataFrame([(7,)], "k long"), keys=["k"],
+        merge_on_read=True,
+    )
+    assert 7 not in {r["k"] for r in t.read().collect()}
+    # DELETE then INSERT: the re-inserted key lands in an uncovered dir
+    merge_upsert(t, _mk(spark, [(7, "REBORN")]), keys=["k"])
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap[7] == "REBORN" and len(snap) == 50
+    # plain APPEND after a DV delete is also visible (uncovered dir)
+    delete_by_keys(
+        t, spark.createDataFrame([(9,)], "k long"), keys=["k"],
+        merge_on_read=True,
+    )
+    t.commit(_mk(spark, [(9, "BACK")]), mode="append")
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap[9] == "BACK" and len(snap) == 50
+
+
+def test_dv_compact_materializes(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=60, buckets=4)
+    delete_by_keys(
+        t, spark.createDataFrame([(3,), (13,)], "k long"), keys=["k"],
+        merge_on_read=True,
+    )
+    rep = compact(t)
+    assert t.deletion_vectors(rep.version) == []
+    snap = {r["k"] for r in t.read().collect()}
+    assert 3 not in snap and 13 not in snap and len(snap) == 58
+
+
+def test_dv_cdc_emits_exact_deletes(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=40, buckets=4)
+    delete_by_keys(
+        t,
+        spark.createDataFrame([(3,), (999999,)], "k long"),  # 999999 absent
+        keys=["k"],
+        merge_on_read=True,
+    )
+    feed = sorted(
+        (r["k"], r["change_type"], r["commit_version"])
+        for r in t.read_changes_cdc(v_from=1, keys=["k"]).collect()
+    )
+    assert feed == [(3, "delete", 2)]  # no phantom delete for 999999
+    # file-level read_changes refuses the range (rows were removed)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.read_changes(1, 2)
+
+
+def test_dv_vacuum_and_clone(spark, tmp_path):
+    root = tmp_path / "lake"
+    t = VersionedTable(spark, str(root / "t"))
+    t.set_layout(["k"], 4)
+    t.commit(_mk(spark, [(i, f"v{i}") for i in range(30)]))
+    delete_by_keys(
+        t, spark.createDataFrame([(4,)], "k long"), keys=["k"],
+        merge_on_read=True,
+    )
+    c = clone(t, str(root / "c"))
+    assert 4 not in {r["k"] for r in c.read().collect()}  # DV carried
+    # vacuum retains latest: the DV file must survive as referenced
+    rep = vacuum(t, retain_versions=1)
+    assert not any("dv_" in d for d in rep.removed_dirs)
+    assert 4 not in {r["k"] for r in t.read().collect()}
+    assert len({r["k"] for r in t.read().collect()}) == 29
+
+
+def test_dv_then_cow_delete_coexist(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, n=40, buckets=4)
+    delete_by_keys(
+        t, spark.createDataFrame([(3,)], "k long"), keys=["k"],
+        merge_on_read=True,
+    )
+    # a later copy-on-write delete rewrites its touched bucket with the
+    # DV applied; carried dirs keep their coverage
+    delete_by_keys(t, spark.createDataFrame([(8,)], "k long"), keys=["k"])
+    snap = {r["k"] for r in t.read().collect()}
+    assert 3 not in snap and 8 not in snap and len(snap) == 38

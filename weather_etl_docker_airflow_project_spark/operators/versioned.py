@@ -192,6 +192,22 @@ class VersionedTable:
                     return StructType.fromJson(json.loads(line[len("#schema="):]))
         return None
 
+    def deletion_vectors(self, version: int) -> list[dict]:
+        """The version's active DELETION VECTORS (``#dv=`` header lines):
+        each is ``{"path": <keys-parquet dir>, "covers": [dirs...]}`` —
+        the keys in ``path`` are logically deleted FROM THE COVERED DIRS
+        ONLY. Scoping the vector to the dirs that existed when it was
+        created is what gives merge-on-read deletes SQL semantics: a key
+        deleted by a DV and later re-inserted lands in a NEW (uncovered)
+        dir and is visible again, exactly like Delta's per-file DVs."""
+        out = []
+        with open(os.path.join(self._versions, str(version))) as f:
+            for line in f:
+                if line.startswith("#dv="):
+                    parts = line[len("#dv="):].strip().split("::")
+                    out.append({"path": parts[0], "covers": parts[1:]})
+        return out
+
     def commit(
         self,
         df: DataFrame,
@@ -286,11 +302,14 @@ class VersionedTable:
         else:
             version = (existing[-1] + 1) if existing else 1
         new_dirs = self._write_batch(df, version)
-        dirs = (
-            (self._manifest(existing[-1]) if existing and mode == "append" else [])
-            + new_dirs
-        )
-        self._publish_manifest(dirs, version, schema=df.schema)
+        if existing and mode == "append":
+            dirs = self._manifest(existing[-1]) + new_dirs
+            # active deletion vectors ride along unchanged: they cover
+            # only the dirs they already covered, never the new batch
+            dvs = self.deletion_vectors(existing[-1])
+        else:
+            dirs, dvs = new_dirs, []
+        self._publish_manifest(dirs, version, schema=df.schema, dvs=dvs)
         return version
 
     def _write_batch(self, df: DataFrame, version: int) -> list[str]:
@@ -361,7 +380,7 @@ class VersionedTable:
         return [batch]
 
     def _publish_manifest(
-        self, dirs: list[str], version: int, schema=None
+        self, dirs: list[str], version: int, schema=None, dvs=None
     ) -> None:
         """Publish ``dirs`` as version ``version`` via the atomic
         create-if-absent CAS (``os.link``): when two writers race for the
@@ -379,6 +398,8 @@ class VersionedTable:
         with open(tmp, "w") as f:
             if schema is not None:
                 f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
+            for dv in dvs or []:
+                f.write("#dv=" + "::".join([dv["path"]] + dv["covers"]) + "\n")
             f.write("\n".join(dirs) + "\n")
             f.flush()
             os.fsync(f.fileno())
@@ -422,12 +443,40 @@ class VersionedTable:
     def _read_dirs(self, dirs: list[str], version: int) -> DataFrame:
         """Scan a subset of a version's dirs under the VERSION's recorded
         schema (when present) — bucket-pruned reads must fill evolved-in
-        columns with NULL exactly like the full snapshot read does."""
+        columns with NULL exactly like the full snapshot read does — and
+        with the version's DELETION VECTORS applied (merge-on-read): dirs
+        are grouped by which DVs cover them, each group anti-joins its
+        covering DV key sets, groups union back. A dir added after a DV
+        was created is uncovered, so re-inserted keys stay visible."""
         reader = self.spark.read
         schema = self.snapshot_schema(version)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*dirs)
+        dvs = self.deletion_vectors(version)
+        if not dvs:
+            return reader.parquet(*dirs)
+        cover_sets = [
+            (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
+            for dv in dvs
+        ]
+        groups: dict[tuple, list[str]] = {}
+        for d in dirs:
+            rd = os.path.realpath(d)
+            covering = tuple(
+                sorted(p for p, covered in cover_sets if rd in covered)
+            )
+            groups.setdefault(covering, []).append(d)
+        parts = []
+        for covering, group in groups.items():
+            df = reader.parquet(*group)
+            for dv_path in covering:
+                dv_keys = self.spark.read.parquet(dv_path).distinct()
+                df = df.join(dv_keys, list(dv_keys.columns), "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_at_keys(
         self, keys_df: DataFrame, keys: list[str], version: int | None = None
@@ -491,6 +540,13 @@ class VersionedTable:
             raise ValueError(
                 f"versions {v_from}..{v_to} at {self.dir} cross an overwrite "
                 "commit; the delta is not an append set — re-read the snapshot"
+            )
+        if self.deletion_vectors(v_from) != self.deletion_vectors(v_to):
+            raise ValueError(
+                f"versions {v_from}..{v_to} at {self.dir} cross a "
+                "deletion-vector commit; rows were removed, so the delta "
+                "is not an append set — use read_changes_cdc for row-level "
+                "changes"
             )
         new_dirs = [d for d in to_dirs if d not in from_dirs]
         if not new_dirs:
@@ -591,17 +647,41 @@ class VersionedTable:
         for prev_v, v in zip(span, span[1:]):
             prev_dirs = set(self._manifest(prev_v))
             to_dirs = self._manifest(v)
-            if prev_dirs <= set(to_dirs):  # append commit
-                new_dirs = [d for d in to_dirs if d not in prev_dirs]
-                if not new_dirs:
-                    continue
-                batch = self.spark.read.parquet(*new_dirs)
+            prev_dvs = self.deletion_vectors(prev_v)
+            cur_dvs = self.deletion_vectors(v)
+            if prev_dirs <= set(to_dirs):  # append and/or DV commit
                 if keys is None:
                     raise ValueError(
                         "read_changes_cdc needs keys=[...] for row-level "
                         "changes; for file-level append deltas use "
                         "read_changes()"
                     )
+                # deletion-vector commit: keys removed without any dir
+                # change — emit the rows the vector ACTUALLY deleted
+                # (dv keys semi-joined to the prior snapshot, bucket-
+                # pruned by read_at_keys; a dv key absent from the
+                # table produces no phantom delete)
+                prev_dv_paths = {dv["path"] for dv in prev_dvs}
+                for dv in cur_dvs:
+                    if dv["path"] in prev_dv_paths:
+                        continue
+                    dv_keys = self.spark.read.parquet(dv["path"]).select(
+                        *keys
+                    )
+                    deleted = self.read_at_keys(
+                        dv_keys, keys=keys, version=prev_v
+                    )
+                    parts.append(
+                        deleted.select(
+                            *keys,
+                            F.lit("delete").alias("change_type"),
+                            F.lit(v).cast("long").alias("commit_version"),
+                        )
+                    )
+                new_dirs = [d for d in to_dirs if d not in prev_dirs]
+                if not new_dirs:
+                    continue
+                batch = self.spark.read.parquet(*new_dirs)
                 parts.append(
                     batch.select(
                         *keys,
@@ -617,9 +697,21 @@ class VersionedTable:
                         "identity is undefined; pass keys=[...] or re-read "
                         "the snapshot"
                     )
+                # bucket pruning assumes a carried dir's rows are
+                # unchanged; a DV set that differs between the versions
+                # can invalidate that (deletions without dir changes) —
+                # conservative: full diff when the DV lines moved in any
+                # way a granular rewrite's coverage-restriction doesn't
+                # explain (granular rewrites only shrink coverage to
+                # carried dirs, which pruning handles because touched
+                # dirs left the manifest)
                 pruned = self._bucket_pruned_sides(
                     sorted(prev_dirs), to_dirs, keys
                 )
+                if pruned is not None and {
+                    dv["path"] for dv in cur_dvs
+                } - {dv["path"] for dv in prev_dvs}:
+                    pruned = None
                 if pruned is not None:
                     old_dirs, new_dirs2 = pruned
                     if not old_dirs and not new_dirs2:
@@ -787,11 +879,17 @@ def _clone_referenced_dirs(roots: list[str], skip_versions_dir: str) -> set[str]
                 if not fname.isdigit():
                     continue
                 with open(os.path.join(dirpath, fname)) as f:
-                    refs.update(
-                        os.path.realpath(line.strip())
-                        for line in f
-                        if line.strip()
-                    )
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        if line.startswith("#dv="):
+                            # a deletion vector references its key file
+                            # and every covered dir
+                            for p in line[len("#dv="):].split("::"):
+                                refs.add(os.path.realpath(p))
+                        elif not line.startswith("#"):
+                            refs.add(os.path.realpath(line))
     return refs
 
 
@@ -832,6 +930,9 @@ def vacuum(
     referenced = set()
     for v in keep:
         referenced.update(table._manifest(v))
+        for dv in table.deletion_vectors(v):
+            referenced.add(dv["path"])
+            referenced.update(dv["covers"])
     # realpath-normalize BOTH sides of the membership test: a handle
     # opened through a relative/symlinked/denormalized spelling of
     # table_dir must never conclude that every dir is unreferenced and
@@ -1067,14 +1168,29 @@ def _commit_granular(
     same conflict rule as :func:`compact`, no extra bookkeeping."""
     version = base_version + 1
     new_dirs = table._write_batch(rewritten, version)
+    # deletion vectors survive for CARRIED dirs only: the rewritten
+    # buckets were read WITH their DVs applied, so the new dirs have the
+    # deletions materialized; coverage of dirs leaving the manifest is
+    # dropped, and a DV covering nothing disappears
+    carried_real = {os.path.realpath(d) for d in carry_dirs}
+    kept_dvs = []
+    for dv in table.deletion_vectors(base_version):
+        covers = [
+            c for c in dv["covers"] if os.path.realpath(c) in carried_real
+        ]
+        if covers:
+            kept_dvs.append({"path": dv["path"], "covers": covers})
     table._publish_manifest(
-        carry_dirs + new_dirs, version, schema=rewritten.schema
+        carry_dirs + new_dirs, version, schema=rewritten.schema, dvs=kept_dvs
     )
     return version
 
 
 def delete_by_keys(
-    table: VersionedTable, delete_keys: DataFrame, keys: list[str]
+    table: VersionedTable,
+    delete_keys: DataFrame,
+    keys: list[str],
+    merge_on_read: bool = False,
 ) -> int:
     """DELETE FROM ... WHERE key IN (feed) for :class:`VersionedTable` —
     the delete half of the CDC replay loop (:func:`replicate_changes`)
@@ -1085,13 +1201,46 @@ def delete_by_keys(
     manifest by reference, so deleting a day's keys from a 100 TB table
     rewrites the touched buckets, not the table. NULL keys in the feed
     match nothing (plain equality — SQL DELETE semantics). Commits
-    pinned to the base read (read-modify-write guard)."""
+    pinned to the base read (read-modify-write guard).
+
+    ``merge_on_read=True`` switches to a DELETION VECTOR commit
+    (Delta/Iceberg merge-on-read): the delete writes ONLY the key set
+    (O(deleted keys), no data rewrite at all — not even touched
+    buckets) and records a ``#dv=`` manifest line scoping the vector to
+    the dirs it covers; every read anti-joins covered dirs against the
+    vector. The trade is write amplification vs read overhead: a
+    SCATTERED delete (one key per bucket) under copy-on-write rewrites
+    EVERY bucket, under a DV it writes one tiny file. Reads pay one
+    anti-join per covering vector until :func:`compact` (or any full
+    rewrite) materializes the deletions. Because the vector covers only
+    the dirs existing at creation, a later re-insert of a deleted key
+    lands in an uncovered dir and is visible — SQL DELETE-then-INSERT
+    semantics, pytest-pinned."""
     if not keys:
         raise ValueError("delete_by_keys needs at least one key")
     committed = table.versions()
     if not committed:
         raise ValueError(f"versioned table at {table.dir} has no commits")
     base_version = committed[-1]
+    if merge_on_read:
+        version = base_version + 1
+        dv_dir = os.path.join(
+            table._data, f"dv_{version}_{uuid.uuid4().hex[:8]}"
+        )
+        delete_keys.select(*keys).distinct().write.mode("overwrite").parquet(
+            dv_dir
+        )
+        dirs = table._manifest(base_version)
+        dvs = table.deletion_vectors(base_version) + [
+            {"path": dv_dir, "covers": list(dirs)}
+        ]
+        table._publish_manifest(
+            dirs,
+            version,
+            schema=table.snapshot_schema(base_version),
+            dvs=dvs,
+        )
+        return version
     split = _granular_split(table, base_version, delete_keys, keys)
     if split is not None:
         carry, touched_dirs = split
@@ -1149,8 +1298,17 @@ def clone(
     if target.versions():
         raise ValueError(f"clone target {target_dir} already has commits")
     dirs = [os.path.realpath(d) for d in table._manifest(v)]
+    dvs = [
+        {
+            "path": os.path.realpath(dv["path"]),
+            "covers": [os.path.realpath(c) for c in dv["covers"]],
+        }
+        for dv in table.deletion_vectors(v)
+    ]
     try:
-        target._publish_manifest(dirs, 1, schema=table.snapshot_schema(v))
+        target._publish_manifest(
+            dirs, 1, schema=table.snapshot_schema(v), dvs=dvs
+        )
     except ConcurrentCommitError:
         raise ConcurrentCommitError(
             f"clone target {target_dir} version 1 was published by "

@@ -44,9 +44,9 @@ _PRIORITY: tuple[str, ...] = (
     # layout branch; clone copies constraints+layout; commit refactored
     # through _write_batch/_publish_manifest; t21 rides merge_upsert).
     # Next 7: the entire r5-currency tail (a22, dq4, f18, j15, p11,
-    # p12, t18 — the verdict's item 2, burned in full). Remaining 30:
-    # the r6 tier in the documented rotation order (l5_t10/t11/gif/jpeg
-    # and the 11 r6 queries after them head the r12 rotation:
+    # p12, t18 — the verdict's item 2, burned in full). Remaining 29:
+    # the r6 tier in the documented rotation order (s12/t10/t11/gif/
+    # jpeg and the 11 r6 queries after them head the r12 rotation:
     # l5_audio_features .. w1_top3).
     # ================= PAST THE CUT (positions 51+) ================
     # r12 rotation order: remaining r6 tier first, then r7, r8, r9,
@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "s29_clone_safe_vacuum",
     "s30_bucket_pruned_lookup",
     "s31_versioned_schema_evolution",
+    "s32_deletion_vector_delete",
     "s25_versioned_merge_upsert",
     "cdc3_replicate_changefeed",
     "s23_change_feed_cdc",

@@ -1653,6 +1653,71 @@ def s31_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "s32_deletion_vector_delete",
+    oracle="""
+    WITH del AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 173 = 0
+      ORDER BY o_orderkey LIMIT 15),
+    re AS (SELECT o_orderkey FROM del ORDER BY o_orderkey LIMIT 5)
+    SELECT o.o_orderkey, o.o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.o_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT r.o_orderkey, 'Z' AS o_orderstatus FROM re r
+    """,
+    tags=("S32", "S28", "S20"),
+)
+def s32_deletion_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS — merge-on-read deletes
+    (operators/versioned.delete_by_keys(merge_on_read=True), Delta/
+    Iceberg DV semantics): the delete writes ONLY the key set (O(keys),
+    no data rewrite — the query asserts the manifest's data dirs are
+    IDENTICAL across the delete commit) plus one ``#dv=`` manifest line
+    scoping the vector to the dirs existing at creation; reads anti-join
+    covered dirs against the vector. The write-amplification
+    counterpoint to S28's copy-on-write: a SCATTERED delete (one key per
+    bucket) rewrites every bucket under COW but one tiny file under a
+    DV; reads pay an anti-join until compact() materializes. The tricky
+    semantics — DELETE then re-INSERT — is exercised under the oracle:
+    5 of the 15 DV-deleted keys are merged back with status 'Z'; they
+    land in NEW (uncovered) dirs and must be visible, while the
+    10 never-re-inserted keys stay logically deleted from the carried
+    covered dirs. Resurrection-by-append, compaction materialization,
+    exact CDC deletes (no phantoms), vacuum DV-retention and clone DV
+    carry are pytest-gated (tests/test_round11_ops.py)."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        delete_by_keys,
+        merge_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vdv_"), "orders_v"))
+    t.set_layout(["o_orderkey"], 64)
+    t.commit(o)
+    del15 = (
+        o.filter(F.col("o_orderkey") % 173 == 0)
+        .orderBy("o_orderkey")
+        .limit(15)
+        .select("o_orderkey")
+    )
+    delete_by_keys(t, del15, keys=["o_orderkey"], merge_on_read=True)
+    if t._manifest(2) != t._manifest(1):
+        raise AssertionError(
+            "deletion-vector delete rewrote data dirs — merge-on-read "
+            "must be metadata + keys only"
+        )
+    reins = (
+        del15.orderBy("o_orderkey")
+        .limit(5)
+        .withColumn("o_orderstatus", F.lit("Z"))
+    )
+    merge_upsert(t, reins, keys=["o_orderkey"])
+    return t.read().select("o_orderkey", "o_orderstatus")
+
+
 _PROFILE_COLS = (
     "l_orderkey",
     "l_partkey",
