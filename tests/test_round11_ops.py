@@ -620,3 +620,23 @@ def test_dv_then_cow_delete_coexist(spark, tmp_path):
     delete_by_keys(t, spark.createDataFrame([(8,)], "k long"), keys=["k"])
     snap = {r["k"] for r in t.read().collect()}
     assert 3 not in snap and 8 not in snap and len(snap) == 38
+
+
+# ---------------------------------------------------------------------------
+# streaming MERGE sink into a bucketed table stays granular
+# ---------------------------------------------------------------------------
+
+
+def test_stream_merge_into_bucketed_table_is_granular(spark, tmp_path):
+    """t21's foreachBatch MERGE inherits bucket granularity for free:
+    each micro-batch's merge carries untouched bucket dirs by
+    reference."""
+    t = _bucketed(spark, tmp_path, n=100, buckets=8)
+    m1 = set(t._manifest(1))
+    # two "micro-batches" merged sequentially (the foreachBatch shape)
+    for batch in ([(5, "B1")], [(33, "B2")]):
+        merge_upsert(t, _mk(spark, batch), keys=["k"])
+    m3 = t._manifest(3)
+    assert len([d for d in m3 if d in m1]) >= 6  # >= 6 of 8 carried
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap[5] == "B1" and snap[33] == "B2" and len(snap) == 100
