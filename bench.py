@@ -192,6 +192,9 @@ HEADLINE = [
     "s30_bucket_pruned_lookup",
     "s31_versioned_schema_evolution",
     "s32_deletion_vector_delete",
+    "s33_stats_pruned_scan",
+    "s34_zorder_table_optimize",
+    "s35_restore_rollback",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

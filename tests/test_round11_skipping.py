@@ -1,0 +1,258 @@
+"""Round-11b gates: data skipping (#stats= manifest statistics +
+read_where), Z-ORDER cluster_rewrite, and RESTORE.
+
+Soundness contract under test everywhere: pruning may change which dirs
+are OPENED, never which rows come back — each test cross-checks
+read_where against the equivalent full-scan filter.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators.versioned import (
+    VersionedTable,
+    cluster_rewrite,
+    delete_by_keys,
+    merge_upsert,
+    clone,
+    restore,
+    vacuum,
+)
+
+
+def _slice(spark, lo, hi, day0="1995-01-01"):
+    base = datetime.date.fromisoformat(day0)
+    rows = [
+        Row(k=i, d=base + datetime.timedelta(days=i % 30), v=float(i))
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_stats_recorded_per_dir_from_footers(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k", "d"])
+    t.commit(_slice(spark, 0, 100, "1995-01-01"))
+    t.commit(_slice(spark, 100, 200, "1996-01-01"), mode="append")
+    stats = t.dir_stats(2)
+    assert len(stats) == 2
+    by_lo = sorted(stats.values(), key=lambda s: int(s["k"]["lo"][1]))
+    assert [s["k"]["lo"][1] for s in by_lo] == ["0", "100"]
+    assert [s["k"]["hi"][1] for s in by_lo] == ["99", "199"]
+    assert by_lo[0]["d"]["lo"] == ["d", "1995-01-01"]
+    assert by_lo[1]["d"]["lo"] == ["d", "1996-01-01"]
+    assert all(s["k"]["nulls"] == 0 and s["k"]["rows"] == 100 for s in by_lo)
+
+
+def test_read_where_prunes_and_matches_filter(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    for lo in range(0, 400, 100):
+        t.commit(_slice(spark, lo, lo + 100), mode="append")
+    df, rep = t.read_where([("k", "between", (150, 240))])
+    assert rep.total_dirs == 4 and rep.scanned_dirs == 2
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(150, 241))
+    # boundary ops
+    for preds, expect_scanned in [
+        ([("k", "<", 100)], 1),
+        ([("k", "<=", 100)], 2),
+        ([("k", ">", 299)], 1),
+        ([("k", ">=", 300)], 1),
+        ([("k", "=", 250)], 1),
+    ]:
+        d, r = t.read_where(preds)
+        assert r.scanned_dirs == expect_scanned, preds
+        full = t.read()
+        col, op, val = preds[0]
+        exp = {
+            "<": full.filter(F.col(col) < val),
+            "<=": full.filter(F.col(col) <= val),
+            ">": full.filter(F.col(col) > val),
+            ">=": full.filter(F.col(col) >= val),
+            "=": full.filter(F.col(col) == val),
+        }[op].count()
+        assert d.count() == exp, preds
+
+
+def test_read_where_keeps_dirs_without_stats(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_slice(spark, 0, 100))  # pre-stats commit: no recorded line
+    t.set_stats_columns(["k"])
+    t.commit(_slice(spark, 100, 200), mode="append")
+    df, rep = t.read_where([("k", "<", 50)])
+    assert rep.total_dirs == 2 and rep.scanned_dirs == 1
+    assert df.count() == 50
+    # predicate matching only the un-statted dir: it must be kept
+    df2, rep2 = t.read_where([("k", ">", 150)])
+    assert rep2.scanned_dirs == 2  # stat dir matches AND no-stat dir kept
+
+
+def test_read_where_all_null_dir_pruned(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["v"])
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, v=None) for i in range(50)], "k int, v double"
+        )
+    )
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, v=float(i)) for i in range(50)], "k int, v double"
+        ),
+        mode="append",
+    )
+    df, rep = t.read_where([("v", ">=", 0.0)])
+    assert rep.scanned_dirs == 1  # the all-NULL dir satisfies nothing
+    assert df.count() == 50
+
+
+def test_read_where_incomparable_literal_keeps_all(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.commit(_slice(spark, 0, 100))
+    t.commit(_slice(spark, 100, 200), mode="append")
+    # int stats vs a non-ISO string literal: incomparable -> keep all
+    _, rep = t.read_where([("k", ">", "zzz")])
+    assert rep.scanned_dirs == 2
+
+
+def test_iso_string_literal_prunes_date_stats(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["d"])
+    t.commit(_slice(spark, 0, 100, "1995-01-01"))
+    t.commit(_slice(spark, 100, 200, "1996-01-01"), mode="append")
+    df, rep = t.read_where([("d", ">=", datetime.date(1996, 1, 1))])
+    assert rep.scanned_dirs == 1 and df.count() == 100
+    df2, rep2 = t.read_where([("d", ">=", "1996-01-01")])
+    assert rep2.scanned_dirs == 1 and df2.count() == 100
+
+
+def test_stats_carry_through_granular_merge(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_layout(["k"], 8)
+    t.set_stats_columns(["k", "v"])
+    t.commit(_slice(spark, 0, 200))
+    src = spark.createDataFrame(
+        [Row(k=5, d=datetime.date(1995, 1, 1), v=999.0)]
+    )
+    merge_upsert(t, src, keys=["k"])
+    stats = t.dir_stats(2)
+    dirs = t._manifest(2)
+    assert set(stats) == set(dirs)  # every bucket dir has a stat line
+    df, rep = t.read_where([("v", ">=", 999.0)])
+    assert rep.scanned_dirs < rep.total_dirs
+    assert [r.k for r in df.collect()] == [5]
+
+
+def test_dv_commit_carries_stats(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.commit(_slice(spark, 0, 100))
+    t.commit(_slice(spark, 100, 200), mode="append")
+    delete_by_keys(
+        t,
+        spark.createDataFrame([Row(k=150)]),
+        keys=["k"],
+        merge_on_read=True,
+    )
+    assert t.dir_stats(3)  # stats survived the metadata-only commit
+    df, rep = t.read_where([("k", "<", 50)])
+    assert rep.scanned_dirs == 1 and df.count() == 50
+    # DV applies inside the pruned scan too
+    df2, _ = t.read_where([("k", ">=", 100)])
+    assert df2.count() == 99
+
+
+def test_cluster_rewrite_multidim_pruning(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["x", "y"])
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.commit(df)
+    v = cluster_rewrite(t, ["x", "y"], n_chunks=16, bits=6)
+    assert v == 2 and len(t._manifest(2)) == 16
+    dx, rx = t.read_where([("x", "between", (10, 20))])
+    dy, ry = t.read_where([("y", "between", (5, 10))])
+    dxy, rxy = t.read_where([("x", "between", (10, 20)), ("y", "between", (5, 10))])
+    # z-order gives BOTH single dims real pruning; the conjunction is tighter
+    assert rx.scanned_dirs < rx.total_dirs
+    assert ry.scanned_dirs < ry.total_dirs
+    assert rxy.scanned_dirs <= min(rx.scanned_dirs, ry.scanned_dirs)
+    exp = df.filter(
+        F.col("x").between(10, 20) & F.col("y").between(5, 10)
+    ).count()
+    assert dxy.count() == exp
+    assert dx.count() == df.filter(F.col("x").between(10, 20)).count()
+    # schema unchanged: no z/zc columns leak into the table
+    assert t.read().columns == ["x", "y", "payload"]
+    assert t.read().count() == 20000
+
+
+def test_cluster_rewrite_rejects_bucketed_layout(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_layout(["k"], 4)
+    t.commit(_slice(spark, 0, 50))
+    with pytest.raises(ValueError, match="unbucketed"):
+        cluster_rewrite(t, ["k"])
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_slice(spark, 0, 100))
+    t.commit(_slice(spark, 100, 200), mode="append")
+    delete_by_keys(t, spark.createDataFrame([Row(k=5)]), keys=["k"])
+    n_data_dirs = len(os.listdir(t._data))
+    v = restore(t, 2)
+    assert v == 4
+    assert len(os.listdir(t._data)) == n_data_dirs  # zero data writes
+    assert t._manifest(4) == t._manifest(2)
+    assert t.read().count() == 200  # the delete is rolled back
+    assert t.read(version=3).count() == 199  # history preserved
+
+
+def test_restore_carries_schema_and_stats(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.commit(_slice(spark, 0, 100))
+    t.commit(
+        _slice(spark, 100, 200).withColumn("extra", F.lit(1)),
+        mode="overwrite",
+        allow_schema_evolution=True,
+    )
+    restore(t, 1)
+    assert t.read().columns == ["k", "d", "v"]
+    _, rep = t.read_where([("k", "<", 10)])
+    assert rep.total_dirs == 1 and rep.scanned_dirs == 1
+
+
+def test_restore_to_vacuumed_version_raises(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_slice(spark, 0, 100))
+    t.commit(_slice(spark, 100, 200), mode="overwrite")
+    vacuum(t, retain_versions=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        restore(t, 1)
+
+
+def test_clone_carries_stats_metadata(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.commit(_slice(spark, 0, 100))
+    c = clone(t, str(tmp_path / "c"))
+    # recorded stats on the referenced dirs survive the clone
+    _, rep = c.read_where([("k", ">", 500)])
+    assert rep.scanned_dirs == 0
+    # and the _stats_cols declaration carries: clone commits keep recording
+    c.commit(_slice(spark, 500, 600), mode="append")
+    _, rep2 = c.read_where([("k", ">=", 500)])
+    assert rep2.total_dirs == 2 and rep2.scanned_dirs == 1

@@ -9,6 +9,7 @@ Layout under ``table_dir``::
     _versions/<n>                  manifest: newline list of data dirs
     _constraints                   optional CHECK expressions (one/line)
     _layout                        optional key-bucket layout (JSON)
+    _stats_cols                    optional data-skipping columns (one/line)
 
 With a declared layout (:meth:`VersionedTable.set_layout`) every batch
 is written partitioned by ``bkt = pmod(xxhash64(keys...), n_buckets)``
@@ -78,6 +79,152 @@ def _dir_bucket(path: str) -> int | None:
     return None
 
 
+def _stat_encode(v):
+    """JSON-safe tagged encoding of a parquet-footer min/max value,
+    preserving enough type information that :func:`_stat_decode` can
+    rebuild an order-comparable Python value. Returns None for types the
+    skipping machinery does not bound (then the column simply records no
+    stat for that dir and reads keep the dir — pruning is only ever a
+    sound under-approximation)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ["b", v]
+    if isinstance(v, int):
+        return ["n", str(v)]
+    if isinstance(v, float):
+        return ["f", v]
+    if isinstance(v, decimal.Decimal):
+        return ["n", str(v)]
+    if isinstance(v, str):
+        return ["s", v]
+    if isinstance(v, datetime.datetime):
+        return ["ts", v.replace(tzinfo=None).isoformat()]
+    if isinstance(v, datetime.date):
+        return ["d", v.isoformat()]
+    return None
+
+
+def _stat_decode(enc):
+    """Inverse of :func:`_stat_encode`. Numerics ("n"/"f") decode to
+    :class:`decimal.Decimal` via their string form — exact, so a bound
+    comparison can never be moved by float rounding."""
+    import datetime
+    import decimal
+
+    if enc is None:
+        return None
+    tag, v = enc
+    if tag == "b":
+        return bool(v)
+    if tag in ("n", "f"):
+        return decimal.Decimal(str(v))
+    if tag == "s":
+        return v
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(v)
+    if tag == "d":
+        return datetime.date.fromisoformat(v)
+    raise ValueError(f"unknown stat tag {tag!r}")
+
+
+def _stat_comparable(value):
+    """Normalize a user predicate literal into the same comparison domain
+    :func:`_stat_decode` produces (numerics -> exact Decimal)."""
+    import decimal
+
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, (int, float, decimal.Decimal)):
+        return decimal.Decimal(str(value))
+    return value
+
+
+def _stat_cmp(bound, literal):
+    """Three-way compare a decoded stat bound against a predicate
+    literal: -1/0/1, or None when the pair is not order-comparable (then
+    the caller must NOT prune on it). ISO date/timestamp strings are
+    aligned to the bound's temporal type as a convenience."""
+    import datetime
+
+    if isinstance(bound, datetime.datetime) and isinstance(literal, str):
+        try:
+            literal = datetime.datetime.fromisoformat(literal)
+        except ValueError:
+            return None
+    elif (
+        isinstance(bound, datetime.date)
+        and not isinstance(bound, datetime.datetime)
+        and isinstance(literal, str)
+    ):
+        try:
+            literal = datetime.date.fromisoformat(literal)
+        except ValueError:
+            return None
+    else:
+        literal = _stat_comparable(literal)
+    try:
+        if bound < literal:
+            return -1
+        if literal < bound:
+            return 1
+        return 0
+    except TypeError:
+        return None
+
+
+def _dir_may_match(colstats: dict, predicates: list[tuple]) -> bool:
+    """Can a dir with these recorded column stats contain a row
+    satisfying ALL predicates? False only on PROOF of exclusion; every
+    unknown (missing column stat, incomparable literal) answers True."""
+    for col, op, val in predicates:
+        s = colstats.get(col)
+        if s is None:
+            continue
+        rows, nulls = s.get("rows", 0), s.get("nulls", 0)
+        if rows == 0:
+            return False
+        lo, hi = _stat_decode(s["lo"]), _stat_decode(s["hi"])
+        if lo is None or hi is None:
+            if nulls >= rows:
+                # entirely NULL: no comparison predicate can hold
+                return False
+            continue
+        if op == "between":
+            c_hi_lo = _stat_cmp(lo, val[1])  # lo vs upper literal
+            c_lo_hi = _stat_cmp(hi, val[0])  # hi vs lower literal
+            if c_hi_lo == 1 or c_lo_hi == -1:
+                return False
+            continue
+        c_lo = _stat_cmp(lo, val)
+        c_hi = _stat_cmp(hi, val)
+        if c_lo is None or c_hi is None:
+            continue
+        if op == "=" and (c_lo == 1 or c_hi == -1):
+            return False
+        if op == "<" and c_lo >= 0:
+            return False
+        if op == "<=" and c_lo == 1:
+            return False
+        if op == ">" and c_hi <= 0:
+            return False
+        if op == ">=" and c_hi == -1:
+            return False
+    return True
+
+
+class _PruneReport:
+    def __init__(
+        self, total_dirs: int, scanned_dirs: int, pruned_dirs: list[str]
+    ):
+        self.total_dirs = total_dirs
+        self.scanned_dirs = scanned_dirs
+        self.pruned_dirs = pruned_dirs
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first. The losing commit
     changed nothing visible (its staged batch dir is unreferenced and the
@@ -103,6 +250,7 @@ class VersionedTable:
         self._data = os.path.join(table_dir, "data")
         self._constraints_file = os.path.join(table_dir, "_constraints")
         self._layout_file = os.path.join(table_dir, "_layout")
+        self._stats_file = os.path.join(table_dir, "_stats_cols")
 
     def set_constraints(self, exprs: list[str]) -> None:
         """Declare table-level CHECK constraints (Delta's ``ALTER TABLE
@@ -162,6 +310,124 @@ class VersionedTable:
             return None
         with open(self._layout_file) as f:
             return json.load(f)
+
+    def set_stats_columns(self, cols: list[str]) -> None:
+        """Declare the columns whose per-dir min/max/null statistics ride
+        every subsequent manifest (``#stats=`` header lines) — Delta's
+        ``dataSkippingNumIndexedCols`` in miniature. Collection is a
+        FOOTER read of the just-written batch's parquet files (row-group
+        statistics the writer already computed), never a data scan: at
+        100 TB a commit pays O(new files) metadata reads, zero bytes of
+        data. :meth:`read_where` uses the recorded ranges to open only
+        the dirs a predicate can match. Pass ``[]`` to stop collecting
+        (existing manifests keep their recorded stats)."""
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self._stats_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(cols) + ("\n" if cols else ""))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._stats_file)
+
+    def stats_columns(self) -> list[str]:
+        if not os.path.exists(self._stats_file):
+            return []
+        with open(self._stats_file) as f:
+            return [line.strip() for line in f if line.strip()]
+
+    def dir_stats(self, version: int) -> dict[str, dict]:
+        """The version's recorded per-dir column statistics (``#stats=``
+        manifest header lines): ``{dir: {col: {"lo": enc|None, "hi":
+        enc|None, "nulls": n, "rows": n}}}``. Dirs without a line have no
+        stats (reads must keep them); ``lo``/``hi`` of None with
+        ``nulls == rows`` means the column is entirely NULL in that dir."""
+        out: dict[str, dict] = {}
+        with open(os.path.join(self._versions, str(version))) as f:
+            for line in f:
+                if line.startswith("#stats="):
+                    rec = json.loads(line[len("#stats="):])
+                    out[rec["dir"]] = rec["cols"]
+        return out
+
+    def _collect_dir_stats(self, dirs: list[str]) -> dict[str, dict]:
+        """Per-dir min/max/null-count for the declared stats columns,
+        aggregated from PARQUET ROW-GROUP FOOTERS (pyarrow metadata
+        reads — a few KB per file, no data I/O; the writer computed these
+        statistics during the original write, exactly where Delta/Iceberg
+        harvest theirs). A column chunk with rows but no usable min/max
+        (e.g. an unsupported logical type) poisons that column's stat for
+        the whole dir — recording a partial bound would make pruning
+        unsound. Parquet writers only emit binary min/max that remain
+        valid BOUNDS under truncation, so recorded ranges may be loose
+        but never exclude a present value."""
+        cols = self.stats_columns()
+        if not cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for d in dirs:
+            acc: dict[str, dict] = {
+                c: {"lo": None, "hi": None, "nulls": 0, "ok": True}
+                for c in cols
+            }
+            total_rows = 0
+            for root, _sub, files in os.walk(d):
+                for fname in files:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(root, fname)).metadata
+                    name_to_idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        total_rows += rg.num_rows
+                        for c in cols:
+                            a = acc[c]
+                            if not a["ok"] or c not in name_to_idx:
+                                if c not in name_to_idx:
+                                    a["ok"] = False
+                                continue
+                            st = rg.column(name_to_idx[c]).statistics
+                            if st is None or not st.has_null_count:
+                                a["ok"] = False
+                                continue
+                            a["nulls"] += st.null_count
+                            n_vals = rg.num_rows - st.null_count
+                            if n_vals == 0:
+                                continue
+                            if not st.has_min_max:
+                                a["ok"] = False
+                                continue
+                            lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+                            if lo is None or hi is None:
+                                a["ok"] = False
+                                continue
+                            if (
+                                a["lo"] is None
+                                or _stat_decode(lo) < _stat_decode(a["lo"])
+                            ):
+                                a["lo"] = lo
+                            if (
+                                a["hi"] is None
+                                or _stat_decode(hi) > _stat_decode(a["hi"])
+                            ):
+                                a["hi"] = hi
+            rec = {}
+            for c, a in acc.items():
+                if not a["ok"]:
+                    continue
+                rec[c] = {
+                    "lo": a["lo"],
+                    "hi": a["hi"],
+                    "nulls": a["nulls"],
+                    "rows": total_rows,
+                }
+            if rec:
+                out[d] = rec
+        return out
 
     def versions(self) -> list[int]:
         """Sorted committed version numbers (manifest presence = commit)."""
@@ -307,10 +573,37 @@ class VersionedTable:
             # active deletion vectors ride along unchanged: they cover
             # only the dirs they already covered, never the new batch
             dvs = self.deletion_vectors(existing[-1])
+            stats = self._stats_for_commit(new_dirs, existing[-1], dirs)
         else:
             dirs, dvs = new_dirs, []
-        self._publish_manifest(dirs, version, schema=df.schema, dvs=dvs)
+            stats = self._stats_for_commit(new_dirs, None, dirs)
+        self._publish_manifest(
+            dirs, version, schema=df.schema, dvs=dvs, stats=stats
+        )
         return version
+
+    def _stats_for_commit(
+        self,
+        new_dirs: list[str],
+        base_version: int | None,
+        final_dirs: list[str],
+    ) -> dict | None:
+        """Stats lines for a commit publishing ``final_dirs``: carried
+        dirs keep the bounds their ORIGINAL commit recorded (data files
+        are immutable, so recorded stats never go stale), new dirs get a
+        footer harvest. Carrying survives even when stats collection has
+        since been turned off — recorded metadata is never dropped."""
+        carried: dict[str, dict] = {}
+        if base_version is not None:
+            final = set(final_dirs)
+            carried = {
+                d: s
+                for d, s in self.dir_stats(base_version).items()
+                if d in final
+            }
+        new = self._collect_dir_stats(new_dirs)
+        merged = {**carried, **new}
+        return merged or None
 
     def _write_batch(self, df: DataFrame, version: int) -> list[str]:
         """Stage ``df`` as a new immutable batch; return the manifest
@@ -380,7 +673,7 @@ class VersionedTable:
         return [batch]
 
     def _publish_manifest(
-        self, dirs: list[str], version: int, schema=None, dvs=None
+        self, dirs: list[str], version: int, schema=None, dvs=None, stats=None
     ) -> None:
         """Publish ``dirs`` as version ``version`` via the atomic
         create-if-absent CAS (``os.link``): when two writers race for the
@@ -400,6 +693,12 @@ class VersionedTable:
                 f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
             for dv in dvs or []:
                 f.write("#dv=" + "::".join([dv["path"]] + dv["covers"]) + "\n")
+            for d in sorted(stats or {}):
+                f.write(
+                    "#stats="
+                    + json.dumps({"dir": d, "cols": stats[d]})
+                    + "\n"
+                )
             f.write("\n".join(dirs) + "\n")
             f.flush()
             os.fsync(f.fileno())
@@ -477,6 +776,79 @@ class VersionedTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def read_where(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, "_PruneReport"]:
+        """DATA-SKIPPING scan (Delta/Iceberg file skipping at dir
+        granularity): evaluate a conjunction of simple predicates —
+        ``(col, op, literal)`` with op in ``< <= > >= =`` or ``(col,
+        "between", (lo, hi))`` — against the manifest's recorded per-dir
+        min/max/null statistics and open ONLY the dirs that can contain a
+        matching row. On a time-batched or :func:`cluster_rewrite`-
+        clustered 100 TB table a selective range predicate reads the few
+        dirs whose recorded range overlaps, not the table — the pruning
+        decision is pure manifest metadata, zero file opens.
+
+        Soundness: a dir is skipped only when a predicate PROVABLY
+        excludes it — its non-null range misses the literal entirely, or
+        the column is all-NULL there (SQL comparison semantics: NULL
+        satisfies no predicate), or the dir is empty. Dirs without a
+        recorded stat for the predicate column (pre-stats commits, schema
+        evolution, unsupported types, incomparable literals) are always
+        kept, and the exact predicate is re-applied as a normal Spark
+        filter over the surviving dirs — pruning can change I/O, never
+        results. Returns ``(DataFrame, report)`` where the report carries
+        ``total_dirs`` / ``scanned_dirs`` / ``pruned_dirs``."""
+        from pyspark.sql import functions as F
+
+        for p in predicates:
+            if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between"):
+                raise ValueError(f"unsupported predicate {p!r}")
+        committed = self.versions()
+        if not committed:
+            raise ValueError(f"versioned table at {self.dir} has no commits")
+        v = committed[-1] if version is None else version
+        if v not in committed:
+            raise ValueError(
+                f"version {v} not committed at {self.dir} (have {committed})"
+            )
+        dirs = self._manifest(v)
+        stats = self.dir_stats(v)
+        stats_real = {os.path.realpath(d): s for d, s in stats.items()}
+        keep: list[str] = []
+        pruned: list[str] = []
+        for d in dirs:
+            s = stats.get(d) or stats_real.get(os.path.realpath(d))
+            if s is None or _dir_may_match(s, predicates):
+                keep.append(d)
+            else:
+                pruned.append(d)
+        if keep:
+            df = self._read_dirs(keep, v)
+        else:
+            df = self._read_dirs(dirs, v).limit(0)
+        cond = None
+        for col, op, val in predicates:
+            c = F.col(col)
+            if op == "=":
+                e = c == F.lit(val)
+            elif op == "<":
+                e = c < F.lit(val)
+            elif op == "<=":
+                e = c <= F.lit(val)
+            elif op == ">":
+                e = c > F.lit(val)
+            elif op == ">=":
+                e = c >= F.lit(val)
+            else:
+                e = c.between(F.lit(val[0]), F.lit(val[1]))
+            cond = e if cond is None else (cond & e)
+        return df.filter(cond) if cond is not None else df, _PruneReport(
+            len(dirs), len(keep), pruned
+        )
 
     def read_at_keys(
         self, keys_df: DataFrame, keys: list[str], version: int | None = None
@@ -1181,7 +1553,13 @@ def _commit_granular(
         if covers:
             kept_dvs.append({"path": dv["path"], "covers": covers})
     table._publish_manifest(
-        carry_dirs + new_dirs, version, schema=rewritten.schema, dvs=kept_dvs
+        carry_dirs + new_dirs,
+        version,
+        schema=rewritten.schema,
+        dvs=kept_dvs,
+        stats=table._stats_for_commit(
+            new_dirs, base_version, carry_dirs + new_dirs
+        ),
     )
     return version
 
@@ -1239,6 +1617,10 @@ def delete_by_keys(
             version,
             schema=table.snapshot_schema(base_version),
             dvs=dvs,
+            # data dirs are unchanged, so their recorded bounds carry: a
+            # DV only REMOVES rows, which can loosen but never invalidate
+            # a min/max bound
+            stats=table.dir_stats(base_version) or None,
         )
         return version
     split = _granular_split(table, base_version, delete_keys, keys)
@@ -1257,6 +1639,167 @@ def delete_by_keys(
     return table.commit(
         kept, mode="overwrite", expected_base_version=base_version
     )
+
+
+def cluster_rewrite(
+    table: VersionedTable,
+    cols: list[str],
+    n_chunks: int = 32,
+    bits: int = 8,
+) -> int:
+    """OPTIMIZE ZORDER BY — rewrite the latest snapshot MULTI-DIMENSION
+    clustered so :meth:`VersionedTable.read_where` data skipping works on
+    EVERY clustering column at once (Delta's ``OPTIMIZE ... ZORDER BY``,
+    the companion to :func:`compact`'s size-only rewrite). Linear
+    sort-by-date makes date ranges tight but leaves every other column's
+    per-file range full-width; the Z-value interleaves the bit-bucketed
+    coordinates of all ``cols`` so rows close in z are close in every
+    dimension — each chunk dir's recorded min/max box is tight on all of
+    them, and a selective predicate on ANY clustered column prunes most
+    chunks from pure manifest metadata.
+
+    Plan shape (all JVM-side, one data rewrite): (1) one aggregate for
+    per-column min/max; (2) per column, an equi-width bucket id to
+    ``2^bits`` cells (NULLs to cell 0 — they satisfy no comparison, so
+    placement is free); (3) the z-value as a bit-interleave built from
+    ``shiftleft``/``shiftright``/``bitwiseAND`` column arithmetic
+    (whole-stage codegen, no UDF); (4) chunk boundaries from
+    ``approxQuantile`` over z (driver gets ``n_chunks-1`` numbers — the
+    same sampling contract as ``repartitionByRange``), chunk id as a sum
+    of boundary indicators; (5) one shuffle into ``n_chunks`` writers,
+    z-sorted within each chunk for row-group locality, committed as a
+    normal pinned OVERWRITE (base+1 or :class:`ConcurrentCommitError` —
+    rows unchanged, so retry is always safe). Equi-width cells trade
+    skew-optimality for zero extra passes; quantile cells would cost one
+    more scan per column.
+
+    Requires numeric/date/timestamp clustering columns (temporals
+    coordinate as epoch seconds — UTC-deterministic) and no key-bucket
+    layout (the two physical organizations are alternatives: buckets
+    give granular writes, z-order gives multi-dim pruned reads).
+    ``bits * len(cols)`` must fit a long."""
+    if table.layout() is not None:
+        raise ValueError(
+            "cluster_rewrite requires an unbucketed table: a key-bucket "
+            "layout and a z-order clustering are alternative physical "
+            "organizations (granular writes vs multi-dim pruned reads)"
+        )
+    if not cols:
+        raise ValueError("cluster_rewrite needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    if n_chunks < 2:
+        raise ValueError("n_chunks must be >= 2")
+    from pyspark.sql import functions as F
+
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    base_version = committed[-1]
+    df = table.read(version=base_version)
+    orig_cols = df.columns
+    dtypes = dict(df.dtypes)
+
+    def _as_double(c: str) -> Column:
+        # temporals coordinate as epoch seconds (session is UTC per
+        # library default — deterministic); TIMESTAMP_NTZ needs the hop
+        # through ltz, plain casts cover the rest
+        dt, col = dtypes[c], F.col(c)
+        if dt == "timestamp_ntz":
+            return col.cast("timestamp_ltz").cast("double")
+        if dt == "date":
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    bounds = df.agg(
+        *[F.min(_as_double(c)).alias(f"_lo_{c}") for c in cols],
+        *[F.max(_as_double(c)).alias(f"_hi_{c}") for c in cols],
+    ).first()
+    from .layout import _spread_bits
+
+    n_cells = 1 << bits
+    ndims = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            cell = F.lit(0)
+        else:
+            cell = F.least(
+                F.lit(n_cells - 1),
+                F.floor(
+                    (_as_double(c) - F.lit(float(lo)))
+                    / F.lit(float(hi) - float(lo))
+                    * F.lit(n_cells)
+                ),
+            )
+        cell = F.coalesce(cell, F.lit(0)).cast("long")
+        z = z.bitwiseOR(_spread_bits(cell, stride=ndims, offset=j, bits=bits))
+    zdf = df.withColumn("_z", z)
+    cuts = zdf.stat.approxQuantile(
+        "_z", [i / n_chunks for i in range(1, n_chunks)], 0.001
+    )
+    chunk = F.lit(0)
+    for b in cuts:
+        chunk = chunk + (F.col("_z") > F.lit(int(b))).cast("int")
+    out = (
+        zdf.withColumn("zc", chunk)
+        .repartition(n_chunks, "zc")
+        .sortWithinPartitions("zc", "_z")
+        .select(*orig_cols, "zc")
+    )
+    version = base_version + 1
+    batch = os.path.join(table._data, f"batch_{version}_{uuid.uuid4().hex[:8]}")
+    out.write.partitionBy("zc").mode("overwrite").parquet(batch)
+    new_dirs = sorted(
+        os.path.join(batch, d)
+        for d in os.listdir(batch)
+        if d.startswith("zc=")
+    )
+    table._publish_manifest(
+        new_dirs,
+        version,
+        schema=df.select(*orig_cols).schema,
+        stats=table._stats_for_commit(new_dirs, None, new_dirs),
+    )
+    return version
+
+
+def restore(table: VersionedTable, to_version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table back to an
+    earlier snapshot as a NEW commit (Delta's RESTORE): the new manifest
+    re-lists ``to_version``'s dirs, schema, deletion vectors, and stats
+    verbatim. Pure metadata — restoring a 100 TB table writes one
+    manifest line-for-line, zero data I/O — and history is preserved:
+    the bad intermediate versions stay readable (auditable) until
+    :func:`vacuum` retires them, while new readers see the restored
+    state. The restored manifest re-references the old dirs, so a
+    subsequent vacuum keeps them alive by the ordinary reference rule —
+    no special casing. Publication rides the same CAS as every commit
+    (base+1 or :class:`ConcurrentCommitError`). Fails cleanly when the
+    target snapshot's data has already been vacuumed."""
+    committed = table.versions()
+    if to_version not in committed:
+        raise ValueError(
+            f"version {to_version} not committed at {table.dir} "
+            f"(have {committed})"
+        )
+    dirs = table._manifest(to_version)
+    missing = [d for d in dirs if not os.path.isdir(d)]
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {to_version}: {len(missing)} of "
+            f"its data dirs were vacuumed (first: {missing[0]})"
+        )
+    return_version = committed[-1] + 1
+    table._publish_manifest(
+        dirs,
+        return_version,
+        schema=table.snapshot_schema(to_version),
+        dvs=table.deletion_vectors(to_version),
+        stats=table.dir_stats(to_version) or None,
+    )
+    return return_version
 
 
 def clone(
@@ -1305,9 +1848,12 @@ def clone(
         }
         for dv in table.deletion_vectors(v)
     ]
+    stats = {
+        os.path.realpath(d): s for d, s in table.dir_stats(v).items()
+    } or None
     try:
         target._publish_manifest(
-            dirs, 1, schema=table.snapshot_schema(v), dvs=dvs
+            dirs, 1, schema=table.snapshot_schema(v), dvs=dvs, stats=stats
         )
     except ConcurrentCommitError:
         raise ConcurrentCommitError(
@@ -1319,6 +1865,7 @@ def clone(
     for src_file, dst_file in (
         (table._constraints_file, target._constraints_file),
         (table._layout_file, target._layout_file),
+        (table._stats_file, target._stats_file),
     ):
         if os.path.exists(src_file):
             import shutil

@@ -32,21 +32,23 @@ from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
     # ================= ROUND-11 WINDOW (first 50) =================
-    # Head block (10): flagship (entry() smoke), the TWO round-11
-    # surface additions needing their FIRST driver row
-    # (s28_bucketed_sparse_merge — bucket-granular copy-on-write MERGE,
-    # the r10 verdict's top task; s29_clone_safe_vacuum — clone-aware
-    # vacuum), and the SEVEN versioned-family queries whose machinery
-    # materially changed this round (merge_upsert restructured around
-    # the granular split; replicate_changes now checkpoints its feed,
-    # batches leg probes, and deletes via delete_by_keys;
+    # Head block (13): flagship (entry() smoke), the EIGHT round-11
+    # surface additions needing their FIRST driver row (s28 bucket-
+    # granular copy-on-write MERGE — the r10 verdict's top task; s29
+    # clone-aware vacuum; s30 bucket-pruned lookup; s31 schema
+    # evolution; s32 deletion vectors; s33 manifest-stats data
+    # skipping; s34 z-order table OPTIMIZE; s35 RESTORE), and the
+    # versioned-family queries whose machinery materially changed this
+    # round (merge_upsert restructured around the granular split;
+    # replicate_changes checkpoints its feed + batches leg probes;
     # read_changes_cdc gained bucket pruning; compact gained the
-    # layout branch; clone copies constraints+layout; commit refactored
-    # through _write_batch/_publish_manifest; t21 rides merge_upsert).
+    # layout branch; clone copies constraints+layout+stats; commit
+    # refactored through _write_batch/_publish_manifest and now
+    # harvests #stats= lines; t21 rides merge_upsert).
     # Next 7: the entire r5-currency tail (a22, dq4, f18, j15, p11,
-    # p12, t18 — the verdict's item 2, burned in full). Remaining 29:
-    # the r6 tier in the documented rotation order (s12/t10/t11/gif/
-    # jpeg and the 11 r6 queries after them head the r12 rotation:
+    # p12, t18 — the verdict's item 2, burned in full). Remaining:
+    # the r6 tier in the documented rotation order (s11/s12/t10/t11/
+    # gif/jpeg and the r6 queries after them head the r12 rotation:
     # l5_audio_features .. w1_top3).
     # ================= PAST THE CUT (positions 51+) ================
     # r12 rotation order: remaining r6 tier first, then r7, r8, r9,
@@ -58,6 +60,9 @@ _PRIORITY: tuple[str, ...] = (
     "s30_bucket_pruned_lookup",
     "s31_versioned_schema_evolution",
     "s32_deletion_vector_delete",
+    "s33_stats_pruned_scan",
+    "s34_zorder_table_optimize",
+    "s35_restore_rollback",
     "s25_versioned_merge_upsert",
     "cdc3_replicate_changefeed",
     "s23_change_feed_cdc",

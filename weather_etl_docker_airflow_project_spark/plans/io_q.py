@@ -1829,3 +1829,197 @@ def dq7_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate") >= pivot),
         bucket,
     )
+
+
+@query(
+    "s33_stats_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+      AND o_orderdate <= TIMESTAMP '1998-03-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("S33", "S20", "S8"),
+)
+def s33_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING — per-dir min/max statistics in the manifest
+    (`VersionedTable.set_stats_columns` + `read_where`, Delta/Iceberg
+    file skipping): orders land as one append commit per year — the
+    natural ingest cadence — and each commit harvests its batch's
+    min/max/null counts from the PARQUET FOOTERS the writer already
+    produced (O(new files) metadata reads, zero data I/O) into
+    ``#stats=`` manifest lines. The 9-month range scan then prunes from
+    pure manifest metadata: only the two year-dirs whose recorded date
+    range overlaps are opened — on a 100 TB time-batched table the scan
+    reads ~2/7ths of nothing else, before Spark plans a single file.
+    The engine asserts the pruning actually happened AND that it is
+    sound by construction (the exact predicate is re-applied as a
+    normal filter over the surviving dirs — pruning changes I/O, never
+    results, which the oracle's full-table WHERE certifies)."""
+    import datetime as _dt
+    import os as _os
+
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vskip_"), "orders_v"))
+    t.set_stats_columns(["o_orderdate"])
+    for year in range(1995, 2002):
+        lo = F.lit(f"{year}-01-01").cast("timestamp")
+        hi = F.lit(f"{year + 1}-01-01").cast("timestamp")
+        t.commit(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            mode="append",
+        )
+    df, rep = t.read_where(
+        [
+            (
+                "o_orderdate",
+                "between",
+                (_dt.datetime(1997, 6, 1), _dt.datetime(1998, 3, 1)),
+            )
+        ]
+    )
+    if rep.scanned_dirs != 2 or rep.total_dirs != 7:
+        raise AssertionError(
+            f"expected 2/7 dirs after date-range skipping, got "
+            f"{rep.scanned_dirs}/{rep.total_dirs}"
+        )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "s34_zorder_table_optimize",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_totalprice >= 150000.0 AND o_totalprice <= 250000.0
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1998-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("S34", "S33", "S24"),
+)
+def s34_zorder_table_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY — multi-dimension clustering for data skipping
+    (`operators/versioned.cluster_rewrite`): a date-sorted layout makes
+    date predicates prunable but leaves every price-dir range full-width;
+    the Z-value interleaves the bit-bucketed (o_totalprice, o_orderdate)
+    coordinates (pure shiftleft/bitwiseAND column arithmetic — whole-
+    stage codegen, no UDF) so each of the 16 chunk dirs is a tight box in
+    BOTH dimensions. The price x date range scan then opens only the
+    chunks whose recorded box intersects the query box — and the engine
+    asserts each SINGLE-dimension predicate prunes on its own, the
+    property linear sorting cannot deliver. One shuffle builds the
+    clustering (quantile chunk cuts via approxQuantile — the
+    repartitionByRange sampling contract); reads thereafter are manifest-
+    metadata decisions. Upgrades s13's flat-parquet zorder_write (whose
+    pruning lives implicitly in parquet footers) to a TABLE operation:
+    same Morton interleave (layout._spread_bits, shared code), but the
+    stats ride the manifest, the rewrite is a pinned commit with full
+    history, and the skipping decision is engine-asserted in-query.
+    Oracle certifies the pruned scan against the full-table WHERE."""
+    import datetime as _dt
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, cluster_rewrite
+
+    o = load_table(spark, sf_dir, "orders")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vzord_"), "orders_v"))
+    t.set_stats_columns(["o_totalprice", "o_orderdate"])
+    t.commit(o)
+    cluster_rewrite(t, ["o_totalprice", "o_orderdate"], n_chunks=16, bits=6)
+    price_pred = ("o_totalprice", "between", (150000.0, 250000.0))
+    date_pred = (
+        "o_orderdate",
+        "between",
+        (_dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)),
+    )
+    _, rep_p = t.read_where([price_pred])
+    _, rep_d = t.read_where([date_pred])
+    df, rep = t.read_where([price_pred, date_pred])
+    if not (
+        rep_p.scanned_dirs < rep_p.total_dirs
+        and rep_d.scanned_dirs < rep_d.total_dirs
+        and rep.scanned_dirs <= min(rep_p.scanned_dirs, rep_d.scanned_dirs)
+    ):
+        raise AssertionError(
+            "z-order clustering must prune on EACH dimension alone "
+            f"(price {rep_p.scanned_dirs}/{rep_p.total_dirs}, date "
+            f"{rep_d.scanned_dirs}/{rep_d.total_dirs}, both "
+            f"{rep.scanned_dirs}/{rep.total_dirs})"
+        )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "s35_restore_rollback",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    """,
+    tags=("S35", "S20"),
+)
+def s35_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF (`operators/versioned.
+    restore`, Delta's RESTORE): the bad-deploy escape hatch. History:
+    v1 = the good snapshot; v2 = an accidental keyed DELETE; v3 = an
+    accidental corrupting OVERWRITE. ``restore(t, 1)`` publishes v4 as a
+    manifest that re-lists v1's dirs/schema/stats VERBATIM — rolling
+    back a 100 TB table is one metadata write, zero data I/O (the
+    engine asserts no new data dir appeared), while the bad versions
+    stay time-travel-readable for the post-mortem. The restored
+    manifest re-references v1's dirs, so vacuum keeps them alive by the
+    ordinary reference rule. Oracle: the final state is exactly the
+    original table."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, delete_by_keys, restore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vrest_"), "orders_v"))
+    t.commit(o)
+    delete_by_keys(
+        t,
+        o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    t.commit(
+        o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_orderstatus", F.lit("CORRUPT")
+        ),
+        mode="overwrite",
+    )
+    n_dirs = len(_os.listdir(t._data))
+    restore(t, 1)
+    if len(_os.listdir(t._data)) != n_dirs:
+        raise AssertionError("restore must be metadata-only (no data writes)")
+    if t.read(version=3).limit(1).first().o_orderstatus != "CORRUPT":
+        raise AssertionError("history must stay readable after restore")
+    return t.read().select("o_orderkey", "o_orderstatus")
