@@ -195,6 +195,7 @@ HEADLINE = [
     "s33_stats_pruned_scan",
     "s34_zorder_table_optimize",
     "s35_restore_rollback",
+    "t22_versioned_stream_source",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

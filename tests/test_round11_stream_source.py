@@ -1,0 +1,99 @@
+"""Round-11c gates: the versioned-table STREAMING SOURCE
+(sources/versioned_stream) — offset=version commit-log replay, paced
+multi-batch drains, Delta's ignoreChanges contract, startingVersion,
+and schema-evolution null-fill."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators.versioned import (
+    VersionedTable,
+    delete_by_keys,
+)
+from weather_etl_docker_airflow_project_spark.streaming.windows import (
+    drain_versioned_source,
+)
+
+
+def _table(spark, tmp_path, n_commits=3, rows_per=50):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for c in range(n_commits):
+        rows = [
+            Row(k=c * rows_per + i, grp=(c * rows_per + i) % 5)
+            for i in range(rows_per)
+        ]
+        t.commit(spark.createDataFrame(rows), mode="append")
+    return t
+
+
+def test_paced_drain_one_commit_per_batch(spark, tmp_path):
+    t = _table(spark, tmp_path, n_commits=4)
+    drained, n_batches = drain_versioned_source(spark, t, per_batch=1)
+    assert n_batches == 4
+    assert drained.count() == 200
+    assert drained.agg(F.sum("k")).first()[0] == sum(range(200))
+
+
+def test_unpaced_drain_single_batch(spark, tmp_path):
+    t = _table(spark, tmp_path, n_commits=3)
+    drained, n_batches = drain_versioned_source(spark, t, per_batch=0)
+    assert n_batches == 1
+    assert drained.count() == 150
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    t = _table(spark, tmp_path, n_commits=3)
+    drained, _ = drain_versioned_source(spark, t, starting_version=1)
+    got = sorted(r.k for r in drained.collect())
+    assert got == list(range(50, 150))  # commit 1's rows never streamed
+
+
+def test_nonappend_raises_without_ignore_changes(spark, tmp_path):
+    t = _table(spark, tmp_path, n_commits=2)
+    t.commit(
+        spark.createDataFrame([Row(k=999, grp=0)]), mode="overwrite"
+    )
+    with pytest.raises(Exception, match="not a pure append"):
+        drain_versioned_source(spark, t, per_batch=0)
+
+
+def test_dv_commit_skipped_with_ignore_changes(spark, tmp_path):
+    t = _table(spark, tmp_path, n_commits=2)
+    delete_by_keys(
+        t,
+        spark.createDataFrame([Row(k=3), Row(k=7)]),
+        keys=["k"],
+        merge_on_read=True,
+    )
+    t.commit(
+        spark.createDataFrame([Row(k=500, grp=0)]), mode="append"
+    )
+    # without the opt-out the DV commit poisons the range
+    with pytest.raises(Exception, match="not a pure append"):
+        drain_versioned_source(spark, t, per_batch=0)
+    drained, _ = drain_versioned_source(
+        spark, t, per_batch=1, ignore_changes=True
+    )
+    got = sorted(r.k for r in drained.collect())
+    # append stream semantics: the DELETE is invisible (appends only),
+    # the post-DV append IS streamed
+    assert got == list(range(100)) + [500]
+
+
+def test_schema_evolution_null_fills_old_commits(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i) for i in range(10)]))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, extra=float(i)) for i in range(10, 20)]
+        ),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    drained, _ = drain_versioned_source(spark, t, per_batch=1)
+    assert drained.columns == ["k", "extra"]
+    assert drained.filter(F.col("extra").isNull()).count() == 10
+    assert drained.filter(F.col("extra").isNotNull()).count() == 10

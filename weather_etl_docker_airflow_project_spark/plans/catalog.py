@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "s33_stats_pruned_scan",
     "s34_zorder_table_optimize",
     "s35_restore_rollback",
+    "t22_versioned_stream_source",
     "s25_versioned_merge_upsert",
     "cdc3_replicate_changefeed",
     "s23_change_feed_cdc",

@@ -792,3 +792,52 @@ def t21_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement), state bounded by distinct keys, not stream length."""
     table = windows.stream_merge_upserts(spark, sf_dir, user_cap=60)
     return table.read().select("user_id", "event_id", "event_type")
+
+
+@query(
+    "t22_versioned_stream_source",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE user_id < 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("T22", "T1", "S32", "S20"),
+)
+def t22_versioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over the versioned table's commit log
+    (sources/versioned_stream.VersionedTableStreamSource — Delta's
+    ``readStream.format("delta")`` in miniature; completes the lakehouse
+    streaming loop whose sink half is t20/t21): offsets ARE version
+    numbers, each micro-batch replays exactly the batch dirs its commit
+    range APPENDED (manifest set-difference — driver does pure metadata,
+    one InputPartition per added parquet file, executors stream Arrow
+    RecordBatches; no per-row Python, no driver data). The feed is three
+    append commits with a merge-on-read DELETE wedged in; paced at one
+    commit per micro-batch, ``ignoreChanges=true`` SKIPS the DV commit
+    (a visible-row change with no new dirs has no append delta — Delta's
+    exact streaming contract, raise-unless-opted-out pytest-gated). The
+    drained union is batching- and delete-independent — immutable files
+    + manifest set-difference make replay deterministic — so the oracle
+    is a plain batch restatement of the capped feed. The engine also
+    asserts the pacing was real (≥3 non-empty micro-batches)."""
+    from ..streaming import windows
+
+    drained, n_batches = windows.stream_versioned_source_replay(
+        spark, sf_dir, user_cap=50
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"paced commit-log replay must take >=3 micro-batches, got "
+            f"{n_batches}"
+        )
+    return (
+        drained.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,195 @@
+"""Streaming SOURCE over a versioned table's commit log — Delta's
+``spark.readStream.format("delta")`` in miniature, the read half of the
+lakehouse streaming loop whose write half is t20's commit-per-batch sink
+(`streaming/windows.stream_versioned_commits`).
+
+Offsets ARE version numbers: micro-batch (start, end] replays exactly the
+batch dirs that APPEND commits start+1..end added (manifest set
+difference — pure metadata). That makes the source replayable/exactly-
+once-capable by construction: data files are immutable and the manifest
+is the commit, so ``partitions(start, end)`` re-resolves to byte-
+identical files after any crash. Non-append commits (overwrite/merge/
+delete rewrites, or a deletion-vector commit changing visible rows
+without touching dirs) have no well-defined append delta — the reader
+raises unless ``ignoreChanges=true`` skips them, exactly Delta's
+streaming contract.
+
+Scale shape: the DRIVER does only manifest arithmetic (O(dirs) per
+trigger); each added parquet FILE becomes one InputPartition, and
+executors stream it through pyarrow as Arrow RecordBatches — no
+per-row Python, no driver data movement. Files written before an
+additive schema evolution surface NULL for the evolved-in columns
+(the same fill the batch reader applies).
+
+Implemented with the Python DataSource streaming API (pyspark 4,
+`DataSourceStreamReader` — the partition-planning variant, not
+`SimpleDataSourceStreamReader`, precisely so reads stay executor-side).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..operators.versioned import VersionedTable
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _parquet_files(d: str) -> list[str]:
+    out = []
+    for root, _sub, files in os.walk(d):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def _dv_lines(table: VersionedTable, version: int) -> set[str]:
+    return {
+        dv["path"] + "::" + "::".join(dv["covers"])
+        for dv in table.deletion_vectors(version)
+    }
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        table_dir = options.get("tabledir") or options.get("path")
+        if not table_dir:
+            raise ValueError(
+                "versioned_table_stream needs .option('tableDir', ...)"
+            )
+        # VersionedTable's manifest accessors are pure path arithmetic —
+        # no SparkSession needed on this side
+        self._table = VersionedTable(None, table_dir)
+        self._start = int(options.get("startingversion", 0))
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self._per_batch = int(options.get("maxversionsperbatch", 0))
+        self._last_end = None
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        committed = self._table.versions()
+        latest = committed[-1] if committed else self._start
+        latest = max(latest, self._start)
+        if self._per_batch > 0:
+            # demo pacing: advance at most k commits per trigger so a
+            # finite drain exercises real multi-batch replay
+            floor = self._last_end if self._last_end is not None else self._start
+            latest = min(latest, floor + self._per_batch)
+        self._last_end = latest
+        return {"version": latest}
+
+    def _added_dirs(self, v_from: int, v_to: int) -> list[str]:
+        committed = set(self._table.versions())
+        prev_dirs = (
+            set(self._table._manifest(v_from)) if v_from in committed else set()
+        )
+        prev_dvs = (
+            _dv_lines(self._table, v_from) if v_from in committed else set()
+        )
+        added: list[str] = []
+        prev = v_from
+        for v in sorted(c for c in committed if v_from < c <= v_to):
+            cur_dirs = set(self._table._manifest(v))
+            cur_dvs = _dv_lines(self._table, v)
+            removed = prev_dirs - cur_dirs
+            if removed or cur_dvs != prev_dvs:
+                if not self._ignore_changes:
+                    raise ValueError(
+                        f"commit {v} at {self._table.dir} is not a pure "
+                        "append (dirs removed or deletion vectors "
+                        "changed); the streamed delta is undefined — set "
+                        ".option('ignoreChanges','true') to skip such "
+                        "commits (Delta's contract)"
+                    )
+            else:
+                added.extend(sorted(cur_dirs - prev_dirs))
+            prev_dirs, prev_dvs, prev = cur_dirs, cur_dvs, v
+        return added
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        dirs = self._added_dirs(start["version"], end["version"])
+        parts = [_FileSlice(f) for d in dirs for f in _parquet_files(d)]
+        # an empty micro-batch is legal (e.g. every windowed commit was
+        # skipped under ignoreChanges) but the API needs >= 1 partition;
+        # a sentinel with no path yields zero rows
+        return parts or [_FileSlice("")]
+
+    def read(self, partition: _FileSlice):
+        if not partition.path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = {}
+        for field in self._arrow_schema:
+            if field.name in tbl.column_names:
+                cols[field.name] = tbl.column(field.name).cast(field.type)
+            else:
+                # pre-evolution file: the evolved-in column surfaces NULL,
+                # matching the batch reader's recorded-schema fill
+                cols[field.name] = pa.nulls(tbl.num_rows, type=field.type)
+        out = pa.table(cols, schema=self._arrow_schema)
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class VersionedTableStreamSource(DataSource):
+    """``spark.readStream.format("versioned_table_stream")``. Options:
+    ``tableDir`` (required), ``startingVersion`` (default 0 = from the
+    beginning; pass the current version to stream only future commits),
+    ``ignoreChanges`` (skip non-append commits instead of raising),
+    ``maxVersionsPerBatch`` (pace a drain into real multi-batch replay).
+    The stream's schema is the table's RECORDED manifest schema (the
+    ``#schema=`` header riding every commit) — resolved once at plan
+    time, O(1) metadata."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table_stream"
+
+    def schema(self):
+        table_dir = self.options.get("tabledir") or self.options.get("path")
+        if not table_dir:
+            raise ValueError(
+                "versioned_table_stream needs .option('tableDir', ...)"
+            )
+        t = VersionedTable(None, table_dir)
+        committed = t.versions()
+        if not committed:
+            raise ValueError(
+                f"versioned table at {table_dir} has no commits to stream"
+            )
+        schema = t.snapshot_schema(committed[-1])
+        if schema is None:
+            raise ValueError(
+                f"versioned table at {table_dir} has no recorded manifest "
+                "schema (pre-tracking manifest) — commit once to record it"
+            )
+        return schema
+
+    def streamReader(self, schema) -> VersionedTableStreamReader:
+        return VersionedTableStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VersionedTableStreamSource)

@@ -572,3 +572,128 @@ def stream_merge_upserts(
         q.stop()
         raise TimeoutError("merge-upsert stream drain did not finish in 300s")
     return table
+
+
+def drain_versioned_source(
+    spark: SparkSession,
+    table,
+    per_batch: int = 1,
+    starting_version: int = 0,
+    ignore_changes: bool = False,
+    timeout: float = 300.0,
+) -> tuple[DataFrame, int]:
+    """Drain a `versioned_table_stream` source (sources/versioned_stream
+    — the read half of the lakehouse streaming loop) to a memory sink,
+    PACED at ``per_batch`` commits per micro-batch so the run exercises
+    real multi-batch offset-range replay, and return ``(result,
+    n_batches)``. availableNow falls back to single-batch execution for
+    Python stream sources (engine-reported), so completion is detected
+    the way a real consumer would: watch the reported source endOffset
+    until it reaches the table's latest committed version, then stop.
+    Every triggered batch is committed before lastProgress reports it,
+    so the sink is complete at stop time."""
+    import json as _json
+    import time as _time
+
+    from ..sources import versioned_stream
+
+    versioned_stream.register(spark)
+    target = table.versions()[-1]
+    stream = (
+        spark.readStream.format("versioned_table_stream")
+        .option("tableDir", table.dir)
+        .option("startingVersion", str(starting_version))
+        .option("ignoreChanges", "true" if ignore_changes else "false")
+        .option("maxVersionsPerBatch", str(per_batch))
+        .load()
+    )
+    name = f"vsrc_{uuid.uuid4().hex}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp.get("sources"):
+                eo = lp["sources"][0].get("endOffset")
+                if eo is not None:
+                    if isinstance(eo, str):
+                        # Python stream sources report the offset dict's
+                        # repr (single quotes), not JSON
+                        try:
+                            eo = _json.loads(eo)
+                        except ValueError:
+                            import ast as _ast
+
+                            eo = _ast.literal_eval(eo)
+                    if eo["version"] >= target:
+                        break
+            if q.exception() is not None:
+                raise q.exception()
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"versioned stream did not reach version {target} in "
+                f"{timeout}s"
+            )
+        n_batches = sum(
+            1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        )
+    finally:
+        q.stop()
+    if not q.awaitTermination(60):
+        raise TimeoutError("versioned stream did not stop in 60s")
+    return spark.table(name), n_batches
+
+
+def stream_versioned_source_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    user_cap: int = 50,
+    base_dir: str | None = None,
+) -> tuple[DataFrame, int]:
+    """T22's builder: commit the capped events feed into a versioned
+    table as three APPEND commits with a deletion-vector DELETE wedged
+    between them, then stream the table's commit log back through the
+    `versioned_table_stream` source paced at one commit per micro-batch.
+    With ``ignoreChanges=true`` the DV commit (visible-row change, no
+    new dirs) is SKIPPED per Delta's streaming contract, so the drained
+    stream is exactly the union of the three appends — batching- and
+    delete-independent, which is what lets a plain batch oracle restate
+    it. Returns ``(drained_rows, n_nonempty_batches)``."""
+    from ..io import load_table, scratch_dir
+    from ..operators.versioned import VersionedTable, delete_by_keys
+
+    base = base_dir or scratch_dir("vsrcfeed")
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < user_cap)
+        .select("event_id", "user_id", "event_type")
+    )
+    table = VersionedTable(spark, os.path.join(base, "table"))
+    for part in range(3):
+        table.commit(
+            src.filter(F.col("event_id") % 3 == part), mode="append"
+        )
+        if part == 0:
+            # mid-stream merge-on-read DELETE: changes visible rows
+            # without adding dirs — the commit the source must skip
+            delete_by_keys(
+                table,
+                src.filter(F.col("event_id") % 3 == 0)
+                .orderBy("event_id")
+                .limit(10)
+                .select("event_id"),
+                keys=["event_id"],
+                merge_on_read=True,
+            )
+    return drain_versioned_source(
+        spark, table, per_batch=1, ignore_changes=True
+    )
