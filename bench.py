@@ -195,7 +195,9 @@ HEADLINE = [
     "s33_stats_pruned_scan",
     "s34_zorder_table_optimize",
     "s35_restore_rollback",
+    "s36_timestamp_time_travel",
     "t22_versioned_stream_source",
+    "l6_importance_sampling",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -423,7 +423,10 @@ def test_constraints_unknown_satisfies_and_drop(spark, tmp_path):
 
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.set_constraints(["v <> 'x'"])
-    t.commit(spark.createDataFrame([(1, None)], "k int, v string"))  # UNKNOWN ok
+    # k is BIGINT to match _mk's inferred type: the s31 type-stability
+    # rule (round 11) correctly rejects an int->bigint append, and this
+    # test is about CHECK semantics, not schema drift
+    t.commit(spark.createDataFrame([(1, None)], "k bigint, v string"))  # UNKNOWN ok
     assert t.read().count() == 1
     with pytest.raises(ConstraintViolation):
         t.commit(_mk(spark, [(2, "x")]), mode="append")

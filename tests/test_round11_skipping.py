@@ -256,3 +256,52 @@ def test_clone_carries_stats_metadata(spark, tmp_path):
     c.commit(_slice(spark, 500, 600), mode="append")
     _, rep2 = c.read_where([("k", ">=", 500)])
     assert rep2.total_dirs == 2 and rep2.scanned_dirs == 1
+
+
+def test_timestamp_time_travel_resolution(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_slice(spark, 0, 50))
+    t.commit(_slice(spark, 50, 100), mode="append")
+    t.commit(_slice(spark, 0, 10), mode="overwrite")
+    ts = [t.commit_timestamp(v) for v in (1, 2, 3)]
+    assert ts == sorted(ts)
+    # strictly-between reads resolve to the earlier version
+    assert t.version_at_timestamp((ts[0] + ts[1]) / 2) == 1
+    assert t.read(timestamp=(ts[1] + ts[2]) / 2).count() == 100
+    # boundary: AT a commit's timestamp sees it ('<=' rule)
+    assert t.version_at_timestamp(ts[2]) == 3
+    # after everything: latest
+    assert t.read(timestamp=ts[2] + 3600).count() == 10
+    # before everything: clean error
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at_timestamp(ts[0] - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=ts[0])
+
+
+def test_importance_select_edges(spark):
+    from weather_etl_docker_airflow_project_spark.operators.sampling import (
+        importance_select,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta alpha", src="t"),
+            Row(doc_id=2, text="alpha beta gamma", src="b"),
+            Row(doc_id=3, text="delta epsilon zeta", src="b"),
+            Row(doc_id=4, text="", src="b"),  # no tokens: no evidence
+            Row(doc_id=5, text=None, src="b"),
+        ]
+    )
+    out = importance_select(docs, F.col("src") == "t", top_k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 1 not in ids  # target docs are never selected
+    assert 4 not in ids and 5 not in ids  # token-less docs carry nothing
+    # doc 2 shares 2/3 tokens with the target, doc 3 shares none
+    assert ids[0] == 2
+    r2 = out[0]
+    assert r2.n_toks == 3 and r2.score > 0
+    # all-target corpus: nothing to select, empty result (no crash)
+    assert (
+        importance_select(docs.filter("doc_id = 1"), F.lit(True)).count() == 0
+    )

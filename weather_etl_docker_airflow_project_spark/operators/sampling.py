@@ -287,3 +287,73 @@ def weighted_bernoulli_sample(
         .filter(u * F.col("_max_w") < F.col(weight_col).cast("long") * F.lit(2**32))
         .drop("_max_w")
     )
+
+
+def importance_select(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+    scale: int = 1_000_000,
+    n_buckets_hex: int = 2,
+) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    rank a raw corpus by its hashed-n-gram affinity to a TARGET domain
+    and keep the top-k — the "pick the web pages that look like my
+    high-quality domain" primitive of every pretraining-data pipeline.
+
+    Shape: (1) hash every token to one of 16^n_buckets_hex buckets
+    (md5-prefix — engine-portable, no vocabulary to build or ship, the
+    same property that makes the hashing-trick vectorizer shard-safe);
+    (2) ONE map-side-combinable aggregation counts each bucket's target
+    vs background occurrences — the whole "model" is a 256-row weight
+    table, broadcast everywhere, so the method scales to 100 TB by
+    construction; (3) each background document scores the sum of its
+    tokens' weights, one shuffle keyed by document. The weight is an
+    integer-exact surrogate of DSIR's log-likelihood ratio:
+    ``w[b] = (c_target[b] * scale) DIV (c_target[b] + c_background[b]
+    + 1)`` — monotone in the target's share of the bucket, +1-smoothed
+    against never-seen buckets, and (unlike the float LLR) bit-identical
+    across engines, so the whole selection is ORACLE-HASHABLE. Ranking
+    is tokens-normalized (``per_tok = (score * 1000) DIV n_toks``) with
+    doc-id tie-break — a deterministic total order. Documents with no
+    tokens carry no evidence and are not selected."""
+    from .text import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    n_hex = n_buckets_hex
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(tok), 1, {n_hex}), 16, 10) AS BIGINT)"
+    )
+    counts = toks.select(F.col("_is_target"), bucket.alias("b")).groupBy("b").agg(
+        F.sum(F.col("_is_target").cast("long")).alias("c_t"),
+        F.sum((~F.col("_is_target")).cast("long")).alias("c_g"),
+    )
+    weights = counts.select(
+        "b", F.expr(f"(c_t * {scale}L) DIV (c_t + c_g + 1L)").alias("w")
+    )
+    scored = (
+        toks.filter(~F.col("_is_target"))
+        .select(id_col, bucket.alias("b"))
+        # every background bucket exists in the count table by
+        # construction, so this broadcast join is effectively inner
+        .join(F.broadcast(weights), "b", "inner")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("w").cast("long").alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "per_tok", F.expr("(score * 1000L) DIV n_toks").cast("long")
+        )
+        .orderBy(F.desc("per_tok"), id_col)
+        .limit(top_k)
+    )

@@ -458,6 +458,37 @@ class VersionedTable:
                     return StructType.fromJson(json.loads(line[len("#schema="):]))
         return None
 
+    def commit_timestamp(self, version: int) -> float:
+        """The version's commit wall-clock (``#ts=`` manifest header).
+        Pre-tracking manifests fall back to the manifest file's mtime —
+        the same fallback Delta applies to pre-ICT commits."""
+        path = os.path.join(self._versions, str(version))
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#ts="):
+                    return float(line[len("#ts="):])
+        return os.path.getmtime(path)
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution: the LATEST version whose commit
+        timestamp is <= ``ts`` (Delta's rule — the snapshot a reader at
+        that wall-clock moment would have seen). Raises when ``ts``
+        predates the first commit. Pure metadata: one header line per
+        version, O(versions), no data I/O."""
+        committed = self.versions()
+        if not committed:
+            raise ValueError(f"versioned table at {self.dir} has no commits")
+        best = None
+        for v in committed:
+            if self.commit_timestamp(v) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} predates the first commit at {self.dir} "
+                f"(earliest: {self.commit_timestamp(committed[0])})"
+            )
+        return best
+
     def deletion_vectors(self, version: int) -> list[dict]:
         """The version's active DELETION VECTORS (``#dv=`` header lines):
         each is ``{"path": <keys-parquet dir>, "covers": [dirs...]}`` —
@@ -686,9 +717,14 @@ class VersionedTable:
         StructType) is recorded as a ``#schema=`` header line — the
         snapshot's logical schema rides the same atomic metadata write
         as the file list, so schema and data can never tear apart."""
+        import time as _time
+
         os.makedirs(self._versions, exist_ok=True)
         tmp = os.path.join(self._versions, f".{version}.tmp")
         with open(tmp, "w") as f:
+            # commit wall-clock for TIMESTAMP AS OF resolution — rides
+            # the same atomic metadata write as everything else
+            f.write(f"#ts={_time.time():.6f}\n")
             if schema is not None:
                 f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
             for dv in dvs or []:
@@ -721,14 +757,22 @@ class VersionedTable:
         # data. On HDFS/S3 the store's write visibility covers this; on
         # local FS it is the same contract every local parquet write has.
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
         """Snapshot read: the union of the version's batch dirs (latest
-        committed version when ``version`` is None). When the manifest
+        committed version when ``version`` is None; ``timestamp`` gives
+        TIMESTAMP AS OF — the latest version committed at or before that
+        wall-clock, resolved from manifest metadata). When the manifest
         records a schema it is applied to the scan: files written before
         an additive schema evolution surface NULL for the added columns
         (parquet missing-column fill), and planning never footer-scans
         for a merged schema — each version reads with ITS OWN recorded
         schema, so time travel across an evolution is exact."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version= OR timestamp=, not both")
+            version = self.version_at_timestamp(timestamp)
         committed = self.versions()
         if not committed:
             raise ValueError(f"versioned table at {self.dir} has no commits")

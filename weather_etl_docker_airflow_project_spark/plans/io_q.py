@@ -2023,3 +2023,47 @@ def s35_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t.read(version=3).limit(1).first().o_orderstatus != "CORRUPT":
         raise AssertionError("history must stay readable after restore")
     return t.read().select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "s36_timestamp_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 4 = 0
+    """,
+    tags=("S36", "S20"),
+)
+def s36_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF (`VersionedTable.read(timestamp=...)`, Delta's
+    second time-travel axis): every manifest records its commit
+    wall-clock in a ``#ts=`` header riding the same atomic CAS write as
+    the file list, and a timestamp read resolves to the LATEST version
+    committed at or before that instant (the snapshot a reader at that
+    moment would have seen) — pure metadata, one header line per
+    version, no data I/O. History: v1 = the good quarter-keyed slice;
+    v2 = a corrupting overwrite. The query reads AT the midpoint of the
+    two recorded commit timestamps — strictly between them, so the only
+    correct answer is v1 — and also asserts the boundary rule (a read
+    at exactly v2's timestamp resolves to v2, '<=' not '<'). The oracle
+    restates v1; a resolver off by one version hash-fails on the
+    corrupted status column."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vtsaso_"), "orders_v"))
+    t.commit(o.filter(F.col("o_orderkey") % 4 == 0))
+    t.commit(
+        o.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_orderstatus", F.lit("CORRUPT")
+        ),
+        mode="overwrite",
+    )
+    ts1, ts2 = t.commit_timestamp(1), t.commit_timestamp(2)
+    if not ts1 < ts2:
+        raise AssertionError("commit timestamps must be monotone")
+    if t.version_at_timestamp(ts2) != 2:
+        raise AssertionError("boundary rule: a read AT a commit's ts sees it")
+    return t.read(timestamp=(ts1 + ts2) / 2).select(
+        "o_orderkey", "o_orderstatus"
+    )

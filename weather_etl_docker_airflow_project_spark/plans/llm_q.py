@@ -3265,3 +3265,54 @@ def l4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 200), "text", n_merges=12
     )
     return bpe_encode(docs, "text", merges, id_col="doc_id")
+
+
+@query(
+    "l6_importance_sampling",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source = 'src0' AS is_t, unnest({_TOKS}) AS tok
+      FROM documents),
+    bk AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5(tok), 1, 2)) AS BIGINT) AS b
+      FROM tk),
+    cnt AS (
+      SELECT b,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS c_g
+      FROM bk GROUP BY b),
+    w AS (SELECT b, (c_t * 1000000) // (c_t + c_g + 1) AS w FROM cnt),
+    sc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(w.w) AS BIGINT) AS score
+      FROM bk JOIN w USING (b) WHERE NOT is_t GROUP BY doc_id)
+    SELECT doc_id, n_toks, score,
+           CAST((score * 1000) // n_toks AS BIGINT) AS per_tok
+    FROM sc ORDER BY per_tok DESC, doc_id LIMIT 100
+    """,
+    tags=("L6", "L4", "F12"),
+)
+def l6_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted DATA SELECTION
+    (operators/sampling.importance_select): rank the background corpus
+    by hashed-unigram affinity to the `source='src0'` target domain and
+    keep the top 100 — the pretraining-pipeline primitive for "select
+    web documents that look like my high-quality domain" (Xie et al.
+    2023). The whole learned state is a 256-row bucket-weight table
+    (md5-prefix hashing — no vocabulary built or shipped, any shard
+    scores independently): one map-side-combinable count aggregation
+    fits it, a broadcast join + one doc-keyed shuffle applies it —
+    100 TB-safe by construction. The weight ``(c_target * 10^6) DIV
+    (c_target + c_background + 1)`` is an integer-exact monotone
+    surrogate of DSIR's log-likelihood-ratio, which is what lets the
+    full selection — weights, scores, tokens-normalized ranking,
+    deterministic tie-break — hash-match a SQL oracle where the float
+    LLR could not."""
+    from ..operators.sampling import importance_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_select(
+        docs, F.col("source") == "src0", top_k=100
+    ).select("doc_id", "n_toks", "score", "per_tok")
