@@ -196,6 +196,7 @@ HEADLINE = [
     "s34_zorder_table_optimize",
     "s35_restore_rollback",
     "s36_timestamp_time_travel",
+    "s37_type_widening_evolution",
     "t22_versioned_stream_source",
     "l6_importance_sampling",
 ]

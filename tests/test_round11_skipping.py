@@ -305,3 +305,55 @@ def test_importance_select_edges(spark):
     assert (
         importance_select(docs.filter("doc_id = 1"), F.lit(True)).count() == 0
     )
+
+
+def test_type_widening_append(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 1.5)], "k int, x float"))
+    wide = spark.createDataFrame([(2, 2.5)], "k bigint, x double")
+    with pytest.raises(ValueError, match="widens"):
+        t.commit(wide, mode="append")  # widening still needs the flag
+    t.commit(wide, mode="append", allow_schema_evolution=True)
+    latest = t.read()
+    assert dict(latest.dtypes) == {"k": "bigint", "x": "double"}
+    got = sorted((r.k, r.x) for r in latest.collect())
+    assert got == [(1, 1.5), (2, 2.5)]  # old int32/float files upcast
+    # time travel keeps the version's own (narrow) schema
+    assert dict(t.read(version=1).dtypes)["k"] == "int"
+    # narrowing (bigint -> int) stays rejected even with the flag
+    with pytest.raises(ValueError, match="only widens"):
+        t.commit(
+            spark.createDataFrame([(3, 1.0)], "k int, x double"),
+            mode="append",
+            allow_schema_evolution=True,
+        )
+
+
+def test_widening_bucket_key_rejected(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_layout(["k"], 4)
+    t.commit(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with pytest.raises(ValueError, match="bucket-key"):
+        t.commit(
+            spark.createDataFrame([(2, "b")], "k bigint, v string"),
+            mode="append",
+            allow_schema_evolution=True,
+        )
+
+
+def test_granular_split_key_type_mismatch_falls_back(spark, tmp_path):
+    """xxhash64 is type-sensitive: an int-typed merge source against a
+    bigint-keyed table must NOT trust the bucket math — the guard falls
+    back to the full rewrite, which is always correct."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        _granular_split,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_layout(["k"], 8)
+    t.commit(spark.createDataFrame([(i, "old") for i in range(20)], "k bigint, v string"))
+    src_int = spark.createDataFrame([(5, "new")], "k int, v string")
+    assert _granular_split(t, 1, src_int, ["k"]) is None  # guard trips
+    merge_upsert(t, src_int.withColumn("k", F.col("k").cast("bigint")), keys=["k"])
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[5] == "new" and len(rows) == 20  # no duplicate key 5

@@ -216,6 +216,25 @@ def _dir_may_match(colstats: dict, predicates: list[tuple]) -> bool:
     return True
 
 
+#: safe type WIDENINGS for append-mode schema evolution (Delta's "type
+#: widening" feature): every pair is lossless — the parquet vectorized
+#: reader upcasts old files' values at scan time (probed empirically on
+#: this Spark build), so no history rewrite. Lossy changes (bigint ->
+#: double past 2^53, any narrowing) stay rejected.
+_TYPE_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("tinyint", "double"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("smallint", "double"),
+    ("int", "bigint"),
+    ("int", "double"),
+    ("float", "double"),
+}
+
+
 class _PruneReport:
     def __init__(
         self, total_dirs: int, scanned_dirs: int, pruned_dirs: list[str]
@@ -581,11 +600,53 @@ class VersionedTable:
                         for n, t in prev_fields.items()
                         if n in new_fields and new_fields[n] != t
                     ]
-                    if changed:
-                        raise ValueError(
-                            f"schema evolution cannot change column types "
-                            f"(changed: {sorted(changed)})"
+                    # TYPE WIDENING (Delta's feature of the same name):
+                    # a changed type is accepted iff it is a lossless
+                    # widening — the new version records the WIDER type
+                    # and old files upcast at scan (parquet reader
+                    # support probed on this build); anything else
+                    # (narrowing, lossy) still raises
+                    non_widening = [
+                        n
+                        for n in changed
+                        if (
+                            prev_fields[n].simpleString(),
+                            new_fields[n].simpleString(),
                         )
+                        not in _TYPE_WIDENINGS
+                    ]
+                    if non_widening:
+                        raise ValueError(
+                            "schema evolution only widens column types "
+                            f"(tinyint<smallint<int<bigint, float<double, "
+                            f"int-family<double); rejected: "
+                            f"{sorted(non_widening)}"
+                        )
+                    if changed and not allow_schema_evolution:
+                        raise ValueError(
+                            f"append batch widens column types "
+                            f"{sorted(changed)}; pass "
+                            "allow_schema_evolution=True to accept"
+                        )
+                    layout = self.layout()
+                    if layout is not None:
+                        widened_keys = [
+                            n for n in changed if n in layout["bucket_keys"]
+                        ]
+                        if widened_keys:
+                            # xxhash64 hashes int32 and int64 DIFFERENTLY
+                            # (probed on this build), so widening a
+                            # bucket key breaks "a key's bucket is a pure
+                            # function of the key" — the invariant every
+                            # granular rewrite rides. Refuse loudly.
+                            raise ValueError(
+                                f"cannot widen bucket-key columns "
+                                f"{sorted(widened_keys)}: the key-bucket "
+                                "hash is type-sensitive, so widening "
+                                "would silently re-home keys; migrate "
+                                "via a full rewrite (overwrite commit) "
+                                "instead"
+                            )
         if expected_base_version is not None:
             base = existing[-1] if existing else 0
             if base != expected_base_version:
@@ -1554,6 +1615,19 @@ def _granular_split(
     layout = table.layout()
     if layout is None or list(layout["bucket_keys"]) != list(keys):
         return None
+    # the bucket hash is TYPE-sensitive (xxhash64(int32 5) !=
+    # xxhash64(int64 5), probed on this build): a source whose key dtype
+    # differs from the table's committed dtype would compute the wrong
+    # touched-bucket set and silently miss matches — fall back to the
+    # always-correct full rewrite instead
+    table_schema = table.snapshot_schema(base_version)
+    if table_schema is not None:
+        table_types = {f.name: f.dataType for f in table_schema.fields}
+        keyed_types = {f.name: f.dataType for f in keyed.schema.fields}
+        for k in keys:
+            if k in table_types and k in keyed_types:
+                if table_types[k] != keyed_types[k]:
+                    return None
     dirs = table._manifest(base_version)
     if any(_dir_bucket(d) is None for d in dirs):
         return None

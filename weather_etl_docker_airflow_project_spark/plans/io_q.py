@@ -2067,3 +2067,58 @@ def s36_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(timestamp=(ts1 + ts2) / 2).select(
         "o_orderkey", "o_orderstatus"
     )
+
+
+@query(
+    "s37_type_widening_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+           'int' AS v1_key_type,
+           'bigint' AS v2_key_type
+    FROM orders
+    """,
+    tags=("S37", "S31", "S20"),
+)
+def s37_type_widening_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING (Delta's feature of the same name, completing s31's
+    additive-column evolution): an append may LOSSLESSLY widen a column
+    type (tinyint<smallint<int<bigint, float<double, int-family<double)
+    — the new version records the WIDER type and old files upcast at
+    scan (no history rewrite; the parquet vectorized reader's widening
+    support is probed on this Spark build), while time travel keeps each
+    version's own narrow schema. History: odd orders land with o_custkey
+    AS INT; even orders append with o_custkey AS BIGINT under the
+    evolution flag. Narrowing and LOSSY changes (bigint->double past
+    2^53) stay rejected, and widening a BUCKET-KEY column is refused
+    loudly — xxhash64 hashes int32 and int64 differently, so a widened
+    key would silently re-home buckets (the correctness trap this
+    round's probe caught; granular merges also fall back to a full
+    rewrite on any source-vs-table key-dtype mismatch — both
+    pytest-gated). Declared output: total rows, the exact key checksum
+    across both eras (an upcast that mangled values would break it),
+    and each era's time-travel-read key type."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vwide_"), "orders_v"))
+    t.commit(
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_custkey", F.col("o_custkey").cast("int")
+        )
+    )
+    t.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    v1_type = dict(t.read(version=1).dtypes)["o_custkey"]
+    v2_type = dict(t.read(version=2).dtypes)["o_custkey"]
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+        F.lit(v1_type).alias("v1_key_type"),
+        F.lit(v2_type).alias("v2_key_type"),
+    )
