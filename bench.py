@@ -197,6 +197,7 @@ HEADLINE = [
     "s35_restore_rollback",
     "s36_timestamp_time_travel",
     "s37_type_widening_evolution",
+    "s38_column_mapping_ddl",
     "t22_versioned_stream_source",
     "l6_importance_sampling",
 ]

@@ -1,0 +1,145 @@
+"""Round-11d gates: COLUMN MAPPING (Delta's columnMapping=name mode) —
+physical-name writes, metadata-only RENAME/DROP COLUMN, id-reuse
+protection, and the guard rails around name-keyed semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators.versioned import (
+    VersionedTable,
+    delete_by_keys,
+    drop_column,
+    merge_upsert,
+    rename_column,
+)
+
+
+def _mapped(spark, tmp_path, n=50):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(n)],
+            "k bigint, name string, score double",
+        )
+    )
+    return t
+
+
+def _physical_names(t, version=1):
+    import pyarrow.parquet as pq
+
+    d = t._manifest(version)[0]
+    f = next(
+        os.path.join(r, x)
+        for r, _s, fs in os.walk(d)
+        for x in sorted(fs)
+        if x.endswith(".parquet")
+    )
+    return pq.read_schema(f).names
+
+
+def test_mapped_table_writes_physical_names(spark, tmp_path):
+    t = _mapped(spark, tmp_path)
+    assert _physical_names(t) == ["col_1", "col_2", "col_3"]
+    assert t.read().columns == ["k", "name", "score"]
+    assert t.read().count() == 50
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    t = _mapped(spark, tmp_path)
+    n_dirs = len(os.listdir(t._data))
+    v = rename_column(t, "name", "title")
+    assert v == 2
+    assert len(os.listdir(t._data)) == n_dirs  # zero data writes
+    assert t._manifest(2) == t._manifest(1)
+    assert t.read().columns == ["k", "title", "score"]
+    assert t.read(version=1).columns == ["k", "name", "score"]  # time travel
+    assert t.read().orderBy("k").first().title == "v0"
+
+
+def test_drop_hides_data_and_never_resurrects(spark, tmp_path):
+    t = _mapped(spark, tmp_path)
+    drop_column(t, "score")
+    assert t.read().columns == ["k", "name"]
+    # re-added logical name gets a FRESH physical id: old values stay gone
+    t.commit(
+        spark.createDataFrame(
+            [(900, "new", 9.0)], "k bigint, name string, score double"
+        ),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    old = t.read().filter(F.col("k") < 50).select("score").distinct().collect()
+    assert [r.score for r in old] == [None]
+    assert t.read().filter("k = 900").first().score == 9.0
+    # the new batch's files use a never-before-used physical id
+    assert t.column_mapping(3)["score"] not in ("col_1", "col_2", "col_3")
+
+
+def test_mapping_requires_pre_first_commit(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1,)], "k bigint"))
+    with pytest.raises(ValueError, match="before the first commit"):
+        t.enable_column_mapping()
+    with pytest.raises(ValueError, match="needs column mapping"):
+        rename_column(t, "k", "kk")
+
+
+def test_rename_refused_on_constraint_or_dv_reference(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.set_constraints(["score >= 0"])
+    t.commit(
+        spark.createDataFrame([(1, 1.0)], "k bigint, score double")
+    )
+    with pytest.raises(ValueError, match="constraint"):
+        rename_column(t, "score", "s2")
+    t.set_constraints([])
+    delete_by_keys(
+        t, spark.createDataFrame([Row(k=1)]), keys=["k"], merge_on_read=True
+    )
+    with pytest.raises(ValueError, match="deletion vector"):
+        rename_column(t, "k", "key")
+
+
+def test_mapped_stats_pruning_and_granular_merge(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.set_layout(["k"], 8)
+    t.set_stats_columns(["k"])
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k bigint, v string"
+        )
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100, 200)], "k bigint, v string"
+        ),
+        mode="append",
+    )
+    # stats recorded under LOGICAL names, pruning works through the map
+    df, rep = t.read_where([("k", "<", 50)])
+    assert rep.scanned_dirs < rep.total_dirs and df.count() == 50
+    # granular merge on a mapped+bucketed table
+    merge_upsert(
+        t, spark.createDataFrame([(5, "UPD")], "k bigint, v string"), keys=["k"]
+    )
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[5] == "UPD" and len(rows) == 200
+    # rename of the BUCKET KEY updates the layout and stays granular-safe
+    rename_column(t, "k", "key")
+    assert t.layout()["bucket_keys"] == ["key"]
+    merge_upsert(
+        t,
+        spark.createDataFrame([(7, "UPD2")], "key bigint, v string"),
+        keys=["key"],
+    )
+    assert t.read().filter("key = 7").first().v == "UPD2"
+    assert t.read().count() == 200

@@ -270,6 +270,7 @@ class VersionedTable:
         self._constraints_file = os.path.join(table_dir, "_constraints")
         self._layout_file = os.path.join(table_dir, "_layout")
         self._stats_file = os.path.join(table_dir, "_stats_cols")
+        self._colmap_flag = os.path.join(table_dir, "_column_mapping")
 
     def set_constraints(self, exprs: list[str]) -> None:
         """Declare table-level CHECK constraints (Delta's ``ALTER TABLE
@@ -368,7 +369,9 @@ class VersionedTable:
                     out[rec["dir"]] = rec["cols"]
         return out
 
-    def _collect_dir_stats(self, dirs: list[str]) -> dict[str, dict]:
+    def _collect_dir_stats(
+        self, dirs: list[str], colmap: dict | None = None
+    ) -> dict[str, dict]:
         """Per-dir min/max/null-count for the declared stats columns,
         aggregated from PARQUET ROW-GROUP FOOTERS (pyarrow metadata
         reads — a few KB per file, no data I/O; the writer computed these
@@ -405,11 +408,14 @@ class VersionedTable:
                         total_rows += rg.num_rows
                         for c in cols:
                             a = acc[c]
-                            if not a["ok"] or c not in name_to_idx:
-                                if c not in name_to_idx:
+                            # column mapping: footers hold PHYSICAL names;
+                            # stats stay keyed by the LOGICAL name
+                            fname = (colmap or {}).get(c, c)
+                            if not a["ok"] or fname not in name_to_idx:
+                                if fname not in name_to_idx:
                                     a["ok"] = False
                                 continue
-                            st = rg.column(name_to_idx[c]).statistics
+                            st = rg.column(name_to_idx[fname]).statistics
                             if st is None or not st.has_null_count:
                                 a["ok"] = False
                                 continue
@@ -476,6 +482,74 @@ class VersionedTable:
                 if line.startswith("#schema="):
                     return StructType.fromJson(json.loads(line[len("#schema="):]))
         return None
+
+    def enable_column_mapping(self) -> None:
+        """Opt the table into COLUMN MAPPING (Delta's
+        ``columnMapping=name`` mode) BEFORE its first commit: batches are
+        written under stable PHYSICAL column names (``col_<id>``,
+        assigned once per logical column, never reused) and every
+        manifest records the logical→physical map in a ``#colmap=``
+        header. That makes :func:`rename_column` and :func:`drop_column`
+        pure METADATA commits — renaming or dropping a column on a
+        100 TB table rewrites one manifest line, zero data files — at
+        the standard cost: the raw parquet is only readable through the
+        table (physical names), exactly Delta's trade."""
+        if self.versions():
+            raise ValueError(
+                "column mapping must be enabled before the first commit "
+                "(existing batches were written under logical names)"
+            )
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self._colmap_flag + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("enabled\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._colmap_flag)
+
+    def column_mapping_enabled(self) -> bool:
+        return os.path.exists(self._colmap_flag)
+
+    def column_mapping(self, version: int) -> dict[str, str] | None:
+        """The version's logical→physical column map (``#colmap=``
+        manifest header), or None for unmapped tables."""
+        with open(os.path.join(self._versions, str(version))) as f:
+            for line in f:
+                if line.startswith("#colmap="):
+                    return json.loads(line[len("#colmap="):])
+        return None
+
+    def _next_colmap(self, df_columns: list[str], base_version: int | None):
+        """The colmap for a commit introducing ``df_columns``: carried
+        entries keep their physical ids, never-seen logical names get
+        the next id. Ids are never reused — a re-added logical name maps
+        to a FRESH physical column, so dropped data never resurrects
+        (Delta's rule)."""
+        if not self.column_mapping_enabled():
+            return None
+        prev = (
+            self.column_mapping(base_version) or {}
+            if base_version is not None
+            else {}
+        )
+        # "never reused" must survive DROP COLUMN: the dropped entry left
+        # the current map, but its physical id still holds old data in
+        # immutable files — reassigning it would resurrect that data
+        # under the new logical name. Collect ids from EVERY version's
+        # map (O(versions) metadata reads, the manifest contract).
+        used = set(prev.values())
+        for v in self.versions():
+            used.update((self.column_mapping(v) or {}).values())
+        next_id = 1
+        out = dict(prev)
+        for c in df_columns:
+            if c in out:
+                continue
+            while f"col_{next_id}" in used:
+                next_id += 1
+            out[c] = f"col_{next_id}"
+            used.add(f"col_{next_id}")
+        return out
 
     def commit_timestamp(self, version: int) -> float:
         """The version's commit wall-clock (``#ts=`` manifest header).
@@ -659,18 +733,25 @@ class VersionedTable:
             version = expected_base_version + 1
         else:
             version = (existing[-1] + 1) if existing else 1
-        new_dirs = self._write_batch(df, version)
+        base_for_map = existing[-1] if (existing and mode == "append") else (
+            existing[-1] if existing else None
+        )
+        colmap = self._next_colmap(df.columns, base_for_map)
+        new_dirs = self._write_batch(df, version, colmap=colmap)
         if existing and mode == "append":
             dirs = self._manifest(existing[-1]) + new_dirs
             # active deletion vectors ride along unchanged: they cover
             # only the dirs they already covered, never the new batch
             dvs = self.deletion_vectors(existing[-1])
-            stats = self._stats_for_commit(new_dirs, existing[-1], dirs)
+            stats = self._stats_for_commit(
+                new_dirs, existing[-1], dirs, colmap=colmap
+            )
         else:
             dirs, dvs = new_dirs, []
-            stats = self._stats_for_commit(new_dirs, None, dirs)
+            stats = self._stats_for_commit(new_dirs, None, dirs, colmap=colmap)
         self._publish_manifest(
-            dirs, version, schema=df.schema, dvs=dvs, stats=stats
+            dirs, version, schema=df.schema, dvs=dvs, stats=stats,
+            colmap=colmap,
         )
         return version
 
@@ -679,6 +760,7 @@ class VersionedTable:
         new_dirs: list[str],
         base_version: int | None,
         final_dirs: list[str],
+        colmap: dict | None = None,
     ) -> dict | None:
         """Stats lines for a commit publishing ``final_dirs``: carried
         dirs keep the bounds their ORIGINAL commit recorded (data files
@@ -693,11 +775,13 @@ class VersionedTable:
                 for d, s in self.dir_stats(base_version).items()
                 if d in final
             }
-        new = self._collect_dir_stats(new_dirs)
+        new = self._collect_dir_stats(new_dirs, colmap=colmap)
         merged = {**carried, **new}
         return merged or None
 
-    def _write_batch(self, df: DataFrame, version: int) -> list[str]:
+    def _write_batch(
+        self, df: DataFrame, version: int, colmap: dict | None = None
+    ) -> list[str]:
         """Stage ``df`` as a new immutable batch; return the manifest
         dirs it contributes (the batch dir, or its per-bucket subdirs
         when a layout is declared). CHECK constraints are evaluated in
@@ -711,7 +795,11 @@ class VersionedTable:
         ``partitionBy`` so every bucket lands wholly in one task — one
         file per touched bucket per commit (without it, P tasks x B
         buckets small files). The trade — write parallelism capped at
-        the number of touched buckets — is the set_layout sizing note."""
+        the number of touched buckets — is the set_layout sizing note.
+
+        ``colmap`` (column mapping enabled): data lands under PHYSICAL
+        column names; everything upstream of this method stays
+        logical."""
         batch = os.path.join(self._data, f"batch_{version}_{uuid.uuid4().hex[:8]}")
         checks = self.constraints()
         obs = None
@@ -740,15 +828,32 @@ class VersionedTable:
                     f"commit batch is missing layout bucket keys {missing}"
                 )
             bcol = _bucket_column(layout["bucket_keys"], layout["n_buckets"])
+            staged = df.withColumn(BUCKET_COL, bcol)
+            if colmap:
+                from pyspark.sql import functions as F
+
+                # physical rename AFTER bucket computation (logical key
+                # names) and AFTER the observe attach (constraints are
+                # logical): the observation rides the renamed plan
+                staged = staged.select(
+                    *[F.col(c).alias(colmap[c]) for c in df.columns],
+                    BUCKET_COL,
+                )
             (
-                df.withColumn(BUCKET_COL, bcol)
-                .repartition(layout["n_buckets"], BUCKET_COL)
+                staged.repartition(layout["n_buckets"], BUCKET_COL)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(batch)
             )
         else:
-            df.write.mode("overwrite").parquet(batch)
+            staged = df
+            if colmap:
+                from pyspark.sql import functions as F
+
+                staged = df.select(
+                    *[F.col(c).alias(colmap[c]) for c in df.columns]
+                )
+            staged.write.mode("overwrite").parquet(batch)
         if obs is not None and (obs.get["n_bad"] or 0) > 0:
             raise ConstraintViolation(
                 f"commit at {self.dir} rejected: {obs.get['n_bad']} row(s) "
@@ -765,7 +870,13 @@ class VersionedTable:
         return [batch]
 
     def _publish_manifest(
-        self, dirs: list[str], version: int, schema=None, dvs=None, stats=None
+        self,
+        dirs: list[str],
+        version: int,
+        schema=None,
+        dvs=None,
+        stats=None,
+        colmap=None,
     ) -> None:
         """Publish ``dirs`` as version ``version`` via the atomic
         create-if-absent CAS (``os.link``): when two writers race for the
@@ -790,6 +901,8 @@ class VersionedTable:
                 f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
             for dv in dvs or []:
                 f.write("#dv=" + "::".join([dv["path"]] + dv["covers"]) + "\n")
+            if colmap is not None:
+                f.write(f"#colmap={json.dumps(colmap)}\n")
             for d in sorted(stats or {}):
                 f.write(
                     "#stats="
@@ -852,13 +965,42 @@ class VersionedTable:
         are grouped by which DVs cover them, each group anti-joins its
         covering DV key sets, groups union back. A dir added after a DV
         was created is uncovered, so re-inserted keys stay visible."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
         reader = self.spark.read
         schema = self.snapshot_schema(version)
-        if schema is not None:
-            reader = reader.schema(schema)
+        colmap = self.column_mapping(version)
+        if schema is not None and colmap:
+            # scan under PHYSICAL names, alias back to logical right
+            # after — everything downstream (DV anti-joins included)
+            # stays logical
+            phys_schema = StructType(
+                [
+                    StructField(colmap[f.name], f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            reader = reader.schema(phys_schema)
+
+            def _delog(df):
+                return df.select(
+                    *[
+                        F.col(colmap[f.name]).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+
+        else:
+            if schema is not None:
+                reader = reader.schema(schema)
+
+            def _delog(df):
+                return df
+
         dvs = self.deletion_vectors(version)
         if not dvs:
-            return reader.parquet(*dirs)
+            return _delog(reader.parquet(*dirs))
         cover_sets = [
             (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
             for dv in dvs
@@ -872,7 +1014,7 @@ class VersionedTable:
             groups.setdefault(covering, []).append(d)
         parts = []
         for covering, group in groups.items():
-            df = reader.parquet(*group)
+            df = _delog(reader.parquet(*group))
             for dv_path in covering:
                 dv_keys = self.spark.read.parquet(dv_path).distinct()
                 df = df.join(dv_keys, list(dv_keys.columns), "left_anti")
@@ -1657,7 +1799,8 @@ def _commit_granular(
     our base read takes base+1 first and our ``os.link`` CAS loses —
     same conflict rule as :func:`compact`, no extra bookkeeping."""
     version = base_version + 1
-    new_dirs = table._write_batch(rewritten, version)
+    colmap = table.column_mapping(base_version)
+    new_dirs = table._write_batch(rewritten, version, colmap=colmap)
     # deletion vectors survive for CARRIED dirs only: the rewritten
     # buckets were read WITH their DVs applied, so the new dirs have the
     # deletions materialized; coverage of dirs leaving the manifest is
@@ -1676,8 +1819,9 @@ def _commit_granular(
         schema=rewritten.schema,
         dvs=kept_dvs,
         stats=table._stats_for_commit(
-            new_dirs, base_version, carry_dirs + new_dirs
+            new_dirs, base_version, carry_dirs + new_dirs, colmap=colmap
         ),
+        colmap=colmap,
     )
     return version
 
@@ -1739,6 +1883,7 @@ def delete_by_keys(
             # DV only REMOVES rows, which can loosen but never invalidate
             # a min/max bound
             stats=table.dir_stats(base_version) or None,
+            colmap=table.column_mapping(base_version),
         )
         return version
     split = _granular_split(table, base_version, delete_keys, keys)
@@ -1804,6 +1949,11 @@ def cluster_rewrite(
         )
     if not cols:
         raise ValueError("cluster_rewrite needs at least one column")
+    if table.column_mapping_enabled():
+        raise ValueError(
+            "cluster_rewrite does not support column-mapped tables yet "
+            "(the z-chunk writer bypasses the physical-name path)"
+        )
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must be <= 62")
     if n_chunks < 2:
@@ -1883,6 +2033,156 @@ def cluster_rewrite(
     return version
 
 
+def _mapped_schema_commit_guards(
+    table: VersionedTable, col: str, verb: str
+) -> None:
+    """Shared refusals for metadata-only column DDL: anything whose
+    semantics are keyed by the column NAME outside the manifest would
+    silently break — refuse loudly instead."""
+    import re
+
+    if not table.column_mapping_enabled():
+        raise ValueError(
+            f"{verb} is metadata-only and needs column mapping "
+            "(enable_column_mapping() before the first commit); without "
+            "it the data files carry logical names and a rename/drop "
+            "would require a full rewrite"
+        )
+    for c in table.constraints():
+        if re.search(rf"\b{re.escape(col)}\b", c):
+            raise ValueError(
+                f"cannot {verb} {col!r}: CHECK constraint {c!r} references "
+                "it; drop/update the constraint first"
+            )
+    committed = table.versions()
+    if committed:
+        import pyarrow.parquet as pq
+
+        for dv in table.deletion_vectors(committed[-1]):
+            dv_cols = pq.read_schema(
+                next(
+                    os.path.join(r, f)
+                    for r, _s, fs in os.walk(dv["path"])
+                    for f in sorted(fs)
+                    if f.endswith(".parquet")
+                )
+            ).names
+            if col in dv_cols:
+                raise ValueError(
+                    f"cannot {verb} {col!r}: an active deletion vector "
+                    "keys on it; compact() to materialize the deletes "
+                    "first"
+                )
+
+
+def rename_column(table: VersionedTable, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a PURE METADATA commit (Delta's
+    rename under ``columnMapping=name``): the new manifest carries the
+    renamed logical schema and points the new logical name at the SAME
+    physical column — renaming a column on a 100 TB table rewrites one
+    manifest, zero data files. Time travel keeps each version's own
+    names; recorded data-skipping stats re-key to the new name; a
+    bucket-key rename updates the layout declaration (safe: the bucket
+    hash is over VALUES, names never enter it). Refused when a CHECK
+    constraint or an active deletion vector references the column (their
+    semantics key on the name outside the manifest)."""
+    _mapped_schema_commit_guards(table, old, "rename")
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    base = committed[-1]
+    schema = table.snapshot_schema(base)
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    colmap = dict(table.column_mapping(base))
+    colmap[new] = colmap.pop(old)
+    stats = {
+        d: {(new if c == old else c): s for c, s in cols.items()}
+        for d, cols in table.dir_stats(base).items()
+    } or None
+    layout = table.layout()
+    if layout is not None and old in layout["bucket_keys"]:
+        table.set_layout(
+            [new if k == old else k for k in layout["bucket_keys"]],
+            layout["n_buckets"],
+        )
+    stat_cols = table.stats_columns()
+    if old in stat_cols:
+        table.set_stats_columns([new if c == old else c for c in stat_cols])
+    table._publish_manifest(
+        table._manifest(base),
+        base + 1,
+        schema=new_schema,
+        dvs=table.deletion_vectors(base),
+        stats=stats,
+        colmap=colmap,
+    )
+    return base + 1
+
+
+def drop_column(table: VersionedTable, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN as a PURE METADATA commit (Delta's
+    drop under ``columnMapping=name``): the column leaves the logical
+    schema and the colmap; its physical data stays in the immutable
+    files but no read ever selects it. Physical ids are NEVER reused, so
+    re-adding the same logical name later maps to a FRESH physical
+    column — dropped data cannot resurrect (Delta's rule, pytest-
+    pinned). Bucket-key columns cannot be dropped (the layout needs
+    them); constraint- or DV-referenced columns are refused like
+    rename."""
+    _mapped_schema_commit_guards(table, col, "drop")
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    base = committed[-1]
+    layout = table.layout()
+    if layout is not None and col in layout["bucket_keys"]:
+        raise ValueError(
+            f"cannot drop bucket-key column {col!r}: the layout's "
+            "granular rewrites need it"
+        )
+    schema = table.snapshot_schema(base)
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    from pyspark.sql.types import StructType
+
+    new_schema = StructType([f for f in schema.fields if f.name != col])
+    colmap = {
+        k: v for k, v in table.column_mapping(base).items() if k != col
+    }
+    stats = {
+        d: {c: s for c, s in cols.items() if c != col}
+        for d, cols in table.dir_stats(base).items()
+    }
+    stats = {d: cols for d, cols in stats.items() if cols} or None
+    stat_cols = table.stats_columns()
+    if col in stat_cols:
+        table.set_stats_columns([c for c in stat_cols if c != col])
+    table._publish_manifest(
+        table._manifest(base),
+        base + 1,
+        schema=new_schema,
+        dvs=table.deletion_vectors(base),
+        stats=stats,
+        colmap=colmap,
+    )
+    return base + 1
+
+
 def restore(table: VersionedTable, to_version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF — roll the table back to an
     earlier snapshot as a NEW commit (Delta's RESTORE): the new manifest
@@ -1916,6 +2216,7 @@ def restore(table: VersionedTable, to_version: int) -> int:
         schema=table.snapshot_schema(to_version),
         dvs=table.deletion_vectors(to_version),
         stats=table.dir_stats(to_version) or None,
+        colmap=table.column_mapping(to_version),
     )
     return return_version
 
@@ -1971,7 +2272,8 @@ def clone(
     } or None
     try:
         target._publish_manifest(
-            dirs, 1, schema=table.snapshot_schema(v), dvs=dvs, stats=stats
+            dirs, 1, schema=table.snapshot_schema(v), dvs=dvs, stats=stats,
+            colmap=table.column_mapping(v),
         )
     except ConcurrentCommitError:
         raise ConcurrentCommitError(
@@ -1984,6 +2286,7 @@ def clone(
         (table._constraints_file, target._constraints_file),
         (table._layout_file, target._layout_file),
         (table._stats_file, target._stats_file),
+        (table._colmap_flag, target._colmap_flag),
     ):
         if os.path.exists(src_file):
             import shutil

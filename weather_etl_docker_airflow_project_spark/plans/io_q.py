@@ -2122,3 +2122,51 @@ def s37_type_widening_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(v1_type).alias("v1_key_type"),
         F.lit(v2_type).alias("v2_key_type"),
     )
+
+
+@query(
+    "s38_column_mapping_ddl",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status FROM orders
+    """,
+    tags=("S38", "S31", "S20"),
+)
+def s38_column_mapping_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (Delta's
+    ``columnMapping=name`` mode; `VersionedTable.enable_column_mapping`
+    + `operators/versioned.rename_column`/`drop_column`): batches land
+    under stable PHYSICAL column names (``col_<id>``, assigned once,
+    NEVER reused) and every manifest maps logical→physical, so renaming
+    or dropping a column on a 100 TB table rewrites ONE manifest and
+    zero data files — the engine asserts both DDL commits added no data
+    dir. History: commit (o_orderkey, o_orderstatus, o_totalprice);
+    RENAME o_orderstatus→status; DROP o_totalprice. Time travel keeps
+    each version's own names (v1 still reads o_orderstatus — asserted);
+    dropped data never resurrects because physical ids are never reused
+    (pytest-pinned along with the guards: rename/drop refused when a
+    CHECK constraint or active deletion vector keys on the name, bucket
+    -key renames update the layout, granular merges and stats pruning
+    work through the map). Oracle restates the final projection from
+    the raw table."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        drop_column,
+        rename_column,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vcmap_"), "orders_v"))
+    t.enable_column_mapping()
+    t.commit(o)
+    n_dirs = len(_os.listdir(t._data))
+    rename_column(t, "o_orderstatus", "status")
+    drop_column(t, "o_totalprice")
+    if len(_os.listdir(t._data)) != n_dirs:
+        raise AssertionError("column DDL must be metadata-only")
+    if t.read(version=1).columns != ["o_orderkey", "o_orderstatus", "o_totalprice"]:
+        raise AssertionError("time travel must keep v1's own column names")
+    return t.read().select("o_orderkey", "status")

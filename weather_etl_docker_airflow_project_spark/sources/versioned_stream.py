@@ -185,6 +185,12 @@ class VersionedTableStreamSource(DataSource):
                 f"versioned table at {table_dir} has no recorded manifest "
                 "schema (pre-tracking manifest) — commit once to record it"
             )
+        if t.column_mapping(committed[-1]):
+            raise ValueError(
+                "versioned_table_stream does not support column-mapped "
+                "tables yet: the reader scans raw files (physical names) "
+                "and would silently NULL-fill every logical column"
+            )
         return schema
 
     def streamReader(self, schema) -> VersionedTableStreamReader:
