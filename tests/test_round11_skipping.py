@@ -357,3 +357,21 @@ def test_granular_split_key_type_mismatch_falls_back(spark, tmp_path):
     merge_upsert(t, src_int.withColumn("k", F.col("k").cast("bigint")), keys=["k"])
     rows = {r.k: r.v for r in t.read().collect()}
     assert rows[5] == "new" and len(rows) == 20  # no duplicate key 5
+
+
+def test_wedge_kernel_int64_fallback_for_wide_ids(spark):
+    """Ids at/above 2^31 keep the long adjacency path (int32 downcast
+    skipped) and still count triangles exactly."""
+    from weather_etl_docker_airflow_project_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    base = 2**31 + 10
+    tri = [(base, base + 1), (base + 1, base + 2), (base, base + 2),
+           (base + 2, base + 3)]
+    e = spark.createDataFrame(tri, "a long, b long")
+    out = {
+        r.node: r.n_triangles
+        for r in triangle_counts(e, max_attach_edges=0).collect()
+    }
+    assert out == {base: 1, base + 1: 1, base + 2: 1}
