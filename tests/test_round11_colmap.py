@@ -143,3 +143,54 @@ def test_mapped_stats_pruning_and_granular_merge(spark, tmp_path):
     )
     assert t.read().filter("key = 7").first().v == "UPD2"
     assert t.read().count() == 200
+
+
+def test_cluster_rewrite_on_mapped_table(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        cluster_rewrite,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.set_stats_columns(["x", "y"])
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+    )
+    t.commit(df)
+    cluster_rewrite(t, ["x", "y"], n_chunks=8, bits=5)
+    assert t.read().columns == ["x", "y"]
+    assert t.read().count() == 5000
+    out, rep = t.read_where([("x", "between", (10, 20))])
+    assert rep.scanned_dirs < rep.total_dirs
+    assert out.count() == df.filter(F.col("x").between(10, 20)).count()
+    # physical names on the z-chunk files too
+    import pyarrow.parquet as pq
+
+    d = t._manifest(2)[0]
+    f = next(
+        os.path.join(r, x)
+        for r, _s, fs in os.walk(d)
+        for x in sorted(fs)
+        if x.endswith(".parquet")
+    )
+    assert pq.read_schema(f).names == ["col_1", "col_2"]
+
+
+def test_stream_source_on_mapped_table(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.streaming.windows import (
+        drain_versioned_source,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.commit(spark.createDataFrame([(i, f"v{i}") for i in range(30)], "k bigint, name string"))
+    rename_column(t, "name", "title")
+    t.commit(
+        spark.createDataFrame([(i, f"v{i}") for i in range(30, 60)], "k bigint, title string"),
+        mode="append",
+    )
+    drained, _ = drain_versioned_source(spark, t, per_batch=0)
+    assert drained.columns == ["k", "title"]
+    got = sorted((r.k, r.title) for r in drained.collect())
+    assert got == [(i, f"v{i}") for i in range(60)]

@@ -1949,11 +1949,6 @@ def cluster_rewrite(
         )
     if not cols:
         raise ValueError("cluster_rewrite needs at least one column")
-    if table.column_mapping_enabled():
-        raise ValueError(
-            "cluster_rewrite does not support column-mapped tables yet "
-            "(the z-chunk writer bypasses the physical-name path)"
-        )
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must be <= 62")
     if n_chunks < 2:
@@ -2010,11 +2005,17 @@ def cluster_rewrite(
     chunk = F.lit(0)
     for b in cuts:
         chunk = chunk + (F.col("_z") > F.lit(int(b))).cast("int")
+    colmap = table.column_mapping(base_version)
+    out_cols = (
+        [F.col(c).alias(colmap[c]) for c in orig_cols]
+        if colmap
+        else list(orig_cols)
+    )
     out = (
         zdf.withColumn("zc", chunk)
         .repartition(n_chunks, "zc")
         .sortWithinPartitions("zc", "_z")
-        .select(*orig_cols, "zc")
+        .select(*out_cols, "zc")
     )
     version = base_version + 1
     batch = os.path.join(table._data, f"batch_{version}_{uuid.uuid4().hex[:8]}")
@@ -2028,7 +2029,8 @@ def cluster_rewrite(
         new_dirs,
         version,
         schema=df.select(*orig_cols).schema,
-        stats=table._stats_for_commit(new_dirs, None, new_dirs),
+        stats=table._stats_for_commit(new_dirs, None, new_dirs, colmap=colmap),
+        colmap=colmap,
     )
     return version
 

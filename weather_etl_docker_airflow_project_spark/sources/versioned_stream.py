@@ -79,6 +79,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
+        # column mapping: files carry PHYSICAL names; the stream's
+        # declared schema is logical. Physical ids are stable across
+        # renames, so the map captured at plan time reads every commit
+        # in the range correctly even if logical names evolved.
+        committed = self._table.versions()
+        self._phys = (
+            self._table.column_mapping(committed[-1]) if committed else None
+        ) or {}
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -140,8 +148,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(partition.path)
         cols = {}
         for field in self._arrow_schema:
-            if field.name in tbl.column_names:
-                cols[field.name] = tbl.column(field.name).cast(field.type)
+            fname = self._phys.get(field.name, field.name)
+            if fname in tbl.column_names:
+                cols[field.name] = tbl.column(fname).cast(field.type)
             else:
                 # pre-evolution file: the evolved-in column surfaces NULL,
                 # matching the batch reader's recorded-schema fill
@@ -184,12 +193,6 @@ class VersionedTableStreamSource(DataSource):
             raise ValueError(
                 f"versioned table at {table_dir} has no recorded manifest "
                 "schema (pre-tracking manifest) — commit once to record it"
-            )
-        if t.column_mapping(committed[-1]):
-            raise ValueError(
-                "versioned_table_stream does not support column-mapped "
-                "tables yet: the reader scans raw files (physical names) "
-                "and would silently NULL-fill every logical column"
             )
         return schema
 
