@@ -198,6 +198,7 @@ HEADLINE = [
     "s36_timestamp_time_travel",
     "s37_type_widening_evolution",
     "s38_column_mapping_ddl",
+    "s39_describe_history",
     "t22_versioned_stream_source",
     "l6_importance_sampling",
 ]

@@ -194,3 +194,31 @@ def test_stream_source_on_mapped_table(spark, tmp_path):
     assert drained.columns == ["k", "title"]
     got = sorted((r.k, r.title) for r in drained.collect())
     assert got == [(i, f"v{i}") for i in range(60)]
+
+
+def test_history_records_operations(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        clone,
+        compact,
+        drop_column,
+        restore,
+    )
+
+    t = _mapped(spark, tmp_path)
+    merge_upsert(
+        t,
+        spark.createDataFrame(
+            [(0, "upd", 0.0)], "k bigint, name string, score double"
+        ),
+        keys=["k"],
+    )
+    drop_column(t, "score")
+    compact(t)
+    restore(t, 1)
+    c = clone(t, str(tmp_path / "c"))
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["append", "merge", "drop_column", "compact", "restore (to v1)"]
+    assert [h["n_cols"] for h in t.history()] == [3, 3, 2, 2, 3]
+    assert c.history()[0]["op"] == "clone (of v5)"
+    ts = [h["ts"] for h in t.history()]
+    assert ts == sorted(ts)

@@ -551,6 +551,37 @@ class VersionedTable:
             used.add(f"col_{next_id}")
         return out
 
+    def commit_op(self, version: int) -> str:
+        """The version's recorded operation (``#op=`` header) — Delta's
+        DESCRIBE HISTORY operation column. Pre-tracking manifests answer
+        'unknown'."""
+        with open(os.path.join(self._versions, str(version))) as f:
+            for line in f:
+                if line.startswith("#op="):
+                    return line[len("#op="):].strip()
+        return "unknown"
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY in miniature: one record per committed
+        version — version number, commit timestamp, recorded operation,
+        manifest dir count, active-DV count, column count. Pure manifest
+        metadata: O(versions) header reads, zero data I/O at any table
+        size (the same audit surface Delta exposes)."""
+        out = []
+        for v in self.versions():
+            schema = self.snapshot_schema(v)
+            out.append(
+                {
+                    "version": v,
+                    "ts": self.commit_timestamp(v),
+                    "op": self.commit_op(v),
+                    "n_dirs": len(self._manifest(v)),
+                    "n_dvs": len(self.deletion_vectors(v)),
+                    "n_cols": len(schema.fields) if schema else None,
+                }
+            )
+        return out
+
     def commit_timestamp(self, version: int) -> float:
         """The version's commit wall-clock (``#ts=`` manifest header).
         Pre-tracking manifests fall back to the manifest file's mtime —
@@ -604,6 +635,7 @@ class VersionedTable:
         mode: str = "append",
         expected_base_version: int | None = None,
         allow_schema_evolution: bool = False,
+        op: str | None = None,
     ) -> int:
         """Write ``df`` as a new immutable batch and publish the next
         version. ``mode='append'`` extends the previous version's
@@ -751,7 +783,7 @@ class VersionedTable:
             stats = self._stats_for_commit(new_dirs, None, dirs, colmap=colmap)
         self._publish_manifest(
             dirs, version, schema=df.schema, dvs=dvs, stats=stats,
-            colmap=colmap,
+            colmap=colmap, op=op or mode,
         )
         return version
 
@@ -877,6 +909,7 @@ class VersionedTable:
         dvs=None,
         stats=None,
         colmap=None,
+        op: str | None = None,
     ) -> None:
         """Publish ``dirs`` as version ``version`` via the atomic
         create-if-absent CAS (``os.link``): when two writers race for the
@@ -897,6 +930,8 @@ class VersionedTable:
             # commit wall-clock for TIMESTAMP AS OF resolution — rides
             # the same atomic metadata write as everything else
             f.write(f"#ts={_time.time():.6f}\n")
+            if op:
+                f.write(f"#op={op}\n")
             if schema is not None:
                 f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
             for dv in dvs or []:
@@ -1454,6 +1489,7 @@ def compact(
         df,
         mode="overwrite",
         expected_base_version=base_version,
+        op="compact",
     )
     after_dirs = table._manifest(version)
     n_after = sum(
@@ -1735,7 +1771,8 @@ def merge_upsert(
     if split is not None:
         return _commit_granular(table, merged, carry, base_version)
     return table.commit(
-        merged, mode="overwrite", expected_base_version=base_version
+        merged, mode="overwrite", expected_base_version=base_version,
+        op="merge",
     )
 
 
@@ -1791,6 +1828,7 @@ def _commit_granular(
     rewritten: DataFrame,
     carry_dirs: list[str],
     base_version: int,
+    op: str = "merge",
 ) -> int:
     """Publish a bucket-granular rewrite: stage the rewritten buckets as
     a new batch (layout-aware writer -> per-bucket dirs) and publish
@@ -1822,6 +1860,7 @@ def _commit_granular(
             new_dirs, base_version, carry_dirs + new_dirs, colmap=colmap
         ),
         colmap=colmap,
+        op=op,
     )
     return version
 
@@ -1884,6 +1923,7 @@ def delete_by_keys(
             # a min/max bound
             stats=table.dir_stats(base_version) or None,
             colmap=table.column_mapping(base_version),
+            op="delete (merge-on-read)",
         )
         return version
     split = _granular_split(table, base_version, delete_keys, keys)
@@ -1895,12 +1935,13 @@ def delete_by_keys(
             kept = table._read_dirs(touched_dirs, base_version).join(
                 delete_keys.select(*keys), keys, "left_anti"
             )
-        return _commit_granular(table, kept, carry, base_version)
+        return _commit_granular(table, kept, carry, base_version, op="delete")
     kept = table.read(version=base_version).join(
         delete_keys.select(*keys), keys, "left_anti"
     )
     return table.commit(
-        kept, mode="overwrite", expected_base_version=base_version
+        kept, mode="overwrite", expected_base_version=base_version,
+        op="delete",
     )
 
 
@@ -2031,6 +2072,7 @@ def cluster_rewrite(
         schema=df.select(*orig_cols).schema,
         stats=table._stats_for_commit(new_dirs, None, new_dirs, colmap=colmap),
         colmap=colmap,
+        op="zorder",
     )
     return version
 
@@ -2129,6 +2171,7 @@ def rename_column(table: VersionedTable, old: str, new: str) -> int:
         dvs=table.deletion_vectors(base),
         stats=stats,
         colmap=colmap,
+        op="rename_column",
     )
     return base + 1
 
@@ -2181,6 +2224,7 @@ def drop_column(table: VersionedTable, col: str) -> int:
         dvs=table.deletion_vectors(base),
         stats=stats,
         colmap=colmap,
+        op="drop_column",
     )
     return base + 1
 
@@ -2219,6 +2263,7 @@ def restore(table: VersionedTable, to_version: int) -> int:
         dvs=table.deletion_vectors(to_version),
         stats=table.dir_stats(to_version) or None,
         colmap=table.column_mapping(to_version),
+        op=f"restore (to v{to_version})",
     )
     return return_version
 
@@ -2276,6 +2321,7 @@ def clone(
         target._publish_manifest(
             dirs, 1, schema=table.snapshot_schema(v), dvs=dvs, stats=stats,
             colmap=table.column_mapping(v),
+            op=f"clone (of v{v})",
         )
     except ConcurrentCommitError:
         raise ConcurrentCommitError(

@@ -2170,3 +2170,79 @@ def s38_column_mapping_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t.read(version=1).columns != ["o_orderkey", "o_orderstatus", "o_totalprice"]:
         raise AssertionError("time travel must keep v1's own column names")
     return t.read().select("o_orderkey", "status")
+
+
+@query(
+    "s39_describe_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'append',                 CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'append',                 CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'merge',                  CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'delete (merge-on-read)', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(5 AS BIGINT), 'rename_column',          CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(6 AS BIGINT), 'compact',                CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(7 AS BIGINT), 'restore (to v2)',        CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(version, op, n_dvs, n_cols)
+    ORDER BY version
+    """,
+    tags=("S39", "S20", "S36"),
+)
+def s39_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (`VersionedTable.history` + the ``#op=``
+    manifest header): every commit records WHAT it was — append,
+    overwrite, merge, delete, delete (merge-on-read), compact, zorder,
+    rename_column, drop_column, restore, clone — in the same atomic
+    metadata write as the file list, and `history()` replays the audit
+    trail as pure manifest reads (O(versions) header lines, zero data
+    I/O at 100 TB — Delta's DESCRIBE HISTORY surface). The query drives
+    a table through a seven-operation lifecycle touching five distinct
+    operation kinds plus timestamp monotonicity (engine-asserted) and
+    declares (version, op, active-DV count, column count); the oracle
+    is the literal expected audit trail, so a mislabeled or missing
+    header hash-fails."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        compact,
+        delete_by_keys,
+        merge_upsert,
+        rename_column,
+        restore,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vhist_"), "orders_v"))
+    t.enable_column_mapping()
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    merge_upsert(
+        t,
+        o.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+            "o_orderstatus", F.lit("M")
+        ),
+        keys=["o_orderkey"],
+    )
+    delete_by_keys(
+        t,
+        o.filter(F.col("o_orderkey") % 997 == 0).select("o_orderkey"),
+        keys=["o_orderkey"],
+        merge_on_read=True,
+    )
+    rename_column(t, "o_totalprice", "price")
+    compact(t)
+    restore(t, 2)
+    hist = t.history()
+    ts = [h["ts"] for h in hist]
+    if ts != sorted(ts):
+        raise AssertionError("history timestamps must be monotone")
+    return spark.createDataFrame(
+        [
+            (h["version"], h["op"], h["n_dvs"], h["n_cols"])
+            for h in hist
+        ],
+        "version long, op string, n_dvs long, n_cols long",
+    ).orderBy("version")
