@@ -199,6 +199,7 @@ HEADLINE = [
     "s37_type_widening_evolution",
     "s38_column_mapping_ddl",
     "s39_describe_history",
+    "s40_identity_column",
     "t22_versioned_stream_source",
     "l6_importance_sampling",
 ]

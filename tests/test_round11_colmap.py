@@ -222,3 +222,38 @@ def test_history_records_operations(spark, tmp_path):
     assert c.history()[0]["op"] == "clone (of v5)"
     ts = [h["ts"] for h in t.history()]
     assert ts == sorted(ts)
+
+
+def test_identity_commit_monotone_and_dense(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        commit_with_identity,
+        identity_high_water,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    b1 = spark.createDataFrame([(i * 7, f"a{i}") for i in range(40)], "ek long, v string")
+    b2 = spark.createDataFrame([(i * 3, f"b{i}") for i in range(25)], "ek long, v string")
+    commit_with_identity(t, b1, "row_id", ["ek"])
+    assert identity_high_water(t, "row_id") == 40
+    # an interleaved PLAIN commit must not disturb the high-water mark
+    t.commit(
+        spark.createDataFrame([(99, -1, "plain")], "row_id long, ek long, v string"),
+        mode="append",
+    )
+    commit_with_identity(t, b2, "row_id", ["ek"], mode="append")
+    assert identity_high_water(t, "row_id") == 65
+    ids = [r.row_id for r in t.read().filter("v <> 'plain'").orderBy("row_id").collect()]
+    assert ids == list(range(1, 66))  # dense, unique, monotone
+    # deterministic order: batch-2 ids follow ek order offset by hwm
+    got = {(r.ek, r.row_id) for r in t.read().filter("v like 'b%'").collect()}
+    assert got == {(i * 3, 41 + i) for i in range(25)}
+    with pytest.raises(ValueError, match="already present"):
+        commit_with_identity(
+            t,
+            spark.createDataFrame([(1, 2, "x")], "row_id long, ek long, v string"),
+            "row_id",
+            ["ek"],
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="identity column is"):
+        identity_high_water(t, "other_id")

@@ -636,6 +636,7 @@ class VersionedTable:
         expected_base_version: int | None = None,
         allow_schema_evolution: bool = False,
         op: str | None = None,
+        extra_headers: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new immutable batch and publish the next
         version. ``mode='append'`` extends the previous version's
@@ -783,7 +784,7 @@ class VersionedTable:
             stats = self._stats_for_commit(new_dirs, None, dirs, colmap=colmap)
         self._publish_manifest(
             dirs, version, schema=df.schema, dvs=dvs, stats=stats,
-            colmap=colmap, op=op or mode,
+            colmap=colmap, op=op or mode, extra_headers=extra_headers,
         )
         return version
 
@@ -910,6 +911,7 @@ class VersionedTable:
         stats=None,
         colmap=None,
         op: str | None = None,
+        extra_headers: list[str] | None = None,
     ) -> None:
         """Publish ``dirs`` as version ``version`` via the atomic
         create-if-absent CAS (``os.link``): when two writers race for the
@@ -932,6 +934,10 @@ class VersionedTable:
             f.write(f"#ts={_time.time():.6f}\n")
             if op:
                 f.write(f"#op={op}\n")
+            for h in extra_headers or []:
+                if not h.startswith("#"):
+                    raise ValueError(f"manifest header must start with #: {h!r}")
+                f.write(h.rstrip("\n") + "\n")
             if schema is not None:
                 f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
             for dv in dvs or []:
@@ -2075,6 +2081,95 @@ def cluster_rewrite(
         op="zorder",
     )
     return version
+
+
+def identity_high_water(table: VersionedTable, id_col: str) -> int:
+    """The table's current IDENTITY high-water mark: the most recent
+    ``#idhwm=`` manifest header, scanned latest-first so non-identity
+    commits interleaved between identity commits are transparent. Pure
+    metadata — O(versions) header reads."""
+    for v in reversed(table.versions()):
+        with open(os.path.join(table._versions, str(v))) as f:
+            for line in f:
+                if line.startswith("#idhwm="):
+                    hcol, hval = line[len("#idhwm="):].strip().split("::")
+                    if hcol != id_col:
+                        raise ValueError(
+                            f"table identity column is {hcol!r}, "
+                            f"not {id_col!r}"
+                        )
+                    return int(hval)
+    return 0
+
+
+def commit_with_identity(
+    table: VersionedTable,
+    df: DataFrame,
+    id_col: str,
+    order_cols: list[str],
+    mode: str = "append",
+) -> int:
+    """Commit with an IDENTITY column (Delta's ``GENERATED ALWAYS AS
+    IDENTITY``, made DETERMINISTIC): this commit's rows are numbered
+    ``hwm+1 .. hwm+n`` in ``order_cols`` order, and the new high-water
+    mark rides an ``#idhwm=`` header in the SAME atomic manifest write
+    as the batch's file list — allocation and data can never tear
+    apart, and a writer that loses the CAS race publishes nothing, so
+    ids are never burned by a lost race.
+
+    Scale shape: numbering is the distributed two-pass prefix
+    (`operators/sweep.bucketed_row_number`) — full data windows only
+    within a coarse monotone range-bucket of the leading order column,
+    plus one tiny offset table; never an unpartitioned
+    ``row_number() OVER ()``. One batch-scoped aggregate fetches
+    (min, max, count) together for the bucket bounds and the new hwm —
+    all costs O(batch), never O(table). Delta's identity reserves
+    per-task ranges and gives up ordering/density; this one pays that
+    single batch aggregate to stay reproducible, which is exactly what
+    lets a SQL oracle restate the assignment row for row."""
+    from pyspark.sql import functions as F
+
+    from .sweep import bucketed_row_number
+
+    if id_col in df.columns:
+        raise ValueError(
+            f"identity column {id_col!r} already present in the batch "
+            "(GENERATED ALWAYS: the engine assigns it)"
+        )
+    hwm = identity_high_water(table, id_col)
+    first = order_cols[0]
+    lo, hi, n_rows = df.agg(
+        F.min(F.col(first).cast("double")),
+        F.max(F.col(first).cast("double")),
+        F.count(F.lit(1)),
+    ).first()
+    if lo is None or hi is None or hi <= lo:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(63),
+            F.floor(
+                (F.col(first).cast("double") - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo))
+                * 64
+            ),
+        )
+    numbered = bucketed_row_number(
+        df.withColumn("_idb", bucket), "_idb", order_cols, out_col=id_col
+    )
+    assigned = (
+        numbered.withColumn(
+            id_col, (F.col(id_col) + F.lit(hwm)).cast("long")
+        )
+        .drop("_idb")
+        .select(id_col, *df.columns)
+    )
+    return table.commit(
+        assigned,
+        mode=mode,
+        op=f"{mode} (identity)",
+        extra_headers=[f"#idhwm={id_col}::{hwm + int(n_rows)}"],
+    )
 
 
 def _mapped_schema_commit_guards(

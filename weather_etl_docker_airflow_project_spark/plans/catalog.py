@@ -32,14 +32,14 @@ from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
     # ================= ROUND-11 WINDOW (first 50) =================
-    # Head block (22): flagship (entry() smoke), the FOURTEEN round-11
+    # Head block (23): flagship (entry() smoke), the FIFTEEN round-11
     # surface additions needing their FIRST driver row (s28 bucket-
     # granular copy-on-write MERGE — the r10 verdict's top task; s29
     # clone-aware vacuum; s30 bucket-pruned lookup; s31 schema
     # evolution; s32 deletion vectors; s33 manifest-stats data
     # skipping; s34 z-order table OPTIMIZE; s35 RESTORE; s36 TIMESTAMP
     # AS OF; s37 type widening; s38 column-mapping DDL; s39 DESCRIBE
-    # HISTORY; t22
+    # HISTORY; s40 IDENTITY columns; t22
     # commit-log streaming source; l6
     # DSIR importance sampling), and the
     # versioned-family queries whose machinery materially changed this
@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "s37_type_widening_evolution",
     "s38_column_mapping_ddl",
     "s39_describe_history",
+    "s40_identity_column",
     "t22_versioned_stream_source",
     "l6_importance_sampling",
     "s25_versioned_merge_upsert",

@@ -2246,3 +2246,59 @@ def s39_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "version long, op string, n_dvs long, n_cols long",
     ).orderBy("version")
+
+
+@query(
+    "s40_identity_column",
+    oracle="""
+    WITH src AS (SELECT event_id FROM events WHERE user_id < 40),
+    c1 AS (
+      SELECT event_id,
+             CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS row_id
+      FROM src WHERE event_id % 2 = 0),
+    c2 AS (
+      SELECT event_id,
+             CAST(row_number() OVER (ORDER BY event_id)
+                  + (SELECT count(*) FROM c1) AS BIGINT) AS row_id
+      FROM src WHERE event_id % 2 = 1)
+    SELECT row_id, event_id FROM c1
+    UNION ALL
+    SELECT row_id, event_id FROM c2
+    """,
+    tags=("S40", "S20", "O5"),
+)
+def s40_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY column (Delta's GENERATED ALWAYS AS IDENTITY, made
+    deterministic; `operators/versioned.commit_with_identity`): each
+    commit's rows are numbered ``hwm+1 .. hwm+n`` in a declared order
+    and the new high-water mark rides an ``#idhwm=`` header in the SAME
+    atomic manifest write as the batch — allocation and data cannot
+    tear apart, and a lost CAS race burns no ids. The assignment is the
+    distributed two-pass prefix (bucketed_row_number: per-range-bucket
+    windows + one tiny offset table — never an unpartitioned
+    row_number), one batch-scoped (min,max,count) aggregate fixes the
+    bucket bounds and the new hwm, so all costs are O(batch) at any
+    table size. Two identity commits split the capped event feed by
+    parity; the oracle restates the exact ids with windowed
+    row_numbers — dense, unique, monotone ACROSS commits, and
+    reproducible row for row (the property Delta's per-task range
+    reservation gives up)."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, commit_with_identity
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_id"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vident_"), "events_v"))
+    commit_with_identity(
+        t, e.filter(F.col("event_id") % 2 == 0), "row_id", ["event_id"]
+    )
+    commit_with_identity(
+        t,
+        e.filter(F.col("event_id") % 2 == 1),
+        "row_id",
+        ["event_id"],
+        mode="append",
+    )
+    return t.read().select("row_id", "event_id")
