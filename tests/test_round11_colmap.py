@@ -257,3 +257,40 @@ def test_identity_commit_monotone_and_dense(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="identity column is"):
         identity_high_water(t, "other_id")
+
+
+def test_cdc_on_mapped_table_and_across_rename(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        rename_column,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k bigint, name string"
+        )
+    )
+    # append leg on a mapped table (raw physical files, logical keys)
+    t.commit(
+        spark.createDataFrame([(100, "x")], "k bigint, name string"),
+        mode="append",
+    )
+    feed = t.read_changes_cdc(1, 2, keys=["k"])
+    got = {(r.k, r.change_type) for r in feed.collect()}
+    assert got == {(100, "insert")}
+    # rename, then change a value: the range straddling the rename must
+    # still report the update on the renamed column
+    rename_column(t, "name", "title")
+    t.commit(
+        spark.createDataFrame(
+            [(i, "CHANGED" if i == 5 else f"v{i}") for i in range(20)]
+            + [(100, "x")],
+            "k bigint, title string",
+        ),
+        mode="overwrite",
+    )
+    feed2 = t.read_changes_cdc(2, 4, keys=["k"])
+    got2 = {(r.k, r.change_type) for r in feed2.collect()}
+    assert (5, "update") in got2
+    assert not any(ct == "update" for k, ct in got2 if k != 5)

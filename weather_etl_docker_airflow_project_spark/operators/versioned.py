@@ -1341,7 +1341,11 @@ class VersionedTable:
                 new_dirs = [d for d in to_dirs if d not in prev_dirs]
                 if not new_dirs:
                     continue
-                batch = self.spark.read.parquet(*new_dirs)
+                # _read_dirs, not a raw parquet read: the batch must be
+                # scanned under the version's recorded schema AND its
+                # column mapping (raw physical names would not resolve
+                # the logical keys — caught by a mapped-CDC pytest)
+                batch = self._read_dirs(new_dirs, v)
                 parts.append(
                     batch.select(
                         *keys,
@@ -1389,6 +1393,29 @@ class VersionedTable:
                 else:
                     old = self.read(version=prev_v)
                     new = self.read(version=v)
+                # column mapping makes a RENAME transparent to CDC:
+                # match the sides by stable PHYSICAL id and alias the
+                # old snapshot's logical names to the new ones, so a
+                # range straddling a rename still fingerprints the
+                # renamed column (name-matching alone would silently
+                # drop it — an under-reported diff) and keys given in
+                # the new naming resolve on both sides
+                old_map = self.column_mapping(prev_v)
+                new_map = self.column_mapping(v)
+                if old_map and new_map:
+                    phys_to_old = {p: n for n, p in old_map.items()}
+                    renames = {}
+                    for nl, p in new_map.items():
+                        ol = phys_to_old.get(p)
+                        if ol is not None and ol != nl:
+                            renames[ol] = nl
+                    if renames:
+                        old = old.select(
+                            *[
+                                F.col(c).alias(renames.get(c, c))
+                                for c in old.columns
+                            ]
+                        )
                 # auto-restrict the fingerprint to columns BOTH sides
                 # have: across an additive schema evolution the older
                 # snapshot lacks the new columns, and a keyed diff over
