@@ -294,3 +294,16 @@ def test_cdc_on_mapped_table_and_across_rename(spark, tmp_path):
     got2 = {(r.k, r.change_type) for r in feed2.collect()}
     assert (5, "update") in got2
     assert not any(ct == "update" for k, ct in got2 if k != 5)
+
+
+def test_file_level_read_changes_on_mapped_table(spark, tmp_path):
+    t = _mapped(spark, tmp_path, n=10)
+    t.commit(
+        spark.createDataFrame(
+            [(50, "new", 5.0)], "k bigint, name string, score double"
+        ),
+        mode="append",
+    )
+    delta = t.read_changes(1, 2)
+    assert delta.columns == ["k", "name", "score"]  # logical names
+    assert [r.k for r in delta.collect()] == [50]

@@ -1211,7 +1211,10 @@ class VersionedTable:
         new_dirs = [d for d in to_dirs if d not in from_dirs]
         if not new_dirs:
             return self.read(version=v_to).limit(0)  # schema-only, no data
-        return self.spark.read.parquet(*new_dirs)
+        # through _read_dirs, not a raw read: the delta must surface
+        # under the target version's recorded schema and column mapping
+        # (physical file names resolve to logical columns)
+        return self._read_dirs(new_dirs, v_to)
 
     def _bucket_pruned_sides(
         self, old_dirs: list[str], new_dirs: list[str], keys: list[str]
