@@ -307,3 +307,44 @@ def test_file_level_read_changes_on_mapped_table(spark, tmp_path):
     delta = t.read_changes(1, 2)
     assert delta.columns == ["k", "name", "score"]  # logical names
     assert [r.k for r in delta.collect()] == [50]
+
+
+def test_identity_composes_with_mapping_and_layout(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        commit_with_identity,
+        identity_high_water,
+        merge_upsert,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.set_layout(["ek"], 4)
+    b1 = spark.createDataFrame([(i, f"a{i}") for i in range(30)], "ek long, v string")
+    commit_with_identity(t, b1, "row_id", ["ek"])
+    assert t.read().columns == ["row_id", "ek", "v"]
+    assert _physical_names(t)[0:1] == ["col_1"]  # row_id mapped too
+    commit_with_identity(
+        t,
+        spark.createDataFrame([(100, "b")], "ek long, v string"),
+        "row_id",
+        ["ek"],
+        mode="append",
+    )
+    assert identity_high_water(t, "row_id") == 31
+    ids = sorted(r.row_id for r in t.read().collect())
+    assert ids == list(range(1, 32))
+    # a granular merge between identity commits stays transparent
+    merge_upsert(
+        t,
+        spark.createDataFrame([(31, 5, "UPD")], "row_id long, ek long, v string"),
+        keys=["ek"],
+    )
+    assert identity_high_water(t, "row_id") == 31
+    commit_with_identity(
+        t,
+        spark.createDataFrame([(200, "c")], "ek long, v string"),
+        "row_id",
+        ["ek"],
+        mode="append",
+    )
+    assert identity_high_water(t, "row_id") == 32
