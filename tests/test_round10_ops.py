@@ -209,7 +209,9 @@ def test_merge_schema_mismatch_raises(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.commit(_mk(spark, [(1, "a")]))
     bad = spark.createDataFrame([(1, "a", 0)], ["k", "v", "extra"])
-    with pytest.raises(ValueError, match="must equal"):
+    # unflagged additive columns still raise (r11: the message now points
+    # at allow_schema_evolution, Delta's autoMerge)
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
         merge_upsert(t, bad, keys=["k"])
 
 

@@ -348,3 +348,42 @@ def test_identity_composes_with_mapping_and_layout(spark, tmp_path):
         mode="append",
     )
     assert identity_high_water(t, "row_id") == 32
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_layout(["k"], 4)
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k bigint, v string"
+        )
+    )
+    src = spark.createDataFrame(
+        [(5, "UPD", 1.5), (100, "NEW", 2.5)], "k bigint, v string, score double"
+    )
+    # unflagged: additive source columns are refused
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        merge_upsert(t, src, keys=["k"])
+    merge_upsert(t, src, keys=["k"], allow_schema_evolution=True)
+    out = t.read()
+    assert out.columns == ["k", "v", "score"]
+    rows = {r.k: (r.v, r.score) for r in out.collect()}
+    assert rows[5] == ("UPD", 1.5) and rows[100] == ("NEW", 2.5)
+    # carried rows (untouched buckets, old files) null-fill the new col
+    assert rows[7] == ("v7", None)
+    assert len(rows) == 21
+    # conditional merge with evolution
+    src2 = spark.createDataFrame(
+        [(5, "STALE", 0.5, 1), (6, "FRESH", 9.9, 1)],
+        "k bigint, v string, score double, gen int",
+    )
+    merge_upsert(
+        t,
+        src2.withColumn("score", F.col("score")),
+        keys=["k"],
+        when_matched_condition="s.score > coalesce(t.score, 0.0)",
+        allow_schema_evolution=True,
+    )
+    rows2 = {r.k: (r.v, r.score, r.gen) for r in t.read().collect()}
+    assert rows2[5] == ("UPD", 1.5, None)  # stale update rejected
+    assert rows2[6] == ("FRESH", 9.9, 1)

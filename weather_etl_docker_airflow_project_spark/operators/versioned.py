@@ -1686,6 +1686,7 @@ def merge_upsert(
     keys: list[str],
     validate_source_keys: bool = True,
     when_matched_condition: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """MERGE INTO for :class:`VersionedTable` — row-level upsert with
     lakehouse semantics (Delta's ``WHEN MATCHED THEN UPDATE SET * WHEN
@@ -1749,12 +1750,32 @@ def merge_upsert(
     else:
         target_side = target
     missing = [k for k in keys if k not in source.columns]
-    if missing or set(source.columns) != set(target.columns):
+    absent = [c for c in target.columns if c not in source.columns]
+    extra = [c for c in source.columns if c not in target.columns]
+    if missing or absent or (extra and not allow_schema_evolution):
         raise ValueError(
-            f"merge source columns {sorted(source.columns)} must equal "
-            f"target columns {sorted(target.columns)} and contain the "
-            f"merge keys {keys}"
+            f"merge source columns {sorted(source.columns)} must contain "
+            f"the merge keys {keys} and every target column "
+            f"{sorted(target.columns)}; additive source columns "
+            f"({sorted(extra)}) need allow_schema_evolution=True "
+            "(Delta's merge autoMerge: the table evolves, existing rows "
+            "surface NULL for the new columns)"
         )
+    if extra:
+        # MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge, additive-only):
+        # the table gains the source's extra columns; carried/unmatched
+        # target rows surface NULL for them. On the granular path the
+        # new manifest records the evolved schema while untouched bucket
+        # dirs carry by reference — their old files null-fill at read
+        # via the recorded-schema scan, so evolution costs nothing extra
+        from pyspark.sql import functions as F
+
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        target_side = target_side.select(
+            "*",
+            *[F.lit(None).cast(src_types[c]).alias(c) for c in extra],
+        )
+    out_cols = list(target.columns) + extra
     if validate_source_keys:
         from pyspark.sql import functions as F
 
@@ -1777,7 +1798,7 @@ def merge_upsert(
             )
     if when_matched_condition is None:
         survivors = target_side.join(source.select(*keys), keys, "left_anti")
-        merged = source.select(*target.columns).unionByName(survivors)
+        merged = source.select(*out_cols).unionByName(survivors)
     else:
         # Conditional merge (Delta's WHEN MATCHED AND <cond> THEN UPDATE
         # SET * / WHEN NOT MATCHED THEN INSERT *): the condition is a
@@ -1797,18 +1818,18 @@ def merge_upsert(
         upd = (
             t.join(s, on, "inner")
             .filter(cond)
-            .select([F.col(f"s.{c}").alias(c) for c in target.columns])
+            .select([F.col(f"s.{c}").alias(c) for c in out_cols])
         )
         keep_t = target_side.join(upd.select(*keys), keys, "left_anti")
         ins = source.join(target_side.select(*keys), keys, "left_anti")
         merged = keep_t.unionByName(upd).unionByName(
-            ins.select(*target.columns)
+            ins.select(*out_cols)
         )
     if split is not None:
         return _commit_granular(table, merged, carry, base_version)
     return table.commit(
         merged, mode="overwrite", expected_base_version=base_version,
-        op="merge",
+        op="merge", allow_schema_evolution=bool(extra),
     )
 
 
