@@ -387,3 +387,31 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     rows2 = {r.k: (r.v, r.score, r.gen) for r in t.read().collect()}
     assert rows2[5] == ("UPD", 1.5, None)  # stale update rejected
     assert rows2[6] == ("FRESH", 9.9, 1)
+
+
+def test_vacuum_retain_hours_and_dry_run(spark, tmp_path):
+    import os as _os
+
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        vacuum,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for lo in (0, 10, 20):
+        t.commit(
+            spark.createDataFrame([(lo, "x")], "k bigint, v string"),
+            mode="overwrite",
+        )
+    # all commits are seconds old: a 1-hour window keeps everything
+    rep = vacuum(t, retain_versions=1, retain_hours=1.0)
+    assert rep.dropped_versions == [] and rep.removed_dirs == []
+    assert t.versions() == [1, 2, 3]
+    # dry run: reports the drop set, touches nothing
+    rep2 = vacuum(t, retain_versions=1, dry_run=True)
+    assert rep2.dropped_versions == [1, 2] and len(rep2.removed_dirs) == 2
+    assert t.versions() == [1, 2, 3]
+    assert all(_os.path.isdir(d) for d in rep2.removed_dirs)
+    # live run removes exactly what the dry run promised
+    rep3 = vacuum(t, retain_versions=1)
+    assert sorted(rep3.removed_dirs) == sorted(rep2.removed_dirs)
+    assert t.versions() == [3]

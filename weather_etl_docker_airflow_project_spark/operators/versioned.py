@@ -1588,6 +1588,8 @@ def vacuum(
     table: VersionedTable,
     retain_versions: int = 1,
     protect_roots: list[str] | None = None,
+    retain_hours: float | None = None,
+    dry_run: bool = False,
 ) -> _VacuumReport:
     """Retention job for :class:`VersionedTable`: keep the newest
     ``retain_versions`` versions, drop older manifests, and delete the
@@ -1610,13 +1612,27 @@ def vacuum(
     Retention windows vs in-flight readers: like every lakehouse vacuum,
     a reader holding a dropped version's plan can fail mid-scan — size
     ``retain_versions`` above the longest reader, the same contract as
-    Delta's retention interval."""
+    Delta's retention interval.
+
+    ``retain_hours`` is Delta's actual retention dial, resolved against
+    the ``#ts=`` commit timestamps (S36): any version committed within
+    the window is ALSO kept, on top of the newest ``retain_versions``
+    (the latest version is always kept). ``dry_run=True`` reports what
+    WOULD be dropped/removed without touching anything — the standard
+    pre-flight for a destructive maintenance job."""
     import shutil
+    import time as _time
 
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     committed = table.versions()
     keep = committed[-retain_versions:]
+    if retain_hours is not None:
+        cutoff = _time.time() - retain_hours * 3600.0
+        keep = sorted(
+            set(keep)
+            | {v for v in committed if table.commit_timestamp(v) >= cutoff}
+        )
     drop = [v for v in committed if v not in keep]
     referenced = set()
     for v in keep:
@@ -1636,6 +1652,35 @@ def vacuum(
     )
     removed: list[str] = []
     protected: list[str] = []
+    if dry_run:
+        # report-only: compute the same would-remove set the live run
+        # deletes, but touch nothing
+        would: list[str] = []
+        data_root = table._data
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, d)
+                real = os.path.realpath(full)
+                if real in referenced_real or real in clone_refs:
+                    continue
+                children = sorted(
+                    c
+                    for c in os.listdir(full)
+                    if os.path.isdir(os.path.join(full, c))
+                )
+                kids = {c: os.path.realpath(os.path.join(full, c)) for c in children}
+                if not any(
+                    r in referenced_real or r in clone_refs
+                    for r in kids.values()
+                ):
+                    would.append(full)
+                else:
+                    would.extend(
+                        os.path.join(full, c)
+                        for c, r in kids.items()
+                        if r not in referenced_real and r not in clone_refs
+                    )
+        return _VacuumReport(drop, would, [])
     for v in drop:
         os.remove(os.path.join(table._versions, str(v)))
     data_root = table._data
