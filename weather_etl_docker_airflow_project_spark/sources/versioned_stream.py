@@ -75,6 +75,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._per_batch = int(options.get("maxversionsperbatch", 0))
+        self._pace_dir = options.get("pacestatedir")
         self._last_end = None
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -91,16 +92,49 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
+    def _load_pace_floor(self) -> int | None:
+        if self._pace_dir is None:
+            return None
+        try:
+            with open(os.path.join(self._pace_dir, "floor")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _save_pace_floor(self, v: int) -> None:
+        if self._pace_dir is None:
+            return
+        os.makedirs(self._pace_dir, exist_ok=True)
+        tmp = os.path.join(self._pace_dir, ".floor.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self._pace_dir, "floor"))
+
     def latestOffset(self) -> dict:
         committed = self._table.versions()
         latest = committed[-1] if committed else self._start
         latest = max(latest, self._start)
         if self._per_batch > 0:
-            # demo pacing: advance at most k commits per trigger so a
-            # finite drain exercises real multi-batch replay
-            floor = self._last_end if self._last_end is not None else self._start
+            # pacing: advance at most k commits per trigger so a drain
+            # exercises real multi-batch replay. The floor must SURVIVE
+            # a checkpoint restart: a fresh reader pacing from
+            # startingVersion would report an offset BELOW the engine's
+            # recovered offset, the offset log would step backward, and
+            # already-delivered versions would re-deliver under new
+            # batch ids (a real duplicate the restart pytest caught —
+            # 280 rows from a 240-row table). ``paceStateDir`` (point it
+            # inside the query's checkpoint dir) persists the floor
+            # across restarts; without it, a paced RESTART is refused in
+            # partitions() rather than allowed to duplicate.
+            floor = self._last_end
+            persisted = self._load_pace_floor()
+            if persisted is not None:
+                floor = max(floor or 0, persisted)
+            if floor is None:
+                floor = self._start
             latest = min(latest, floor + self._per_batch)
-        self._last_end = latest
+            self._save_pace_floor(latest)
+        self._last_end = max(latest, self._last_end or 0)
         return {"version": latest}
 
     def _added_dirs(self, v_from: int, v_to: int) -> list[str]:
@@ -132,6 +166,24 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         return added
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        if end["version"] < start["version"]:
+            # only reachable when a PACED query was restarted without
+            # paceStateDir: the fresh floor reported an offset below the
+            # engine's recovered one. Refuse loudly — committing the
+            # backward offset would re-deliver versions under new batch
+            # ids (silent duplicates)
+            raise ValueError(
+                f"paced offset {end['version']} is behind the recovered "
+                f"offset {start['version']} — a restarted paced query "
+                "needs .option('paceStateDir', <dir inside the "
+                "checkpoint>) so the pacing floor survives restarts "
+                "(or drop maxVersionsPerBatch)"
+            )
+        # planned ranges reveal the engine's real offset position —
+        # never pace below it
+        self._last_end = max(
+            self._last_end or 0, start["version"], end["version"]
+        )
         dirs = self._added_dirs(start["version"], end["version"])
         parts = [_FileSlice(f) for d in dirs for f in _parquet_files(d)]
         # an empty micro-batch is legal (e.g. every windowed commit was
@@ -167,7 +219,7 @@ class VersionedTableStreamSource(DataSource):
     ``tableDir`` (required), ``startingVersion`` (default 0 = from the
     beginning; pass the current version to stream only future commits),
     ``ignoreChanges`` (skip non-append commits instead of raising),
-    ``maxVersionsPerBatch`` (pace a drain into real multi-batch replay).
+    ``maxVersionsPerBatch`` (pace a drain into real multi-batch replay; a PACED query that must survive checkpoint restarts also needs ``paceStateDir`` — a dir inside its checkpoint — so the pacing floor persists; without it a paced restart is refused rather than allowed to re-deliver).
     The stream's schema is the table's RECORDED manifest schema (the
     ``#schema=`` header riding every commit) — resolved once at plan
     time, O(1) metadata."""

@@ -599,16 +599,19 @@ def drain_versioned_source(
 
     versioned_stream.register(spark)
     target = table.versions()[-1]
+    name = f"vsrc_{uuid.uuid4().hex}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
     stream = (
         spark.readStream.format("versioned_table_stream")
         .option("tableDir", table.dir)
         .option("startingVersion", str(starting_version))
         .option("ignoreChanges", "true" if ignore_changes else "false")
         .option("maxVersionsPerBatch", str(per_batch))
+        # pacing floor rides the checkpoint so even a restarted drain
+        # could never step its offset backward (source contract)
+        .option("paceStateDir", os.path.join(ckpt, "pace"))
         .load()
     )
-    name = f"vsrc_{uuid.uuid4().hex}"
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
