@@ -375,3 +375,94 @@ def test_wedge_kernel_int64_fallback_for_wide_ids(spark):
         for r in triangle_counts(e, max_attach_edges=0).collect()
     }
     assert out == {base: 1, base + 1: 1, base + 2: 1}
+
+
+def test_restore_and_rename_lose_cas_race_to_interloper(spark, tmp_path):
+    """Metadata-only commits (restore, rename) ride the same CAS as data
+    commits: an interloper append landing between their base read and
+    publish makes the os.link lose — no lost update, retry succeeds."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        ConcurrentCommitError,
+        rename_column,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.commit(_slice(spark, 0, 20))
+    t.commit(_slice(spark, 20, 40), mode="overwrite")
+    other = VersionedTable(spark, str(tmp_path / "t"))
+    real = t.snapshot_schema
+
+    def schema_with_interloper(version):
+        out = real(version)
+        other.commit(_slice(spark, 90, 95), mode="append")
+        return out
+
+    t.snapshot_schema = schema_with_interloper
+    with pytest.raises(ConcurrentCommitError):
+        restore(t, 1)
+    t.snapshot_schema = real
+    assert t.read().count() == 25  # interloper's append survived
+    restore(t, 1)  # retry against the new base succeeds
+    assert t.read().count() == 20
+    t.snapshot_schema = schema_with_interloper
+    with pytest.raises(ConcurrentCommitError):
+        rename_column(t, "v", "val")
+    t.snapshot_schema = real
+    rename_column(t, "v", "val")
+    assert "val" in t.read().columns
+
+
+def test_read_where_sound_after_cluster_then_append(spark, tmp_path):
+    """A clustered table that keeps ingesting: z-chunk dirs carry tight
+    boxes, the new append carries its own footer stats, and pruning over
+    the MIXED manifest stays exact."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.commit(_slice(spark, 0, 400))
+    cluster_rewrite(t, ["k"], n_chunks=8, bits=5)
+    t.commit(_slice(spark, 1000, 1050), mode="append")
+    df, rep = t.read_where([("k", "between", (100, 120))])
+    assert rep.scanned_dirs < rep.total_dirs
+    assert sorted(r.k for r in df.collect()) == list(range(100, 121))
+    df2, rep2 = t.read_where([("k", ">=", 1000)])
+    assert rep2.scanned_dirs == 1  # only the fresh append dir
+    assert df2.count() == 50
+
+
+def test_identity_never_rewinds_after_restore(spark, tmp_path):
+    """RESTORE rolls data back but identity allocation NEVER rewinds
+    (Delta's rule): the high-water scan walks all manifests, so ids from
+    rolled-back commits are still burned."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        commit_with_identity,
+        identity_high_water,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    commit_with_identity(
+        t,
+        spark.createDataFrame([(i,) for i in range(10)], "ek long"),
+        "row_id",
+        ["ek"],
+    )
+    commit_with_identity(
+        t,
+        spark.createDataFrame([(i,) for i in range(10, 25)], "ek long"),
+        "row_id",
+        ["ek"],
+        mode="append",
+    )
+    assert identity_high_water(t, "row_id") == 25
+    restore(t, 1)
+    assert t.read().count() == 10
+    assert identity_high_water(t, "row_id") == 25  # burned, not rewound
+    commit_with_identity(
+        t,
+        spark.createDataFrame([(99,)], "ek long"),
+        "row_id",
+        ["ek"],
+        mode="append",
+    )
+    ids = sorted(r.row_id for r in t.read().collect())
+    assert ids == list(range(1, 11)) + [26]  # no collision with v2's ids
