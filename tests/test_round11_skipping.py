@@ -466,3 +466,54 @@ def test_identity_never_rewinds_after_restore(spark, tmp_path):
     )
     ids = sorted(r.row_id for r in t.read().collect())
     assert ids == list(range(1, 11)) + [26]  # no collision with v2's ids
+
+
+def test_read_where_soundness_property(spark, tmp_path):
+    """Property gate for the skipping engine: over randomized batch
+    layouts (values, NULL mixes, batch boundaries) and randomized
+    conjunctive predicates, `read_where` returns EXACTLY the rows of the
+    full-scan filter — pruning may only change which dirs open. One
+    hypothesis run drives many tables; examples kept small because each
+    costs real Spark jobs."""
+    from hypothesis import given, settings, strategies as st
+
+    vals = st.lists(
+        st.one_of(st.integers(-50, 50), st.none()),
+        min_size=1,
+        max_size=30,
+    )
+    batches = st.lists(vals, min_size=1, max_size=4)
+    op = st.sampled_from(["<", "<=", ">", ">=", "="])
+    pred = st.tuples(op, st.integers(-60, 60))
+    preds = st.lists(pred, min_size=1, max_size=2)
+    counter = {"n": 0}
+
+    @settings(max_examples=12, deadline=None)
+    @given(batches=batches, predicates=preds)
+    def run(batches, predicates):
+        counter["n"] += 1
+        t = VersionedTable(
+            spark, str(tmp_path / f"p{counter['n']}")
+        )
+        t.set_stats_columns(["x"])
+        rid = 0
+        for b in batches:
+            rows = [(rid + i, v) for i, v in enumerate(b)]
+            rid += len(b)
+            t.commit(
+                spark.createDataFrame(rows, "id long, x long"),
+                mode="append",
+            )
+        ps = [("x", o, v) for o, v in predicates]
+        got, _rep = t.read_where(ps)
+        full = t.read()
+        for col, o, v in ps:
+            c = F.col(col)
+            full = full.filter(
+                {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v, "=": c == v}[o]
+            )
+        assert sorted(r.id for r in got.collect()) == sorted(
+            r.id for r in full.collect()
+        )
+
+    run()
