@@ -10,6 +10,18 @@ Layout under ``table_dir``::
     _constraints                   optional CHECK expressions (one/line)
     _layout                        optional key-bucket layout (JSON)
     _stats_cols                    optional data-skipping columns (one/line)
+    _column_mapping                opt-in flag: physical col_<id> names
+
+Manifest HEADER lines (every one rides the same atomic CAS write as the
+dir list, so none can tear apart from the data)::
+
+    #ts=<epoch>                commit wall-clock (TIMESTAMP AS OF, S36)
+    #op=<operation>            DESCRIBE HISTORY operation kind (S39)
+    #schema=<json>             the snapshot's logical schema (S31)
+    #dv=<path>::<covered...>   deletion vector + its covered dirs (S32)
+    #stats=<json>              per-dir min/max/null skipping stats (S33)
+    #colmap=<json>             logical->physical column map (S38)
+    #idhwm=<col>::<n>          identity high-water mark (S40)
 
 With a declared layout (:meth:`VersionedTable.set_layout`) every batch
 is written partitioned by ``bkt = pmod(xxhash64(keys...), n_buckets)``
