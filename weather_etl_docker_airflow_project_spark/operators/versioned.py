@@ -778,10 +778,11 @@ class VersionedTable:
             version = expected_base_version + 1
         else:
             version = (existing[-1] + 1) if existing else 1
-        base_for_map = existing[-1] if (existing and mode == "append") else (
-            existing[-1] if existing else None
+        # overwrite keeps carried physical ids for same-named columns —
+        # stable ids are what make renames/drops metadata-only later
+        colmap = self._next_colmap(
+            df.columns, existing[-1] if existing else None
         )
-        colmap = self._next_colmap(df.columns, base_for_map)
         new_dirs = self._write_batch(df, version, colmap=colmap)
         if existing and mode == "append":
             dirs = self._manifest(existing[-1]) + new_dirs
