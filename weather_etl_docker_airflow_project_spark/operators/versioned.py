@@ -594,6 +594,17 @@ class VersionedTable:
             )
         return out
 
+    def _latest_idhwm_line(self) -> str | None:
+        """The newest ``#idhwm=`` header across all manifests (or None):
+        carried forward by every publish so vacuum can never retire the
+        identity watermark."""
+        for v in reversed(self.versions()):
+            with open(os.path.join(self._versions, str(v))) as f:
+                for line in f:
+                    if line.startswith("#idhwm="):
+                        return line.strip()
+        return None
+
     def commit_timestamp(self, version: int) -> float:
         """The version's commit wall-clock (``#ts=`` manifest header).
         Pre-tracking manifests fall back to the manifest file's mtime —
@@ -947,7 +958,17 @@ class VersionedTable:
             f.write(f"#ts={_time.time():.6f}\n")
             if op:
                 f.write(f"#op={op}\n")
-            for h in extra_headers or []:
+            headers = list(extra_headers or [])
+            if not any(h.startswith("#idhwm=") for h in headers):
+                # the identity high-water mark must survive VACUUM: if
+                # only newer manifests remain and none carries the line,
+                # allocation would restart at 1 and COLLIDE with issued
+                # ids (caught by the lifecycle gate) — so every publish
+                # re-emits the newest mark
+                carry = self._latest_idhwm_line()
+                if carry:
+                    headers.append(carry)
+            for h in headers:
                 if not h.startswith("#"):
                     raise ValueError(f"manifest header must start with #: {h!r}")
                 f.write(h.rstrip("\n") + "\n")
@@ -1880,8 +1901,14 @@ def merge_upsert(
         )
         keep_t = target_side.join(upd.select(*keys), keys, "left_anti")
         ins = source.join(target_side.select(*keys), keys, "left_anti")
-        merged = keep_t.unionByName(upd).unionByName(
-            ins.select(*out_cols)
+        # explicit projection: an equi-join on a name list moves the key
+        # columns FIRST in its output, which would silently reorder the
+        # table schema across a conditional merge (caught by the
+        # lifecycle gate)
+        merged = (
+            keep_t.select(*out_cols)
+            .unionByName(upd)
+            .unionByName(ins.select(*out_cols))
         )
     if split is not None:
         return _commit_granular(table, merged, carry, base_version)
@@ -2522,10 +2549,12 @@ def clone(
         os.path.realpath(d): s for d, s in table.dir_stats(v).items()
     } or None
     try:
+        src_hwm = table._latest_idhwm_line()
         target._publish_manifest(
             dirs, 1, schema=table.snapshot_schema(v), dvs=dvs, stats=stats,
             colmap=table.column_mapping(v),
             op=f"clone (of v{v})",
+            extra_headers=[src_hwm] if src_hwm else None,
         )
     except ConcurrentCommitError:
         raise ConcurrentCommitError(
