@@ -11,8 +11,10 @@ is the commit, so ``partitions(start, end)`` re-resolves to byte-
 identical files after any crash. Non-append commits (overwrite/merge/
 delete rewrites, or a deletion-vector commit changing visible rows
 without touching dirs) have no well-defined append delta — the reader
-raises unless ``ignoreChanges=true`` skips them, exactly Delta's
-streaming contract.
+raises unless ``ignoreChanges=true``, which applies Delta's exact
+contract: the commit's NEW dirs are still delivered (a rewrite's
+carried rows arrive again — consumers must tolerate duplicates, the
+documented trade), only the removals are invisible.
 
 Scale shape: the DRIVER does only manifest arithmetic (O(dirs) per
 trigger); each added parquet FILE becomes one InputPartition, and
@@ -139,6 +141,20 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def _added_dirs(self, v_from: int, v_to: int) -> list[str]:
         committed = set(self._table.versions())
+        if v_from != 0 and v_from not in committed:
+            # the stream's last committed offset was VACUUMED out of the
+            # commit log: prev_dirs is unknowable, and defaulting it to
+            # empty would re-deliver the entire next manifest as "added"
+            # (silent duplicates). Refuse loudly — the fix is retention
+            # above the stream's lag, the same contract as Delta's
+            # "files were deleted" streaming failure.
+            raise ValueError(
+                f"stream offset version {v_from} is no longer in the "
+                f"commit log at {self._table.dir} (vacuumed under an "
+                "active stream?); the append delta from it is undefined "
+                "— raise the table's vacuum retention above the "
+                "stream's lag and restart from a fresh startingVersion"
+            )
         prev_dirs = (
             set(self._table._manifest(v_from)) if v_from in committed else set()
         )
@@ -151,17 +167,22 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             cur_dirs = set(self._table._manifest(v))
             cur_dvs = _dv_lines(self._table, v)
             removed = prev_dirs - cur_dirs
-            if removed or cur_dvs != prev_dvs:
-                if not self._ignore_changes:
-                    raise ValueError(
-                        f"commit {v} at {self._table.dir} is not a pure "
-                        "append (dirs removed or deletion vectors "
-                        "changed); the streamed delta is undefined — set "
-                        ".option('ignoreChanges','true') to skip such "
-                        "commits (Delta's contract)"
-                    )
-            else:
-                added.extend(sorted(cur_dirs - prev_dirs))
+            if (removed or cur_dvs != prev_dvs) and not self._ignore_changes:
+                raise ValueError(
+                    f"commit {v} at {self._table.dir} is not a pure "
+                    "append (dirs removed or deletion vectors "
+                    "changed); the streamed delta is undefined — set "
+                    ".option('ignoreChanges','true') to skip such "
+                    "commits (Delta's contract)"
+                )
+            # Every commit's NEW dirs are delivered — including a
+            # non-append commit under ignoreChanges (Delta's exact
+            # contract: a rewrite's carried-forward rows arrive AGAIN,
+            # consumers must tolerate duplicates — the documented
+            # trade); only the removal itself is invisible to an
+            # append stream. A DV commit adds no dirs, so it
+            # contributes nothing either way.
+            added.extend(sorted(cur_dirs - prev_dirs))
             prev_dirs, prev_dvs, prev = cur_dirs, cur_dvs, v
         return added
 
@@ -218,7 +239,9 @@ class VersionedTableStreamSource(DataSource):
     """``spark.readStream.format("versioned_table_stream")``. Options:
     ``tableDir`` (required), ``startingVersion`` (default 0 = from the
     beginning; pass the current version to stream only future commits),
-    ``ignoreChanges`` (skip non-append commits instead of raising),
+    ``ignoreChanges`` (Delta semantics: non-append commits stop raising;
+    their new dirs are still delivered — possible duplicates — and
+    removals/DV deletes stay invisible),
     ``maxVersionsPerBatch`` (pace a drain into real multi-batch replay; a PACED query that must survive checkpoint restarts also needs ``paceStateDir`` — a dir inside its checkpoint — so the pacing floor persists; without it a paced restart is refused rather than allowed to re-deliver).
     The stream's schema is the table's RECORDED manifest schema (the
     ``#schema=`` header riding every commit) — resolved once at plan
