@@ -110,22 +110,55 @@ def test_conditional_merge_bucketed(spark, tmp_path):
 
 
 def test_granular_merge_conflict_with_interloper(spark, tmp_path, monkeypatch):
+    """r12 semantics: a concurrent append into one of the merge's
+    TOUCHED buckets is a true conflict (its rows could match the merge
+    keys — raise, caller retries); an append into a DISJOINT bucket
+    commutes and the merge AUTO-REBASES on top of it, no caller retry
+    (Delta's OptimisticTransaction, bucket-disjointness as the
+    conflict predicate)."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        _bucket_column,
+    )
+
     t = _bucketed(spark, tmp_path, n=50, buckets=4)
     other = VersionedTable(spark, str(tmp_path / "t"))
     real_read = t.read
+    # deterministically pick interloper keys in the same / a different
+    # bucket as merge key 1
+    probe = {
+        r["k"]: r["b"]
+        for r in spark.range(1, 9100)
+        .select(F.col("id").alias("k"), _bucket_column(["k"], 4).alias("b"))
+        .filter((F.col("k") == 1) | (F.col("k") >= 9000))
+        .collect()
+    }
+    b1 = probe[1]
+    same = next(k for k, b in probe.items() if k >= 9000 and b == b1)
+    diff = next(k for k, b in probe.items() if k >= 9000 and b != b1)
 
-    def read_with_interloper(version=None):
-        other.commit(_mk(spark, [(9999, "z")]), mode="append")
-        return real_read(version=version)
+    def read_with_interloper(key):
+        def _read(version=None):
+            other.commit(_mk(spark, [(key, "z")]), mode="append")
+            monkeypatch.setattr(t, "read", real_read)
+            return real_read(version=version)
 
-    monkeypatch.setattr(t, "read", read_with_interloper)
+        return _read
+
+    # crossing-bucket interloper: hard conflict, retry required
+    monkeypatch.setattr(t, "read", read_with_interloper(same))
     with pytest.raises(ConcurrentCommitError):
         merge_upsert(t, _mk(spark, [(1, "NEW")]), keys=["k"])
-    monkeypatch.setattr(t, "read", real_read)
     # interloper's append survived; retry succeeds against new base
     merge_upsert(t, _mk(spark, [(1, "NEW")]), keys=["k"])
     snap = {r["k"]: r["v"] for r in t.read().collect()}
-    assert snap[1] == "NEW" and snap[9999] == "z" and len(snap) == 51
+    assert snap[1] == "NEW" and snap[same] == "z" and len(snap) == 51
+
+    # disjoint-bucket interloper: the merge auto-rebases — ONE call,
+    # both commits land
+    monkeypatch.setattr(t, "read", read_with_interloper(diff))
+    merge_upsert(t, _mk(spark, [(1, "NEWER")]), keys=["k"])
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap[1] == "NEWER" and snap[diff] == "z" and len(snap) == 52
 
 
 # ---------------------------------------------------------------------------

@@ -198,12 +198,27 @@ def test_cluster_rewrite_multidim_pruning(spark, tmp_path):
     assert t.read().count() == 20000
 
 
-def test_cluster_rewrite_rejects_bucketed_layout(spark, tmp_path):
+def test_cluster_rewrite_preserves_bucketed_layout(spark, tmp_path):
+    """r12 lifts the old bucket/z-order exclusivity: clustering a
+    bucketed table nests chunk dirs as zc=i/bkt=j, so granular merges
+    keep working after an OPTIMIZE (deeper gates in
+    tests/test_round12_optimize.py)."""
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.set_layout(["k"], 4)
     t.commit(_slice(spark, 0, 50))
-    with pytest.raises(ValueError, match="unbucketed"):
-        cluster_rewrite(t, ["k"])
+    v = cluster_rewrite(t, ["k"], n_chunks=2, bits=4)
+    assert sorted(r.k for r in t.read(version=v).collect()) == list(range(50))
+    # every manifest dir keeps its bucket tag — the granular path lives
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        _dir_bucket,
+    )
+
+    assert all(_dir_bucket(d) is not None for d in t._manifest(v))
+    merge_upsert(
+        t, spark.createDataFrame([Row(k=7, d=datetime.date(2000, 1, 1), v=-1.0)]),
+        keys=["k"],
+    )
+    assert t.read().filter(F.col("k") == 7).first().v == -1.0
 
 
 def test_restore_is_metadata_only_rollback(spark, tmp_path):

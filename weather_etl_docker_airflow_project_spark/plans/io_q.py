@@ -2302,3 +2302,247 @@ def s40_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return t.read().select("row_id", "event_id")
+
+
+@query(
+    "s41_incremental_optimize",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders WHERE o_totalprice <= 100000.0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("S41", "S34", "S33"),
+)
+def s41_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL OPTIMIZE ZORDER (`operators/versioned.cluster_rewrite
+    (incremental=True)`, the r11 verdict's top task): the steady-state
+    maintenance loop — cluster once, append a day, re-OPTIMIZE — must
+    cost O(new data) per run, not O(table); the r11 full-snapshot
+    rewrite was a single 100 TB shuffle at scale. Chunk dirs carry a
+    ``zc=`` path tag; an incremental run clusters ONLY untagged dirs
+    and carries every already-clustered dir into the new manifest BY
+    REFERENCE (the same manifest-mixing mechanism as bucket-granular
+    MERGE — zero read, zero write for carried data). History here: two
+    thirds of orders committed and fully clustered on
+    (o_totalprice, o_orderdate); the remaining third appended; a second
+    OPTIMIZE with ``incremental=True`` rewrites just that append. The
+    engine asserts the first run's chunk dirs all survive VERBATIM in
+    the final manifest (os-level metadata check) and that the
+    price-range scan still prunes dirs from manifest stats. Declared
+    output: the pruned price scan aggregated; the oracle restates it
+    over the full table — a dropped append row, double-clustered row,
+    or unsound prune hash-fails."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, cluster_rewrite
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vincr_"), "orders_v"))
+    t.set_stats_columns(["o_totalprice", "o_orderdate"])
+    t.commit(o.filter(F.col("o_orderkey") % 3 != 0))
+    v2 = cluster_rewrite(t, ["o_totalprice", "o_orderdate"], n_chunks=8, bits=5)
+    first_run = set(t._manifest(v2))
+    t.commit(o.filter(F.col("o_orderkey") % 3 == 0), mode="append")
+    v4 = cluster_rewrite(
+        t, ["o_totalprice", "o_orderdate"], n_chunks=4, bits=5,
+        incremental=True,
+    )
+    final = set(t._manifest(v4))
+    if not first_run <= final:
+        raise AssertionError(
+            "incremental OPTIMIZE rewrote already-clustered dirs: "
+            f"{len(first_run - final)} of {len(first_run)} dropped"
+        )
+    if len(final - first_run) > 4:
+        raise AssertionError(
+            "incremental OPTIMIZE produced more chunk dirs than its "
+            f"n_chunks: {len(final - first_run)}"
+        )
+    df, rep = t.read_where([("o_totalprice", "<=", 100000.0)])
+    if not rep.scanned_dirs < rep.total_dirs:
+        raise AssertionError(
+            f"price scan did not prune ({rep.scanned_dirs}/{rep.total_dirs})"
+        )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "s42_clustered_bucket_table",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+      ORDER BY o_orderkey LIMIT 25),
+    m AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN 50.0
+                  ELSE o.o_totalprice END AS p
+      FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM m
+    WHERE p >= 100000.0 AND p <= 150000.0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("S42", "S41", "S34", "S28"),
+)
+def s42_clustered_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER x KEY-BUCKET COEXISTENCE (the r11 verdict's stretch —
+    the old design forced a table to choose between S28 granular writes
+    and S34 multi-dim pruned reads; Delta's liquid clustering forces no
+    such trade): on a bucketed table `cluster_rewrite` nests chunk dirs
+    as ``zc=<i>/bkt=<j>``, whose ``bkt=`` leaf keeps every
+    bucket-granular code path alive while the per-dir stats give pruned
+    reads. History: orders bucketed on o_orderkey (32 buckets) with
+    price stats, fully clustered on o_totalprice; then a SPARSE MERGE
+    (the 25 smallest %97 keys get price 50.0) — the engine asserts the
+    merge stayed bucket-granular ACROSS the clustered layout (most
+    zc/bkt dirs carried by reference) — then a price-range read_where
+    that the engine asserts still prunes. Declared output: the pruned
+    scan aggregated; the oracle restates merge + filter set-
+    theoretically, so a bucket mis-route after clustering, a dropped
+    carry dir, or an unsound prune all hash-fail."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        cluster_rewrite,
+        merge_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vzbkt_"), "orders_v"))
+    t.set_layout(["o_orderkey"], 32)
+    t.set_stats_columns(["o_totalprice"])
+    t.commit(o)
+    v2 = cluster_rewrite(t, ["o_totalprice"], n_chunks=8, bits=5)
+    clustered = set(t._manifest(v2))
+    src = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .orderBy("o_orderkey")
+        .limit(25)
+        .withColumn("o_totalprice", F.lit(50.0).cast("decimal(15,2)"))
+    )
+    # align the source's price dtype with the table's committed dtype
+    src = src.withColumn(
+        "o_totalprice",
+        F.col("o_totalprice").cast(dict(o.dtypes)["o_totalprice"]),
+    )
+    v3 = merge_upsert(t, src, keys=["o_orderkey"])
+    carried = set(t._manifest(v3)) & clustered
+    # 25 keys touch <= 25 of 32 buckets; each untouched bucket's dirs
+    # (across all 8 chunks) must carry by reference
+    if len(carried) < len(clustered) - 25 * 8:
+        raise AssertionError(
+            f"sparse merge on the clustered table carried only "
+            f"{len(carried)} of {len(clustered)} dirs — not granular"
+        )
+    df, rep = t.read_where([("o_totalprice", "between", (100000.0, 150000.0))])
+    if not rep.scanned_dirs < rep.total_dirs:
+        raise AssertionError(
+            f"price scan did not prune ({rep.scanned_dirs}/{rep.total_dirs})"
+        )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "s43_concurrent_writers",
+    oracle="""
+    WITH touched AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+      ORDER BY o_orderkey LIMIT 30)
+    SELECT o.o_orderkey,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN 'R'
+                ELSE o.o_orderstatus END AS o_orderstatus
+    FROM orders o LEFT JOIN touched t ON o.o_orderkey = t.o_orderkey
+    """,
+    tags=("S43", "S28", "S25"),
+)
+def s43_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WRITER AUTO-REBASE (`operators/versioned._commuting_rebase`,
+    the r11 verdict's item 2 — Delta's OptimisticTransaction in
+    miniature): two writers MERGE concurrently into the same bucketed
+    table; because their touched-bucket sets are disjoint (checkable
+    from pure manifest metadata — the S28 layout's dividend), the loser
+    of the manifest CAS race REBASES its already-staged batch onto the
+    winner's commit instead of failing back to the caller: a lost race
+    costs a few KB of manifest re-planning, never a re-run of the
+    rewrite (at 100 TB the difference between a retried 0.1%-rewrite
+    job and a header read). Orchestration: the 30 smallest %97 orders
+    keys are split by bucket half (buckets 0-15 vs 16-31 — disjoint by
+    construction); writer B's merge lands between writer A's base read
+    and publish (deterministic interleave via a read hook); writer A's
+    merge must then succeed in ONE call with BOTH merges in the commit
+    history. Crossing-bucket and DV-changing races still raise —
+    pytest-gated in tests/test_round12_rebase.py. The oracle restates
+    the final state: both writers' keys at status 'R' — a dropped
+    rebase (lost update of either side) hash-fails."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        _bucket_column,
+        merge_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vconc_"), "orders_v"))
+    t.set_layout(["o_orderkey"], 32)
+    t.commit(o)
+    other = VersionedTable(spark, t.dir)
+    touched = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .orderBy("o_orderkey")
+        .limit(30)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("b", _bucket_column(["o_orderkey"], 32))
+    )
+    a_src = touched.filter(F.col("b") < 16).drop("b")
+    b_src = touched.filter(F.col("b") >= 16).drop("b")
+    if a_src.limit(1).count() == 0 or b_src.limit(1).count() == 0:
+        raise AssertionError("bucket split produced an empty writer side")
+    real_read = t.read
+
+    def read_once(version=None):
+        # writer B lands between A's base read and A's publish — the
+        # deterministic interleave of a true concurrent race
+        t.read = real_read
+        merge_upsert(other, b_src, keys=["o_orderkey"])
+        return real_read(version=version)
+
+    t.read = read_once
+    merge_upsert(t, a_src, keys=["o_orderkey"])  # must auto-rebase, 1 call
+    ops = [h["op"] for h in t.history()]
+    if t.versions() != [1, 2, 3] or ops[-2:] != ["merge", "merge"]:
+        raise AssertionError(
+            f"auto-rebase did not land both merges: versions "
+            f"{t.versions()}, ops {ops}"
+        )
+    return t.read().select("o_orderkey", "o_orderstatus")
