@@ -283,6 +283,7 @@ class VersionedTable:
         self._layout_file = os.path.join(table_dir, "_layout")
         self._stats_file = os.path.join(table_dir, "_stats_cols")
         self._colmap_flag = os.path.join(table_dir, "_column_mapping")
+        self._cdf_flag = os.path.join(table_dir, "_cdf")
 
     def set_constraints(self, exprs: list[str]) -> None:
         """Declare table-level CHECK constraints (Delta's ``ALTER TABLE
@@ -521,6 +522,56 @@ class VersionedTable:
 
     def column_mapping_enabled(self) -> bool:
         return os.path.exists(self._colmap_flag)
+
+    def enable_change_data_feed(self) -> None:
+        """Opt the table into CHANGE DATA FEED materialization (Delta's
+        ``delta.enableChangeDataFeed``): every subsequent row-CHANGING
+        rewrite commit (MERGE, DELETE — copy-on-write or deletion-
+        vector) writes its change rows — full rows plus a
+        ``_change_type`` column (``insert``/``update``/``delete``) —
+        to a ``cdf_*`` dir referenced by a ``#cdf=`` line in the SAME
+        atomic manifest write as the commit itself, so feed and data
+        can never tear apart. Delta's exact cost model: pure APPENDS
+        write NO cdf file (their delta is the added files, synthesized
+        at read); row-preserving rewrites (compact, zorder) write none
+        either (dataChange=false); a MERGE pays one extra O(touched
+        buckets) job to split its source into update/insert rows. The
+        payoff is the STREAMING change feed (t23,
+        ``sources/versioned_stream.VersionedCDFStreamSource``): a
+        replica follows a 100 TB table by reading O(changed rows) per
+        commit, with no per-commit snapshot diffs."""
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self._cdf_flag + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("enabled\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._cdf_flag)
+
+    def change_data_feed_enabled(self) -> bool:
+        return os.path.exists(self._cdf_flag)
+
+    def cdf_path(self, version: int) -> str | None:
+        """The version's materialized change-data dir (``#cdf=`` manifest
+        header), or None (pure appends and pre-CDF commits record
+        none)."""
+        with open(os.path.join(self._versions, str(version))) as f:
+            for line in f:
+                if line.startswith("#cdf="):
+                    return line[len("#cdf="):].strip()
+        return None
+
+    def _stage_cdf(self, change_df: DataFrame, version: int) -> str:
+        """Stage a commit's change rows (logical column names +
+        ``_change_type``) as an immutable cdf dir; the caller rides the
+        returned ``#cdf=`` header line on its manifest publish. A torn
+        commit leaves the dir unreferenced — vacuum bait, same as any
+        staged batch."""
+        cdf_dir = os.path.join(
+            self._data, f"cdf_{version}_{uuid.uuid4().hex[:8]}"
+        )
+        change_df.write.mode("overwrite").parquet(cdf_dir)
+        return cdf_dir
 
     def column_mapping(self, version: int) -> dict[str, str] | None:
         """The version's logical→physical column map (``#colmap=``
@@ -1661,6 +1712,8 @@ def _clone_referenced_dirs(roots: list[str], skip_versions_dir: str) -> set[str]
                             # and every covered dir
                             for p in line[len("#dv="):].split("::"):
                                 refs.add(os.path.realpath(p))
+                        elif line.startswith("#cdf="):
+                            refs.add(os.path.realpath(line[len("#cdf="):]))
                         elif not line.startswith("#"):
                             refs.add(os.path.realpath(line))
     return refs
@@ -1722,6 +1775,9 @@ def vacuum(
         for dv in table.deletion_vectors(v):
             referenced.add(dv["path"])
             referenced.update(dv["covers"])
+        cdf = table.cdf_path(v)
+        if cdf:
+            referenced.add(cdf)
     # realpath-normalize BOTH sides of the membership test: a handle
     # opened through a relative/symlinked/denormalized spelling of
     # table_dir must never conclude that every dir is unreferenced and
@@ -1928,11 +1984,40 @@ def merge_upsert(
             .unionByName(upd)
             .unionByName(ins.select(*out_cols))
         )
+    cdf_headers = None
+    if table.change_data_feed_enabled():
+        # CHANGE DATA FEED: split the source into its update/insert
+        # halves and stage them as this commit's cdf rows — one extra
+        # O(source + touched buckets) job (two key-joins against the
+        # already-pruned target side), Delta's exact merge-CDF cost.
+        # Matched-but-condition-false rows change nothing and emit
+        # nothing.
+        from pyspark.sql import functions as F
+
+        if when_matched_condition is None:
+            upd_cdf = source.join(
+                target_side.select(*keys), keys, "left_semi"
+            ).select(*out_cols)
+            ins_cdf = source.join(
+                target_side.select(*keys), keys, "left_anti"
+            ).select(*out_cols)
+        else:
+            upd_cdf = upd
+            ins_cdf = ins.select(*out_cols)
+        change_df = upd_cdf.withColumn(
+            "_change_type", F.lit("update")
+        ).unionByName(ins_cdf.withColumn("_change_type", F.lit("insert")))
+        cdf_headers = [
+            f"#cdf={table._stage_cdf(change_df, base_version + 1)}"
+        ]
     if split is not None:
-        return _commit_granular(table, merged, carry, base_version)
+        return _commit_granular(
+            table, merged, carry, base_version, extra_headers=cdf_headers
+        )
     return table.commit(
         merged, mode="overwrite", expected_base_version=base_version,
         op="merge", allow_schema_evolution=bool(extra),
+        extra_headers=cdf_headers,
     )
 
 
@@ -2079,6 +2164,7 @@ def _commit_granular(
     carry_dirs: list[str],
     base_version: int,
     op: str = "merge",
+    extra_headers: list[str] | None = None,
 ) -> int:
     """Publish a bucket-granular rewrite: stage the rewritten buckets as
     a new batch (layout-aware writer -> per-bucket dirs) and publish
@@ -2141,6 +2227,7 @@ def _commit_granular(
                 ),
                 colmap=colmap,
                 op=op,
+                extra_headers=extra_headers,
             )
             return version
         except ConcurrentCommitError:
@@ -2195,6 +2282,18 @@ def delete_by_keys(
     if not committed:
         raise ValueError(f"versioned table at {table.dir} has no commits")
     base_version = committed[-1]
+
+    def _delete_cdf_headers(deleted: DataFrame) -> list[str] | None:
+        # CHANGE DATA FEED: the delete's cdf rows are the rows ACTUALLY
+        # removed (feed keys semi-joined to the snapshot — a key absent
+        # from the table emits no phantom delete), full rows + type
+        if not table.change_data_feed_enabled():
+            return None
+        from pyspark.sql import functions as F
+
+        change_df = deleted.withColumn("_change_type", F.lit("delete"))
+        return [f"#cdf={table._stage_cdf(change_df, base_version + 1)}"]
+
     if merge_on_read:
         version = base_version + 1
         dv_dir = os.path.join(
@@ -2202,6 +2301,17 @@ def delete_by_keys(
         )
         delete_keys.select(*keys).distinct().write.mode("overwrite").parquet(
             dv_dir
+        )
+        # bucket-pruned presence join — O(touched buckets), and only
+        # when the feed is enabled
+        cdf_headers = (
+            _delete_cdf_headers(
+                table.read_at_keys(
+                    delete_keys.select(*keys), keys=keys, version=base_version
+                )
+            )
+            if table.change_data_feed_enabled()
+            else None
         )
         dirs = table._manifest(base_version)
         dvs = table.deletion_vectors(base_version) + [
@@ -2218,24 +2328,32 @@ def delete_by_keys(
             stats=table.dir_stats(base_version) or None,
             colmap=table.column_mapping(base_version),
             op="delete (merge-on-read)",
+            extra_headers=cdf_headers,
         )
         return version
     split = _granular_split(table, base_version, delete_keys, keys)
     if split is not None:
         carry, touched_dirs = split
         if not touched_dirs:  # no bucket holds any of these keys
-            kept = table.read(version=base_version).limit(0)
+            base = table.read(version=base_version).limit(0)
         else:
-            kept = table._read_dirs(touched_dirs, base_version).join(
-                delete_keys.select(*keys), keys, "left_anti"
-            )
-        return _commit_granular(table, kept, carry, base_version, op="delete")
-    kept = table.read(version=base_version).join(
-        delete_keys.select(*keys), keys, "left_anti"
+            base = table._read_dirs(touched_dirs, base_version)
+        kept = base.join(delete_keys.select(*keys), keys, "left_anti")
+        cdf_headers = _delete_cdf_headers(
+            base.join(delete_keys.select(*keys), keys, "left_semi")
+        )
+        return _commit_granular(
+            table, kept, carry, base_version, op="delete",
+            extra_headers=cdf_headers,
+        )
+    base = table.read(version=base_version)
+    kept = base.join(delete_keys.select(*keys), keys, "left_anti")
+    cdf_headers = _delete_cdf_headers(
+        base.join(delete_keys.select(*keys), keys, "left_semi")
     )
     return table.commit(
         kept, mode="overwrite", expected_base_version=base_version,
-        op="delete",
+        op="delete", extra_headers=cdf_headers,
     )
 
 
@@ -2867,6 +2985,7 @@ def clone(
         (table._layout_file, target._layout_file),
         (table._stats_file, target._stats_file),
         (table._colmap_flag, target._colmap_flag),
+        (table._cdf_flag, target._cdf_flag),
     ):
         if os.path.exists(src_file):
             import shutil

@@ -841,3 +841,112 @@ def t22_versioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "t23_stream_change_feed",
+    oracle="""
+    WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 <> 0),
+    s AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+          ORDER BY o_orderkey LIMIT 20),
+    d AS (SELECT o_orderkey FROM orders
+          WHERE o_orderkey % 131 = 0 AND o_orderkey % 4 <> 0
+          ORDER BY o_orderkey LIMIT 10),
+    p AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 0)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+      FROM a HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'update', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM s WHERE o_orderkey % 4 <> 0 HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM s WHERE o_orderkey % 4 = 0 HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'delete', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM d HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM p HAVING count(*) > 0
+    ) ORDER BY commit_version, change_type
+    """,
+    tags=("T23", "S23", "T22", "S28"),
+)
+def t23_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ROW-LEVEL CHANGE FEED (t23 — Delta's streaming
+    ``readChangeFeed``; `sources/versioned_stream.
+    VersionedCDFStreamSource` + the CDF materialization in
+    `operators/versioned`): the r11 verdict's item 4, completing the
+    replication story as a STREAM. Row-changing commits (MERGE, DELETE)
+    on a feed-enabled table stage their change rows — full rows +
+    ``_change_type`` — in the SAME atomic manifest write as the commit
+    (``#cdf=`` header), so following a 100 TB table costs O(changed
+    rows) per commit with no snapshot diffs; pure appends stream as
+    synthesized inserts from their added files (no cdf written —
+    Delta's cost model). History here: v1 append (keys %4≠0), v2 MERGE
+    (20 smallest %97 keys → updates where present, inserts where not),
+    v3 bucket-granular DELETE (10 smallest present %131 keys), v4
+    append (%1000 keys). The feed is drained PACED at one commit per
+    micro-batch (engine asserts ≥4 real batches) and aggregated per
+    (commit_version, change_type); the oracle restates every leg
+    set-theoretically — a missed update/insert split, phantom delete,
+    or double-delivered batch hash-fails. Checkpoint-restart
+    exactly-once and the vacuumed-history refusal are pytest-gated in
+    tests/test_round12_cdf.py."""
+    import os as _os
+
+    from ..io import scratch_dir
+    from ..operators.versioned import (
+        VersionedTable,
+        delete_by_keys,
+        merge_upsert,
+    )
+    from ..streaming import windows
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vcdf_"), "orders_v"))
+    t.enable_change_data_feed()
+    t.set_layout(["o_orderkey"], 32)
+    t.commit(o.filter(F.col("o_orderkey") % 4 != 0))
+    merge_upsert(
+        t,
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .withColumn("o_orderstatus", F.lit("B")),
+        keys=["o_orderkey"],
+    )
+    delete_by_keys(
+        t,
+        o.filter(
+            (F.col("o_orderkey") % 131 == 0) & (F.col("o_orderkey") % 4 != 0)
+        )
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    t.commit(o.filter(F.col("o_orderkey") % 1000 == 0), mode="append")
+    feed, n_batches = windows.drain_versioned_cdf(spark, t, per_batch=1)
+    if n_batches < 4:
+        raise AssertionError(
+            f"paced change-feed replay must take >=4 micro-batches, got "
+            f"{n_batches}"
+        )
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

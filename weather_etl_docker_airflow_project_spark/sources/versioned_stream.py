@@ -275,5 +275,194 @@ class VersionedTableStreamSource(DataSource):
         return VersionedTableStreamReader(schema, self.options)
 
 
+class _CDFSlice(InputPartition):
+    def __init__(self, path: str, version: int, kind: str):
+        self.path = path
+        self.version = version
+        self.kind = kind  # 'cdf' (materialized feed file) | 'insert'
+
+
+class VersionedCDFStreamReader(VersionedTableStreamReader):
+    """Streaming ROW-LEVEL change feed — Delta's
+    ``readChangeFeed`` streaming (t23), the streaming twin of the batch
+    ``read_changes_cdc``. Offsets are version numbers exactly like the
+    t22 commit-log reader (the offset/pacing machinery is inherited);
+    what differs is partition planning:
+
+    - a commit with a MATERIALIZED feed (``#cdf=`` header — MERGE and
+      DELETE commits on a CDF-enabled table) streams its cdf files:
+      full rows + ``_change_type`` as written, O(changed rows);
+    - a pure APPEND commit streams its added data files as ``insert``
+      rows (no cdf file is ever written for appends — Delta's cost
+      model: the delta IS the added files);
+    - a row-preserving rewrite (``compact``/``zorder`` op) is SKIPPED —
+      Delta's dataChange=false;
+    - any other non-append commit without a feed (overwrite, restore,
+      pre-CDF merges) raises: its row delta was never recorded and
+      cannot be synthesized from the manifest (enable the feed before
+      writing, or fall back to batch ``read_changes_cdc``).
+
+    Executors stream files through pyarrow exactly like the parent —
+    zero per-row Python, zero driver data. The declared schema is the
+    table schema plus ``_change_type``/``_commit_version`` metadata
+    columns (Delta's CDF read schema)."""
+
+    META_COLS = ("_change_type", "_commit_version")
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        if end["version"] < start["version"]:
+            raise ValueError(
+                f"paced offset {end['version']} is behind the recovered "
+                f"offset {start['version']} — a restarted paced query "
+                "needs .option('paceStateDir', <dir inside the "
+                "checkpoint>) so the pacing floor survives restarts "
+                "(or drop maxVersionsPerBatch)"
+            )
+        self._last_end = max(
+            self._last_end or 0, start["version"], end["version"]
+        )
+        v_from, v_to = start["version"], end["version"]
+        committed = self._table.versions()
+        if v_from != 0 and v_from not in committed:
+            raise ValueError(
+                f"stream offset version {v_from} is no longer in the "
+                f"commit log at {self._table.dir} (vacuumed under an "
+                "active stream?) — raise retention above the stream's "
+                "lag and restart from a fresh startingVersion"
+            )
+        if v_from == 0 and committed and committed[0] != 1:
+            # unlike the append stream (whose first surviving manifest
+            # IS a complete snapshot), a cdf-from-the-beginning needs
+            # every commit's feed: history vacuumed before
+            # committed[0] means the replica would silently bootstrap
+            # incomplete — Delta's "cannot read version" CDF error
+            raise ValueError(
+                f"change feed from version 0 at {self._table.dir} is "
+                f"incomplete: history before version {committed[0]} was "
+                "vacuumed; start from a version whose manifest survives "
+                "and bootstrap the replica from a snapshot read"
+            )
+        prev_dirs = (
+            set(self._table._manifest(v_from))
+            if v_from in committed
+            else set()
+        )
+        prev_dvs = (
+            _dv_lines(self._table, v_from) if v_from in committed else set()
+        )
+        parts: list[InputPartition] = []
+        for v in sorted(c for c in committed if v_from < c <= v_to):
+            cur_dirs = set(self._table._manifest(v))
+            cur_dvs = _dv_lines(self._table, v)
+            cdf = self._table.cdf_path(v)
+            if cdf is not None:
+                parts.extend(
+                    _CDFSlice(f, v, "cdf") for f in _parquet_files(cdf)
+                )
+            elif not (prev_dirs - cur_dirs) and cur_dvs == prev_dvs:
+                parts.extend(
+                    _CDFSlice(f, v, "insert")
+                    for d in sorted(cur_dirs - prev_dirs)
+                    for f in _parquet_files(d)
+                )
+            elif self._table.commit_op(v) in ("compact", "zorder"):
+                pass  # row-preserving rewrite: dataChange=false, skip
+            else:
+                raise ValueError(
+                    f"commit {v} at {self._table.dir} changed rows but "
+                    "recorded no change data feed (op="
+                    f"{self._table.commit_op(v)!r}); enable_change_data_"
+                    "feed() before row-changing writes, or use the batch "
+                    "read_changes_cdc"
+                )
+            prev_dirs, prev_dvs = cur_dirs, cur_dvs
+        return parts or [_CDFSlice("", 0, "insert")]
+
+    def read(self, partition: _CDFSlice):
+        if not partition.path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = {}
+        for field in self._arrow_schema:
+            if field.name == "_commit_version":
+                cols[field.name] = pa.array(
+                    [partition.version] * tbl.num_rows, type=field.type
+                )
+                continue
+            if field.name == "_change_type" and partition.kind == "insert":
+                cols[field.name] = pa.array(
+                    ["insert"] * tbl.num_rows, type=field.type
+                )
+                continue
+            # cdf files are written under LOGICAL names; data files
+            # under the table's physical mapping
+            fname = (
+                field.name
+                if partition.kind == "cdf"
+                else self._phys.get(field.name, field.name)
+            )
+            if fname in tbl.column_names:
+                cols[field.name] = tbl.column(fname).cast(field.type)
+            else:
+                # pre-evolution file: evolved-in column surfaces NULL
+                cols[field.name] = pa.nulls(tbl.num_rows, type=field.type)
+        out = pa.table(cols, schema=self._arrow_schema)
+        yield from out.to_batches()
+
+
+class VersionedCDFStreamSource(DataSource):
+    """``spark.readStream.format("versioned_cdf_stream")`` — the
+    streaming row-level change feed (Delta's ``readChangeFeed``).
+    Options: ``tableDir`` (required), ``startingVersion``,
+    ``maxVersionsPerBatch`` + ``paceStateDir`` (same pacing contract as
+    `versioned_table_stream`). Schema: the table's recorded manifest
+    schema plus ``_change_type`` (string) and ``_commit_version``
+    (long)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_cdf_stream"
+
+    def schema(self):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        table_dir = self.options.get("tabledir") or self.options.get("path")
+        if not table_dir:
+            raise ValueError(
+                "versioned_cdf_stream needs .option('tableDir', ...)"
+            )
+        t = VersionedTable(None, table_dir)
+        committed = t.versions()
+        if not committed:
+            raise ValueError(
+                f"versioned table at {table_dir} has no commits to stream"
+            )
+        schema = t.snapshot_schema(committed[-1])
+        if schema is None:
+            raise ValueError(
+                f"versioned table at {table_dir} has no recorded manifest "
+                "schema (pre-tracking manifest) — commit once to record it"
+            )
+        return StructType(
+            list(schema.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema) -> VersionedCDFStreamReader:
+        return VersionedCDFStreamReader(schema, self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(VersionedTableStreamSource)
+    spark.dataSource.register(VersionedCDFStreamSource)

@@ -581,6 +581,7 @@ def drain_versioned_source(
     starting_version: int = 0,
     ignore_changes: bool = False,
     timeout: float = 300.0,
+    source_format: str = "versioned_table_stream",
 ) -> tuple[DataFrame, int]:
     """Drain a `versioned_table_stream` source (sources/versioned_stream
     — the read half of the lakehouse streaming loop) to a memory sink,
@@ -602,7 +603,7 @@ def drain_versioned_source(
     name = f"vsrc_{uuid.uuid4().hex}"
     ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
     stream = (
-        spark.readStream.format("versioned_table_stream")
+        spark.readStream.format(source_format)
         .option("tableDir", table.dir)
         .option("startingVersion", str(starting_version))
         .option("ignoreChanges", "true" if ignore_changes else "false")
@@ -654,6 +655,31 @@ def drain_versioned_source(
     if not q.awaitTermination(60):
         raise TimeoutError("versioned stream did not stop in 60s")
     return spark.table(name), n_batches
+
+
+def drain_versioned_cdf(
+    spark: SparkSession,
+    table,
+    per_batch: int = 1,
+    starting_version: int = 0,
+    timeout: float = 300.0,
+) -> tuple[DataFrame, int]:
+    """Drain the ROW-LEVEL streaming change feed (t23,
+    `sources/versioned_stream.VersionedCDFStreamSource` — Delta's
+    streaming ``readChangeFeed``) to a memory sink, paced at
+    ``per_batch`` commits per micro-batch; returns ``(feed_rows,
+    n_nonempty_batches)``. Same completion protocol as
+    :func:`drain_versioned_source` (watch endOffset to the latest
+    committed version — availableNow is single-batch for Python stream
+    sources)."""
+    return drain_versioned_source(
+        spark,
+        table,
+        per_batch=per_batch,
+        starting_version=starting_version,
+        timeout=timeout,
+        source_format="versioned_cdf_stream",
+    )
 
 
 def stream_versioned_source_replay(
