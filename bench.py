@@ -202,6 +202,11 @@ HEADLINE = [
     "s40_identity_column",
     "t22_versioned_stream_source",
     "l6_importance_sampling",
+    # round-12 additions
+    "s41_incremental_optimize",
+    "s42_clustered_bucket_table",
+    "s43_concurrent_writers",
+    "t23_stream_change_feed",
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -260,3 +260,39 @@ def test_vacuum_keeps_retained_cdf_dirs(spark, tmp_path):
     assert [
         (r.k, r._change_type) for r in feed.collect()
     ] == [(500, "insert")]
+
+
+def test_stream_replication_and_replay_idempotence(spark, tmp_path):
+    """End-to-end stream replication lands the exact source snapshot,
+    and RE-APPLYING a delivered batch (foreachBatch's at-least-once
+    case) leaves the replica unchanged — the convergence contract the
+    full-payload feed exists for."""
+    from weather_etl_docker_airflow_project_spark.streaming.windows import (
+        stream_replicate_cdf,
+    )
+
+    src_t = _cdf_table(spark, tmp_path, n=40)
+    merge_upsert(src_t, _mk(spark, [(1, "U"), (80, "I")]), keys=["k"])
+    delete_by_keys(src_t, spark.createDataFrame([Row(k=2)]), keys=["k"])
+    replica = VersionedTable(spark, str(tmp_path / "replica"))
+    replica.set_layout(["k"], 8)
+    replica.commit(_mk(spark, []).limit(0))
+    _v, n_batches = stream_replicate_cdf(
+        spark, src_t, replica, keys=["k"], per_batch=1
+    )
+    assert n_batches >= 3
+    want = sorted((r.k, r.v) for r in src_t.read().collect())
+    assert sorted((r.k, r.v) for r in replica.read().collect()) == want
+    # replay the merge commit's feed rows — snapshot must not change
+    feed, _ = drain_versioned_cdf(spark, src_t, per_batch=0)
+    merge_rows = feed.filter(
+        (F.col("_commit_version") == 2)
+        & F.col("_change_type").isin("insert", "update")
+    ).drop("_change_type", "_commit_version")
+    merge_upsert(replica, merge_rows, keys=["k"])
+    delete_by_keys(
+        replica,
+        feed.filter(F.col("_change_type") == "delete").select("k"),
+        keys=["k"],
+    )
+    assert sorted((r.k, r.v) for r in replica.read().collect()) == want

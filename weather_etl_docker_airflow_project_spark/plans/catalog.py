@@ -31,90 +31,53 @@ from . import mining_q  # noqa: F401
 from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-11 WINDOW (first 50) =================
-    # Head block (23): flagship (entry() smoke), the FIFTEEN round-11
-    # surface additions needing their FIRST driver row (s28 bucket-
-    # granular copy-on-write MERGE — the r10 verdict's top task; s29
-    # clone-aware vacuum; s30 bucket-pruned lookup; s31 schema
-    # evolution; s32 deletion vectors; s33 manifest-stats data
-    # skipping; s34 z-order table OPTIMIZE; s35 RESTORE; s36 TIMESTAMP
-    # AS OF; s37 type widening; s38 column-mapping DDL; s39 DESCRIBE
-    # HISTORY; s40 IDENTITY columns; t22
-    # commit-log streaming source; l6
-    # DSIR importance sampling), and the
-    # versioned-family queries whose machinery materially changed this
-    # round (merge_upsert restructured around the granular split;
-    # replicate_changes checkpoints its feed + batches leg probes;
-    # read_changes_cdc gained bucket pruning; compact gained the
-    # layout branch; clone copies constraints+layout+stats; commit
-    # refactored through _write_batch/_publish_manifest and now
-    # harvests #stats= lines; t21 rides merge_upsert).
-    # Next 7: the entire r5-currency tail (a22, dq4, f18, j15, p11,
-    # p12, t18 — the verdict's item 2, burned in full). Remaining:
-    # the r6 tier in the documented rotation order (s11/s12/t10/t11/
-    # gif/jpeg and the r6 queries after them head the r12 rotation:
-    # l5_audio_features .. w1_top3).
+    # ================= ROUND-12 WINDOW (first 50) =================
+    # Head block (26): flagship (entry() smoke), the FOUR round-12
+    # surface additions needing their FIRST driver row (s41
+    # incremental/predicate-scoped OPTIMIZE — the r11 verdict's top
+    # task; s42 z-order x bucket coexistence; s43 multi-writer
+    # auto-rebase; t23 streaming change feed), and every versioned-
+    # family query whose machinery materially changed this round
+    # (cluster_rewrite rewritten scoped+granular; merge/delete gained
+    # CDF staging + the widened superset-key granular trigger + the
+    # commuting auto-rebase; vacuum reclaim recursive + cdf-aware;
+    # identity commits pinned; rename CAS-first; DV reads broadcast;
+    # t22 ignoreChanges/vacuumed-offset fixes; clone carries _cdf).
+    # Next 24: the r6-currency rotation (verdict item 8 — a13, a14,
+    # a16, dq1, j10, j11, q1, s11, the l5 codec trio, and the rest of
+    # the r6 tier), plus tpch_q4 and g2 (g2 gets a fresh row after the
+    # r12 regression probe cleared it: HEAD 4.87 s vs r10-code 4.83 s
+    # min-of-3 same-host — variance, not code).
     # ================= PAST THE CUT (positions 51+) ================
-    # r12 rotation order: remaining r6 tier first, then r7, r8, r9,
-    # r10 tiers (freshest currency last), preserving the prior
-    # rotation order within each tier.
+    # r13 rotation order: oldest remaining tiers first (r7, r8, r9,
+    # r10 in the prior rotation order), then the r11-fresh entries
+    # demoted from last round's window (freshest last).
     "flagship",
-    "s28_bucketed_sparse_merge",
-    "s29_clone_safe_vacuum",
-    "s30_bucket_pruned_lookup",
-    "s31_versioned_schema_evolution",
-    "s32_deletion_vector_delete",
-    "s33_stats_pruned_scan",
+    "s41_incremental_optimize",
+    "s42_clustered_bucket_table",
+    "s43_concurrent_writers",
+    "t23_stream_change_feed",
     "s34_zorder_table_optimize",
-    "s35_restore_rollback",
-    "s36_timestamp_time_travel",
-    "s37_type_widening_evolution",
-    "s38_column_mapping_ddl",
-    "s39_describe_history",
-    "s40_identity_column",
-    "t22_versioned_stream_source",
-    "l6_importance_sampling",
+    "s28_bucketed_sparse_merge",
     "s25_versioned_merge_upsert",
-    "cdc3_replicate_changefeed",
+    "s30_bucket_pruned_lookup",
+    "s32_deletion_vector_delete",
+    "s29_clone_safe_vacuum",
+    "s40_identity_column",
+    "s38_column_mapping_ddl",
     "s23_change_feed_cdc",
+    "cdc3_replicate_changefeed",
+    "t22_versioned_stream_source",
+    "t21_stream_merge_upsert",
+    "s31_versioned_schema_evolution",
     "s24_compaction_roundtrip",
     "s26_shallow_clone_divergence",
     "s27_constraint_enforced_commits",
-    "t21_stream_merge_upsert",
-    "a22_approx_topk",
-    "dq4_observed_metrics",
-    "f18_variant_explode",
-    "j15_cogroup_merge",
-    "p11_collation_group",
-    "p12_parameterized_sql",
-    "t18_stream_union_fanin",
-    "l3_int8_quantize",
-    "l4_feature_hash_embed",
-    "l6_deterministic_shuffle",
-    "f14_variant_suite",
-    "cdc1_snapshot_diff",
-    "ts6_linear_interpolation",
-    "ts7_ohlc_bars",
-    "l6_weighted_sample",
-    "dq2_iqr_outliers",
-    "s13_zorder_clustered_scan",
-    "o5_pareto_frontier",
-    "s14_orc_roundtrip",
-    "l4_inverted_probe",
-    "l4_ngram_lm",
-    "l3_ivf_add",
-    "a21_incremental_join",
-    "ts1_batch_sessionize",
-    "ts2_gap_fill_hourly",
-    "ts3_funnel_steps",
-    "ts4_cumulative_distinct_users",
-    "ts5_weekly_retention_cohorts",
-    "a14_stats_suite",
-    "a16_incremental_rollup",
-    "tpch_q4_order_priority",
-    "j10_fuzzy_blocked_join",
-    "j11_salted_skew_join",
-    "dq1_orders_quality",
+    "s35_restore_rollback",
+    "s36_timestamp_time_travel",
+    "s37_type_widening_evolution",
+    "s39_describe_history",
+    "s33_stats_pruned_scan",
     "s11_schema_evolution_scan",
     "s12_bucketed_colocated_join",
     "t10_stream_static_enrich",
@@ -132,7 +95,14 @@ _PRIORITY: tuple[str, ...] = (
     "j5_anti_customers_without_big_orders",
     "a13_salted_skew_agg",
     "w1_top3_orders_per_segment",
+    "a14_stats_suite",
+    "a16_incremental_rollup",
+    "dq1_orders_quality",
+    "j10_fuzzy_blocked_join",
+    "j11_salted_skew_join",
+    "cdc4_stream_replicate",
     "g2_triangle_counts",
+    "ts5_weekly_retention_cohorts",
     "l4_lm_familiarity",
     "a23_countmin_estimates",
     "l5_ahash_buckets",
@@ -320,6 +290,34 @@ _PRIORITY: tuple[str, ...] = (
     "l3_ivf_kmeans_search",
     "l4_bpe_encode",
     "a4_approx_count_distinct",
+    "l6_importance_sampling",
+    "a22_approx_topk",
+    "dq4_observed_metrics",
+    "f18_variant_explode",
+    "j15_cogroup_merge",
+    "p11_collation_group",
+    "p12_parameterized_sql",
+    "t18_stream_union_fanin",
+    "l3_int8_quantize",
+    "l4_feature_hash_embed",
+    "l6_deterministic_shuffle",
+    "f14_variant_suite",
+    "cdc1_snapshot_diff",
+    "ts6_linear_interpolation",
+    "ts7_ohlc_bars",
+    "l6_weighted_sample",
+    "dq2_iqr_outliers",
+    "s13_zorder_clustered_scan",
+    "o5_pareto_frontier",
+    "s14_orc_roundtrip",
+    "l4_inverted_probe",
+    "l4_ngram_lm",
+    "l3_ivf_add",
+    "a21_incremental_join",
+    "ts1_batch_sessionize",
+    "ts2_gap_fill_hourly",
+    "ts3_funnel_steps",
+    "ts4_cumulative_distinct_users",
 )
 
 

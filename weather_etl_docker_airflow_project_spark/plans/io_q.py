@@ -2483,7 +2483,7 @@ def s42_clustered_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE o.o_orderstatus END AS o_orderstatus
     FROM orders o LEFT JOIN touched t ON o.o_orderkey = t.o_orderkey
     """,
-    tags=("S43", "S28", "S25"),
+    tags=("S43", "S28", "S25", "S21"),
 )
 def s43_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-WRITER AUTO-REBASE (`operators/versioned._commuting_rebase`,
@@ -2546,3 +2546,111 @@ def s43_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{t.versions()}, ops {ops}"
         )
     return t.read().select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "cdc4_stream_replicate",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+      ORDER BY o_orderkey LIMIT 20),
+    base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 4 <> 0),
+    merged AS (
+      SELECT o_orderkey, 'B' AS o_orderstatus FROM src
+      UNION ALL
+      SELECT b.o_orderkey, b.o_orderstatus FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM src s
+                        WHERE s.o_orderkey = b.o_orderkey)),
+    del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 131 = 0 AND o_orderkey % 4 <> 0
+      ORDER BY o_orderkey LIMIT 10),
+    after_del AS (
+      SELECT m.o_orderkey, m.o_orderstatus FROM merged m
+      WHERE NOT EXISTS (SELECT 1 FROM del d
+                        WHERE d.o_orderkey = m.o_orderkey)),
+    appended AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 1000 = 0)
+    SELECT * FROM after_del UNION ALL SELECT * FROM appended
+    """,
+    tags=("CDC4", "T23", "S44", "S28", "CDC3"),
+)
+def cdc4_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC REPLICATION, end to end (`streaming/windows.
+    stream_replicate_cdf` — Delta's `readChangeFeed` + foreachBatch
+    MERGE idiom; the streaming twin of cdc3's batch replay): a replica
+    FOLLOWS the source table by draining its change feed and applying
+    every micro-batch with MERGE/DELETE per source commit in order.
+    Costs at 100 TB: O(changed rows) on the wire per commit (the
+    materialized feed), O(touched buckets) per applied commit (the
+    replica's bucket layout makes every replayed merge/delete
+    granular) — never a snapshot diff, never a full-history copy.
+    Replays CONVERGE (feed rows carry full payloads; merge re-asserts
+    identical rows, delete of absent keys is a no-op), so foreachBatch's
+    at-least-once delivery cannot diverge the replica. History: base
+    append (keys %4≠0), MERGE (20 smallest %97 keys → status 'B'),
+    bucket-granular DELETE (10 smallest present %131 keys), append of
+    20 key-shifted %1000 rows; the replica bootstraps EMPTY and must
+    land every commit (engine asserts ≥4 real micro-batches and
+    replica == source snapshot before returning). The oracle restates
+    the final replica set-theoretically — a dropped leg, mis-ordered
+    apply, or double-applied batch hash-fails."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        delete_by_keys,
+        merge_upsert,
+    )
+    from ..streaming.windows import stream_replicate_cdf
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = scratch_dir("vrepl_")
+    src_t = VersionedTable(spark, _os.path.join(root, "src"))
+    src_t.enable_change_data_feed()
+    src_t.set_layout(["o_orderkey"], 32)
+    src_t.commit(o.filter(F.col("o_orderkey") % 4 != 0))
+    merge_upsert(
+        src_t,
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .withColumn("o_orderstatus", F.lit("B")),
+        keys=["o_orderkey"],
+    )
+    delete_by_keys(
+        src_t,
+        o.filter(
+            (F.col("o_orderkey") % 131 == 0) & (F.col("o_orderkey") % 4 != 0)
+        )
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    src_t.commit(
+        o.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+        ),
+        mode="append",
+    )
+    replica = VersionedTable(spark, _os.path.join(root, "replica"))
+    replica.set_layout(["o_orderkey"], 32)
+    replica.commit(o.limit(0))  # empty bootstrap: the feed IS the data
+    _v, n_batches = stream_replicate_cdf(
+        spark, src_t, replica, keys=["o_orderkey"], per_batch=1
+    )
+    if n_batches < 4:
+        raise AssertionError(
+            f"paced replication must take >=4 micro-batches, got {n_batches}"
+        )
+    # engine-side convergence check: replica == source snapshot
+    src_snap = src_t.read()
+    diff = replica.read().exceptAll(src_snap).count() + src_snap.exceptAll(
+        replica.read()
+    ).count()
+    if diff:
+        raise AssertionError(f"replica diverged from source: {diff} rows")
+    return replica.read().select("o_orderkey", "o_orderstatus")

@@ -876,7 +876,7 @@ def t22_versioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p HAVING count(*) > 0
     ) ORDER BY commit_version, change_type
     """,
-    tags=("T23", "S23", "T22", "S28"),
+    tags=("T23", "S44", "S23", "T22", "S28"),
 )
 def t23_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ROW-LEVEL CHANGE FEED (t23 — Delta's streaming

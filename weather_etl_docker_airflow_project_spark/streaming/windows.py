@@ -682,6 +682,125 @@ def drain_versioned_cdf(
     )
 
 
+def stream_replicate_cdf(
+    spark: SparkSession,
+    source,
+    target,
+    keys: list[str],
+    per_batch: int = 1,
+    starting_version: int = 0,
+    timeout: float = 300.0,
+) -> tuple[int, int]:
+    """STREAMING CDC REPLICATION — the consumer loop closing the t23
+    story (Delta's `readChangeFeed` + `foreachBatch MERGE` idiom, the
+    streaming twin of the batch :func:`~..operators.versioned.
+    replicate_changes`): follow the source table's change feed and
+    apply every micro-batch to the target with MERGE (insert/update
+    rows) and DELETE (delete rows), per source commit IN ORDER. At
+    100 TB the replica pays O(changed rows) per commit on the wire and
+    O(touched buckets) per applied commit (the target's bucket layout
+    makes each replayed merge/delete granular) — never a snapshot diff.
+
+    Delivery contract: foreachBatch is at-least-once, and the applies
+    CONVERGE under replay — a re-delivered commit's merge re-asserts
+    the same full rows (same keys, same payloads → identical snapshot)
+    and its delete re-deletes absent keys (no-op), so a crash between
+    sink commit and checkpoint advance cannot diverge the replica;
+    feed rows carry full payloads precisely so replay needs no
+    source-version lookback. Returns ``(final_target_version,
+    n_nonempty_batches)``."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ..operators.versioned import delete_by_keys, merge_upsert
+    from ..sources import versioned_stream
+
+    versioned_stream.register(spark)
+    latest = source.versions()[-1]
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
+    stream = (
+        spark.readStream.format("versioned_cdf_stream")
+        .option("tableDir", source.dir)
+        .option("startingVersion", str(starting_version))
+        .option("maxVersionsPerBatch", str(per_batch))
+        .option("paceStateDir", os.path.join(ckpt, "pace"))
+        .load()
+    )
+    meta = ["_change_type", "_commit_version"]
+
+    def _apply(batch_df, _batch_id):
+        # one aggregation decides which legs each commit has (the
+        # replicate_changes probe pattern); rows are then applied per
+        # source commit in order — a paced batch holds one commit, an
+        # unpaced one may span several
+        batch_df = batch_df.localCheckpoint(eager=True)
+        legs = {
+            (r["_commit_version"], r["_change_type"]): r["n"]
+            for r in batch_df.groupBy(*meta)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for v in sorted({v for v, _t in legs}):
+            rows = batch_df.filter(F.col("_commit_version") == v)
+            if any(legs.get((v, t)) for t in ("insert", "update")):
+                merge_upsert(
+                    target,
+                    rows.filter(
+                        F.col("_change_type").isin("insert", "update")
+                    ).drop(*meta),
+                    keys=keys,
+                )
+            if legs.get((v, "delete")):
+                delete_by_keys(
+                    target,
+                    rows.filter(F.col("_change_type") == "delete").select(
+                        *keys
+                    ),
+                    keys=keys,
+                )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp.get("sources"):
+                eo = lp["sources"][0].get("endOffset")
+                if eo is not None:
+                    if isinstance(eo, str):
+                        try:
+                            eo = _json.loads(eo)
+                        except ValueError:
+                            import ast as _ast
+
+                            eo = _ast.literal_eval(eo)
+                    if eo["version"] >= latest:
+                        break
+            if q.exception() is not None:
+                raise q.exception()
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"cdf replication did not reach version {latest} in "
+                f"{timeout}s"
+            )
+        n_batches = sum(
+            1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        )
+    finally:
+        q.stop()
+    if not q.awaitTermination(60):
+        raise TimeoutError("cdf replication stream did not stop in 60s")
+    return target.versions()[-1], n_batches
+
+
 def stream_versioned_source_replay(
     spark: SparkSession,
     sf_dir: str,
