@@ -296,3 +296,92 @@ def test_stream_replication_and_replay_idempotence(spark, tmp_path):
         keys=["k"],
     )
     assert sorted((r.k, r.v) for r in replica.read().collect()) == want
+
+
+def test_batch_read_changes_cdf_matches_stream(spark, tmp_path):
+    """table_changes (batch) over a mixed history returns exactly the
+    streamed feed — same rows, same change types, same versions."""
+    t = _cdf_table(spark, tmp_path, n=30)
+    merge_upsert(t, _mk(spark, [(1, "U"), (60, "I")]), keys=["k"])
+    delete_by_keys(t, spark.createDataFrame([Row(k=2)]), keys=["k"])
+    compact(t)  # dataChange=false: contributes nothing
+    t.commit(_mk(spark, [(100, "A")]), mode="append")
+    batch = t.read_changes_cdf(0)
+    streamed, _ = drain_versioned_cdf(spark, t, per_batch=1)
+    key = lambda r: (r.k, r._change_type, r._commit_version)  # noqa: E731
+    assert sorted(map(key, batch.collect())) == sorted(
+        map(key, streamed.collect())
+    )
+    # range scoping: only the delete commit
+    only_del = t.read_changes_cdf(2, 3).collect()
+    assert [(r.k, r._change_type) for r in only_del] == [(2, "delete")]
+
+
+def test_batch_read_changes_cdf_refuses_feedless_rewrite(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))  # CDF never enabled
+    t.commit(_mk(spark, [(i, "v") for i in range(10)]))
+    merge_upsert(t, _mk(spark, [(1, "U")]), keys=["k"])
+    with pytest.raises(ValueError, match="no change data feed"):
+        t.read_changes_cdf(0)
+
+
+def test_dv_delete_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """A merge-on-read DELETE losing its CAS race to a pure APPEND
+    auto-rebases: coverage stays scoped to the base dirs, so the
+    appended rows survive (delete-as-of-read) and both commits land."""
+    t = _cdf_table(spark, tmp_path, n=20)
+    other = VersionedTable(spark, t.dir)
+    real = VersionedTable.snapshot_schema
+    fired = []
+
+    def racing_schema(self, version):
+        out = real(self, version)
+        if not fired and self is t:
+            fired.append(True)
+            other.commit(_mk(spark, [(500, "A"), (5, "DUP")]), mode="append")
+        return out
+
+    monkeypatch.setattr(VersionedTable, "snapshot_schema", racing_schema)
+    delete_by_keys(
+        t,
+        spark.createDataFrame([Row(k=5), Row(k=6)]),
+        keys=["k"],
+        merge_on_read=True,
+    )
+    monkeypatch.setattr(VersionedTable, "snapshot_schema", real)
+    snap = {(r.k, r.v) for r in t.read().collect()}
+    # base rows 5,6 deleted; the interloper's append — INCLUDING its
+    # k=5 row, which landed in an uncovered dir — survives
+    assert (5, "v5") not in snap and (6, "v6") not in snap
+    assert (500, "A") in snap and (5, "DUP") in snap
+    assert len(snap) == 20  # 20 - 2 deleted + 2 appended
+
+
+def test_dv_delete_conflict_with_rewrite_raises(spark, tmp_path, monkeypatch):
+    """An interloper that REWROTE base dirs (granular merge) read them
+    without our pending vector — rebasing would resurrect the deletes;
+    must raise."""
+    t = _cdf_table(spark, tmp_path, n=20)
+    other = VersionedTable(spark, t.dir)
+    real = VersionedTable.snapshot_schema
+    fired = []
+
+    def racing_schema(self, version):
+        out = real(self, version)
+        if not fired and self is t:
+            fired.append(True)
+            merge_upsert(other, _mk(spark, [(7, "REWRITTEN")]), keys=["k"])
+        return out
+
+    monkeypatch.setattr(VersionedTable, "snapshot_schema", racing_schema)
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    with pytest.raises(ConcurrentCommitError):
+        delete_by_keys(
+            t,
+            spark.createDataFrame([Row(k=5)]),
+            keys=["k"],
+            merge_on_read=True,
+        )

@@ -1346,6 +1346,118 @@ class VersionedTable:
         # (physical file names resolve to logical columns)
         return self._read_dirs(new_dirs, v_to)
 
+    def read_changes_cdf(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """BATCH change-feed read over the MATERIALIZED feed — Delta's
+        SQL ``table_changes('t', v_from, v_to)``, the batch twin of the
+        T23 stream (same schema: the table's columns plus
+        ``_change_type`` / ``_commit_version``). Per commit in
+        ``(v_from, v_to]``:
+
+        - a commit with a recorded feed (``#cdf=`` header) contributes
+          its staged change rows — O(changed rows), no snapshot diff;
+        - a pure APPEND contributes its added dirs as ``insert`` rows
+          (no feed file is ever written for appends — the delta IS the
+          added files), read under the commit's recorded schema and
+          column mapping like any bucket-pruned scan;
+        - row-preserving rewrites (``compact``/``zorder`` ops)
+          contribute nothing (dataChange=false);
+        - any other feed-less commit raises — its row delta was never
+          recorded; :meth:`read_changes_cdc` is the keyed-snapshot-diff
+          fallback that can reconstruct it at two-snapshot cost.
+
+        Unlike the key-only :meth:`read_changes_cdc`, rows carry FULL
+        payloads (the feed stores them), so a consumer needs no
+        version-pinned payload attach."""
+        from pyspark.sql import functions as F
+
+        committed = self.versions()
+        if v_to is None:
+            v_to = committed[-1] if committed else 0
+        for v in (v_from, v_to):
+            if v != 0 and v not in committed:
+                raise ValueError(
+                    f"version {v} not committed at {self.dir} "
+                    f"(have {committed})"
+                )
+        if v_to < v_from:
+            raise ValueError(f"v_to {v_to} < v_from {v_from}")
+        if v_from == 0 and committed and committed[0] != 1:
+            raise ValueError(
+                f"change feed from version 0 at {self.dir} is incomplete: "
+                f"history before version {committed[0]} was vacuumed"
+            )
+        schema = self.snapshot_schema(v_to)
+        cols = [f.name for f in schema.fields] if schema else None
+        prev_dirs = (
+            set(self._manifest(v_from)) if v_from in committed else set()
+        )
+        prev_dvs = (
+            self.deletion_vectors(v_from) if v_from in committed else []
+        )
+        parts: list[DataFrame] = []
+        for v in sorted(c for c in committed if v_from < c <= v_to):
+            cur_dirs = set(self._manifest(v))
+            cur_dvs = self.deletion_vectors(v)
+            cdf = self.cdf_path(v)
+            if cdf is not None:
+                part = self.spark.read.parquet(cdf)
+                if cols:
+                    # pre-evolution feed files NULL-fill evolved columns
+                    for c in cols:
+                        if c not in part.columns:
+                            part = part.withColumn(
+                                c,
+                                F.lit(None).cast(
+                                    schema[c].dataType  # type: ignore[index]
+                                ),
+                            )
+                    part = part.select(*cols, "_change_type")
+                parts.append(
+                    part.withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+            elif not (prev_dirs - cur_dirs) and cur_dvs == prev_dvs:
+                added = [d for d in self._manifest(v) if d not in prev_dirs]
+                if added:
+                    batch = self._read_dirs(added, v)
+                    if cols:
+                        for c in cols:
+                            if c not in batch.columns:
+                                batch = batch.withColumn(
+                                    c, F.lit(None).cast(schema[c].dataType)
+                                )
+                        batch = batch.select(*cols)
+                    parts.append(
+                        batch.withColumn(
+                            "_change_type", F.lit("insert")
+                        ).withColumn(
+                            "_commit_version", F.lit(v).cast("long")
+                        )
+                    )
+            elif self.commit_op(v) in ("compact", "zorder"):
+                pass
+            else:
+                raise ValueError(
+                    f"commit {v} at {self.dir} changed rows but recorded "
+                    f"no change data feed (op={self.commit_op(v)!r}); "
+                    "enable_change_data_feed() before row-changing "
+                    "writes, or use read_changes_cdc for a keyed "
+                    "snapshot diff"
+                )
+            prev_dirs, prev_dvs = cur_dirs, cur_dvs
+        if not parts:
+            empty = self.read(version=v_to).limit(0)
+            return empty.withColumn(
+                "_change_type", F.lit("insert")
+            ).withColumn("_commit_version", F.lit(0).cast("long"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _bucket_pruned_sides(
         self, old_dirs: list[str], new_dirs: list[str], keys: list[str]
     ) -> tuple[list[str], list[str]] | None:
@@ -2342,24 +2454,52 @@ def delete_by_keys(
             if table.change_data_feed_enabled()
             else None
         )
-        dirs = table._manifest(base_version)
-        dvs = table.deletion_vectors(base_version) + [
-            {"path": dv_dir, "covers": list(dirs)}
-        ]
-        table._publish_manifest(
-            dirs,
-            version,
-            schema=table.snapshot_schema(base_version),
-            dvs=dvs,
-            # data dirs are unchanged, so their recorded bounds carry: a
-            # DV only REMOVES rows, which can loosen but never invalidate
-            # a min/max bound
-            stats=table.dir_stats(base_version) or None,
-            colmap=table.column_mapping(base_version),
-            op="delete (merge-on-read)",
-            extra_headers=cdf_headers,
+        base_dirs = table._manifest(base_version)
+        for _attempt in range(5):
+            dirs = table._manifest(base_version)
+            dvs = table.deletion_vectors(base_version) + [
+                # the vector covers the BASE snapshot's dirs only — a
+                # rebased publish keeps that scope (delete-as-of-read
+                # semantics: rows an interloper appended after our read
+                # land in uncovered dirs and survive, exactly like a
+                # post-delete insert)
+                {"path": dv_dir, "covers": list(base_dirs)}
+            ]
+            try:
+                table._publish_manifest(
+                    dirs,
+                    version,
+                    schema=table.snapshot_schema(base_version),
+                    dvs=dvs,
+                    # data dirs are unchanged, so their recorded bounds
+                    # carry: a DV only REMOVES rows, which can loosen but
+                    # never invalidate a min/max bound
+                    stats=table.dir_stats(base_version) or None,
+                    colmap=table.column_mapping(base_version),
+                    op="delete (merge-on-read)",
+                    extra_headers=cdf_headers,
+                )
+                return version
+            except ConcurrentCommitError:
+                # a DV commit commutes with PURE APPENDS (coverage is
+                # scoped to the base dirs, which appends never touch);
+                # an interloper that REWROTE any base dir read it
+                # without our pending vector — its output would
+                # resurrect our deletes — so any removal, DV change, or
+                # schema/colmap move stays a hard conflict. Passing the
+                # full base-dir list as `touched` makes _commuting_
+                # rebase refuse every removal.
+                rebase = _commuting_rebase(
+                    table, base_version, base_dirs, None
+                )
+                if rebase is None:
+                    raise
+                base_version = rebase[0]
+                version = base_version + 1
+        raise ConcurrentCommitError(
+            f"merge-on-read delete at {table.dir} lost 5 publish races; "
+            "re-run"
         )
-        return version
     split = _granular_split(table, base_version, delete_keys, keys)
     if split is not None:
         carry, touched_dirs = split

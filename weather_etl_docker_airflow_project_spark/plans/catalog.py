@@ -94,7 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "j5_anti_customers_without_big_orders",
     "a13_salted_skew_agg",
-    "w1_top3_orders_per_segment",
+    "s44_change_feed_batch",
     "a14_stats_suite",
     "a16_incremental_rollup",
     "dq1_orders_quality",
@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "j11_salted_skew_join",
     "cdc4_stream_replicate",
     "g2_triangle_counts",
+    "w1_top3_orders_per_segment",
     "ts5_weekly_retention_cohorts",
     "l4_lm_familiarity",
     "a23_countmin_estimates",

@@ -2654,3 +2654,105 @@ def cdc4_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if diff:
         raise AssertionError(f"replica diverged from source: {diff} rows")
     return replica.read().select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "s44_change_feed_batch",
+    oracle="""
+    WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 <> 0),
+    s AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+          ORDER BY o_orderkey LIMIT 20),
+    d AS (SELECT o_orderkey FROM orders
+          WHERE o_orderkey % 131 = 0 AND o_orderkey % 4 <> 0
+          ORDER BY o_orderkey LIMIT 10),
+    p AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 0)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+      FROM a HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'update', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM s WHERE o_orderkey % 4 <> 0 HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM s WHERE o_orderkey % 4 = 0 HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'delete', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM d HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(5 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM p HAVING count(*) > 0
+    ) ORDER BY commit_version, change_type
+    """,
+    tags=("S44", "S23", "S24", "S28"),
+)
+def s44_change_feed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH change-feed read over the MATERIALIZED feed
+    (`VersionedTable.read_changes_cdf` — Delta's SQL
+    ``table_changes('t', v1, v2)``, the batch twin of t23's stream):
+    row-changing commits are read from their staged feed files
+    (O(changed rows), full payloads, no snapshot diffs — unlike
+    s23's keys-only on-the-fly feed, a consumer needs no payload
+    attach), pure appends synthesize their inserts from added dirs
+    under the commit's recorded schema/column mapping, and
+    row-preserving rewrites contribute NOTHING — the history here
+    wedges a COMPACT between the delete and the final append
+    (engine-asserted absent from the feed: dataChange=false, Delta's
+    exact contract), which is also why the last append is commit 5.
+    The oracle restates every leg set-theoretically per
+    (commit_version, change_type)."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        compact,
+        delete_by_keys,
+        merge_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vcdfb_"), "orders_v"))
+    t.enable_change_data_feed()
+    t.set_layout(["o_orderkey"], 32)
+    t.commit(o.filter(F.col("o_orderkey") % 4 != 0))
+    merge_upsert(
+        t,
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .withColumn("o_orderstatus", F.lit("B")),
+        keys=["o_orderkey"],
+    )
+    delete_by_keys(
+        t,
+        o.filter(
+            (F.col("o_orderkey") % 131 == 0) & (F.col("o_orderkey") % 4 != 0)
+        )
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    compact(t)  # v4: row-preserving — must contribute NOTHING
+    t.commit(o.filter(F.col("o_orderkey") % 1000 == 0), mode="append")
+    feed = t.read_changes_cdf(0)
+    if feed.filter(F.col("_commit_version") == 4).limit(1).count() != 0:
+        raise AssertionError(
+            "compact commit leaked into the change feed (dataChange=false)"
+        )
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
