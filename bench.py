@@ -207,6 +207,13 @@ HEADLINE = [
     "s42_clustered_bucket_table",
     "s43_concurrent_writers",
     "t23_stream_change_feed",
+    "s44_change_feed_batch",
+    "s45_versioned_batch_source",
+    # cdc4_stream_replicate is NOT headline: a 4-trigger streaming
+    # replication loop (~8 versioned commits) is trigger-latency bound
+    # at ~10 s — the gate exists for data-path regressions, not for
+    # counting micro-batch round-trips; its scale story is t23's +
+    # SCALE.md §r12, its correctness the driver window row
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -385,3 +385,43 @@ def test_dv_delete_conflict_with_rewrite_raises(spark, tmp_path, monkeypatch):
             keys=["k"],
             merge_on_read=True,
         )
+
+
+def test_rebased_merge_keeps_correct_feed(spark, tmp_path, monkeypatch):
+    """A merge that auto-rebases over a disjoint-bucket interloper must
+    publish a feed describing ITS OWN changes (computed against its
+    base — still exact, the interloper touched disjoint buckets)."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        _bucket_column,
+    )
+
+    t = _cdf_table(spark, tmp_path, n=32, buckets=8)
+    other = VersionedTable(spark, t.dir)
+    b1 = (
+        spark.createDataFrame([(1,)], "k long")
+        .select(_bucket_column(["k"], 8).alias("b"))
+        .first()
+        .b
+    )
+    diff = next(
+        r.k
+        for r in spark.range(9000, 9100)
+        .select(F.col("id").alias("k"), _bucket_column(["k"], 8).alias("b"))
+        .collect()
+        if r.b != b1
+    )
+    real_read = t.read
+
+    def read_once(version=None):
+        monkeypatch.setattr(t, "read", real_read)
+        merge_upsert(other, _mk(spark, [(diff, "B")]), keys=["k"])
+        return real_read(version=version)
+
+    monkeypatch.setattr(t, "read", read_once)
+    merge_upsert(t, _mk(spark, [(1, "A"), (800, "NEW")]), keys=["k"])
+    # both merges carry their own exact feed
+    feed = t.read_changes_cdf(1).collect()
+    got = {(r.k, r._change_type, r._commit_version) for r in feed}
+    assert (diff, "insert", 2) in got
+    assert (1, "update", 3) in got and (800, "insert", 3) in got
+    assert len(got) == 3

@@ -89,7 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "l6_oversample_mix",
     "l4_bpe_pretokens",
     "w5_distribution_windows",
-    "l3_ivf_persisted_probe",
+    "s45_versioned_batch_source",
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "j5_anti_customers_without_big_orders",
@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "cdc4_stream_replicate",
     "g2_triangle_counts",
     "w1_top3_orders_per_segment",
+    "l3_ivf_persisted_probe",
     "ts5_weekly_retention_cohorts",
     "l4_lm_familiarity",
     "a23_countmin_estimates",

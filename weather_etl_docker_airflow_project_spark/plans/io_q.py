@@ -2756,3 +2756,87 @@ def s44_change_feed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+@query(
+    "s45_versioned_batch_source",
+    oracle="""
+    WITH del AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 111 = 0
+      ORDER BY o_orderkey LIMIT 10)
+    SELECT 'latest' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.o_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v1' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    ORDER BY side, o_orderstatus
+    """,
+    tags=("S45", "S20", "S32", "S36", "T15"),
+)
+def s45_versioned_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH DataSource over the versioned table format
+    (`sources/versioned_stream.VersionedTableBatchSource` —
+    ``spark.read.format("versioned_table")``): the API-surface
+    completion of the lakehouse family — ANY Spark job, plain SQL users
+    included, reads the format through the vanilla reader API with no
+    library import: snapshot reads, ``versionAsOf``/``timestampAsOf``
+    time travel, recorded-schema scans, column-mapping resolution,
+    deletion-vector application (each task anti-joins its covering DV
+    key files in pyarrow — the documented broadcast-size contract), and
+    manifest-stats dir pruning for pushed filters (pyspark's
+    DataSource pushFilters API; every filter is handed back so Spark
+    re-applies — pruning cuts I/O, never results; planning-level
+    pruning pytest-gated in tests/test_round12_batch_source.py).
+    History: v1 = even keys, v2 = odd-key append, v3 = merge-on-read
+    DV delete of the 10 smallest %111 keys. Declared output reads the
+    LATEST snapshot (DV applied by the source) and the v1 snapshot
+    (VERSION AS OF) through the format reader and aggregates both; the
+    oracle restates them set-theoretically."""
+    import os as _os
+
+    from ..operators.versioned import VersionedTable, delete_by_keys
+    from ..sources import versioned_stream
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vbsrc_"), "orders_v"))
+    t.set_stats_columns(["o_orderkey"])
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    delete_by_keys(
+        t,
+        o.filter(F.col("o_orderkey") % 111 == 0)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey"),
+        keys=["o_orderkey"],
+        merge_on_read=True,
+    )
+    versioned_stream.register(spark)
+
+    def via_format(**opts):
+        r = spark.read.format("versioned_table").option("tableDir", t.dir)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    latest = via_format()
+    if latest.columns != ["o_orderkey", "o_orderstatus"]:
+        raise AssertionError(f"format reader schema drifted: {latest.columns}")
+    sides = []
+    for side, df in (("latest", latest), ("v1", via_format(versionAsOf=1))):
+        sides.append(
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            )
+            .select(F.lit(side).alias("side"), "*")
+        )
+    return sides[0].unionByName(sides[1]).orderBy("side", "o_orderstatus")

@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -463,6 +464,200 @@ class VersionedCDFStreamSource(DataSource):
         return VersionedCDFStreamReader(schema, self.options)
 
 
+class _BatchSlice(InputPartition):
+    def __init__(self, path: str, dv_paths: list[str]):
+        self.path = path
+        self.dv_paths = dv_paths  # DV key files covering this file's dir
+
+
+class VersionedTableBatchReader(DataSourceReader):
+    """Batch reader half of :class:`VersionedTableBatchSource` — see its
+    docstring for the contract. Planning is driver-side manifest
+    metadata (dir list + optional stats pruning); executors stream each
+    parquet file through pyarrow, translating physical column names,
+    NULL-filling pre-evolution files, and applying covering deletion
+    vectors as pyarrow anti-joins (the DV broadcast-size contract: each
+    task reads the O(deleted keys) key file, never another data file)."""
+
+    def __init__(self, schema, options):
+        table_dir = options.get("tabledir") or options.get("path")
+        self._table = VersionedTable(None, table_dir)
+        committed = self._table.versions()
+        v = options.get("versionasof")
+        ts = options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("pass versionAsOf OR timestampAsOf, not both")
+        if ts is not None:
+            self._version = self._table.version_at_timestamp(float(ts))
+        elif v is not None:
+            self._version = int(v)
+            if self._version not in committed:
+                raise ValueError(
+                    f"version {self._version} not committed at {table_dir} "
+                    f"(have {committed})"
+                )
+        else:
+            self._version = committed[-1]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
+        self._phys = self._table.column_mapping(self._version) or {}
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Record prunable predicates for MANIFEST-STATS dir pruning at
+        planning time (the S33 payoff surfaced through the DataSource
+        API), then hand every filter BACK to Spark — pruning is a sound
+        under-approximation, the exact predicate still applies above."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            for klass, op in ops.items():
+                if isinstance(f, klass) and len(f.attribute) == 1:
+                    self._preds.append((f.attribute[0], op, f.value))
+                    break
+            yield f  # Spark re-applies everything; we only prune dirs
+
+    def partitions(self):
+        dirs = self._table._manifest(self._version)
+        if self._preds:
+            stats = self._table.dir_stats(self._version)
+            stats_real = {
+                os.path.realpath(d): s for d, s in stats.items()
+            }
+            from ..operators.versioned import _dir_may_match
+
+            kept = []
+            for d in dirs:
+                s = stats.get(d) or stats_real.get(os.path.realpath(d))
+                try:
+                    keep = s is None or _dir_may_match(s, self._preds)
+                except Exception:  # noqa: BLE001 - incomparable literal
+                    keep = True
+                if keep:
+                    kept.append(d)
+            dirs = kept
+        dvs = self._table.deletion_vectors(self._version)
+        cover = [
+            (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
+            for dv in dvs
+        ]
+        parts = []
+        for d in dirs:
+            rd = os.path.realpath(d)
+            covering = sorted(p for p, cs in cover if rd in cs)
+            parts.extend(
+                _BatchSlice(f, covering) for f in _parquet_files(d)
+            )
+        return parts or [_BatchSlice("", [])]
+
+    def read(self, partition: _BatchSlice):
+        if not partition.path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = {}
+        for field in self._arrow_schema:
+            fname = self._phys.get(field.name, field.name)
+            if fname in tbl.column_names:
+                cols[field.name] = tbl.column(fname).cast(field.type)
+            else:
+                cols[field.name] = pa.nulls(tbl.num_rows, type=field.type)
+        out = pa.table(cols, schema=self._arrow_schema)
+        for dv_path in partition.dv_paths:
+            dv = pq.read_table(dv_path)
+            # DV files carry LOGICAL key names (delete_by_keys wrote
+            # them); `out` is already logical, so the anti-join keys
+            # line up. Cast DV key types to the table's (a widening
+            # evolution can leave old DVs narrower).
+            keys = [c for c in dv.column_names]
+            dv = pa.table(
+                {
+                    c: dv.column(c).cast(out.schema.field(c).type)
+                    for c in keys
+                }
+            )
+            out = out.join(
+                dv.group_by(keys).aggregate([]),  # distinct keys
+                keys=keys,
+                join_type="left anti",
+            ).select([f.name for f in self._arrow_schema])
+        out = out.cast(self._arrow_schema)
+        yield from out.to_batches()
+
+
+class VersionedTableBatchSource(DataSource):
+    """``spark.read.format("versioned_table")`` — the BATCH DataSource
+    over the versioned table format, so ANY Spark job (plain SQL users
+    included) can read it without importing this library: snapshot
+    reads, ``versionAsOf`` / ``timestampAsOf`` time travel, recorded-
+    schema scans with pre-evolution NULL-fill, column-mapping
+    resolution, deletion-vector application, and manifest-stats dir
+    pruning for pushed filters (filters are still re-applied by Spark —
+    pruning only cuts I/O). Options: ``tableDir`` (required),
+    ``versionAsOf`` (int), ``timestampAsOf`` (epoch seconds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self):
+        table_dir = self.options.get("tabledir") or self.options.get("path")
+        if not table_dir:
+            raise ValueError("versioned_table needs .option('tableDir', ...)")
+        t = VersionedTable(None, table_dir)
+        committed = t.versions()
+        if not committed:
+            raise ValueError(
+                f"versioned table at {table_dir} has no commits"
+            )
+        v = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        if ts is not None:
+            version = t.version_at_timestamp(float(ts))
+        elif v is not None:
+            version = int(v)
+            if version not in committed:
+                raise ValueError(
+                    f"version {version} not committed at {table_dir} "
+                    f"(have {committed})"
+                )
+        else:
+            version = committed[-1]
+        schema = t.snapshot_schema(version)
+        if schema is None:
+            raise ValueError(
+                f"versioned table at {table_dir} version {version} has no "
+                "recorded manifest schema (pre-tracking manifest)"
+            )
+        return schema
+
+    def reader(self, schema) -> VersionedTableBatchReader:
+        return VersionedTableBatchReader(schema, self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(VersionedTableStreamSource)
     spark.dataSource.register(VersionedCDFStreamSource)
+    # the batch reader implements pushFilters(), which pyspark REFUSES
+    # to plan while this (runtime-mutable, default-false) conf is off —
+    # set it here so a vanilla session (the driver contract) can read
+    # the format; the reader hands every filter back to Spark, so the
+    # conf only gates the dir-pruning optimization, never results
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VersionedTableBatchSource)
