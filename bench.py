@@ -209,6 +209,7 @@ HEADLINE = [
     "t23_stream_change_feed",
     "s44_change_feed_batch",
     "s45_versioned_batch_source",
+    "s46_predicate_dml",
     # cdc4_stream_replicate is NOT headline: a 4-trigger streaming
     # replication loop (~8 versioned commits) is trigger-latency bound
     # at ~10 s — the gate exists for data-path regressions, not for

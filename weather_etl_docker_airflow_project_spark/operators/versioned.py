@@ -2340,28 +2340,15 @@ def _commit_granular(
         _dir_bucket(d) for d in new_dirs
     }
 
-    def _kept_dvs(at_version: int, carry: list[str]) -> list[dict]:
-        # deletion vectors survive for CARRIED dirs only: the rewritten
-        # buckets were read WITH their DVs applied, so the new dirs have
-        # the deletions materialized; coverage of dirs leaving the
-        # manifest is dropped, and a DV covering nothing disappears
-        carried_real = {os.path.realpath(d) for d in carry}
-        kept = []
-        for dv in table.deletion_vectors(at_version):
-            covers = [
-                c for c in dv["covers"] if os.path.realpath(c) in carried_real
-            ]
-            if covers:
-                kept.append({"path": dv["path"], "covers": covers})
-        return kept
-
     for _attempt in range(5):
         try:
             table._publish_manifest(
                 carry_dirs + new_dirs,
                 version,
                 schema=rewritten.schema,
-                dvs=_kept_dvs(base_version, carry_dirs),
+                # deletion vectors survive for CARRIED dirs only: the
+                # rewritten buckets were read WITH their DVs applied
+                dvs=_restrict_dvs(table, base_version, carry_dirs),
                 stats=table._stats_for_commit(
                     new_dirs, base_version, carry_dirs + new_dirs,
                     colmap=colmap,
@@ -2737,27 +2724,16 @@ def cluster_rewrite(
             )
         else:
             new_dirs.append(zfull)
-    # DVs covering rewritten dirs were materialized by the scoped read;
-    # coverage restricted to carried dirs survives (same rule as
-    # _commit_granular)
-    def _kept_dvs(at_version: int, carried: list[str]) -> list[dict]:
-        carried_real = {os.path.realpath(d) for d in carried}
-        kept = []
-        for dv in table.deletion_vectors(at_version):
-            covers = [
-                c for c in dv["covers"] if os.path.realpath(c) in carried_real
-            ]
-            if covers:
-                kept.append({"path": dv["path"], "covers": covers})
-        return kept
-
     for _attempt in range(5):
         try:
             table._publish_manifest(
                 carry + new_dirs,
                 version,
                 schema=df.select(*orig_cols).schema,
-                dvs=_kept_dvs(base_version, carry),
+                # DVs covering rewritten dirs were materialized by the
+                # scoped read; coverage restricted to carried dirs
+                # survives (same rule as _commit_granular)
+                dvs=_restrict_dvs(table, base_version, carry),
                 stats=table._stats_for_commit(
                     new_dirs, base_version, carry + new_dirs, colmap=colmap
                 ),
@@ -2781,6 +2757,235 @@ def cluster_rewrite(
             version = base_version + 1
     raise ConcurrentCommitError(
         f"zorder at {table.dir} lost 5 publish races in a row; re-run"
+    )
+
+
+def _restrict_dvs(
+    table: VersionedTable, version: int, carried: list[str]
+) -> list[dict]:
+    """The version's deletion vectors restricted to ``carried`` dirs —
+    the shared rule of every scoped rewrite: rewritten dirs were read
+    WITH their DVs applied (deletions materialize), so coverage survives
+    only for dirs staying in the manifest by reference; a DV covering
+    nothing disappears."""
+    carried_real = {os.path.realpath(d) for d in carried}
+    kept = []
+    for dv in table.deletion_vectors(version):
+        covers = [
+            c for c in dv["covers"] if os.path.realpath(c) in carried_real
+        ]
+        if covers:
+            kept.append({"path": dv["path"], "covers": covers})
+    return kept
+
+
+def _predicate_scope(
+    table: VersionedTable, base_version: int, predicates: list[tuple]
+) -> tuple[list[str], list[str]]:
+    """Split the base manifest into (scope, carry) for a predicate-
+    scoped rewrite: ``scope`` = dirs whose recorded S33 stats MAY hold a
+    matching row (dirs without stats conservatively in scope), ``carry``
+    = dirs PROVABLY free of matches, carried by reference. Sound for
+    row-rewriting DML because a carried dir's rows all fail the
+    predicate — there is nothing to update/delete there."""
+    for p in predicates:
+        if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between"):
+            raise ValueError(f"unsupported predicate {p!r}")
+    dirs = table._manifest(base_version)
+    stats = table.dir_stats(base_version)
+    stats_real = {os.path.realpath(d): s for d, s in stats.items()}
+    scope, carry = [], []
+    for d in dirs:
+        s = stats.get(d) or stats_real.get(os.path.realpath(d))
+        if s is None or _dir_may_match(s, predicates):
+            scope.append(d)
+        else:
+            carry.append(d)
+    return scope, carry
+
+
+def _predicate_condition(predicates: list[tuple]) -> Column:
+    from pyspark.sql import functions as F
+
+    cond = None
+    for col, op, val in predicates:
+        c = F.col(col)
+        if op == "=":
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        else:
+            e = c.between(F.lit(val[0]), F.lit(val[1]))
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
+def _commit_scoped_rewrite(
+    table: VersionedTable,
+    base_version: int,
+    scope: list[str],
+    carry: list[str],
+    rewritten: DataFrame,
+    op: str,
+    cdf_headers: list[str] | None,
+) -> int:
+    """Publish a predicate-scoped DML rewrite: stage ``rewritten`` (the
+    scope dirs' surviving rows) through the layout-aware batch writer
+    and publish ``carry + new dirs``. Lost CAS races attempt the
+    add-only commuting rebase (an interloper APPEND's rows arrived
+    after this DML's read — as-of-read semantics leave them untouched,
+    exactly like a post-commit write); interlopers that removed a scope
+    dir rewrote rows this DML also rewrote — hard conflict."""
+    colmap = table.column_mapping(base_version)
+    version = base_version + 1
+    new_dirs = table._write_batch(rewritten, version, colmap=colmap)
+    for _attempt in range(5):
+        try:
+            table._publish_manifest(
+                carry + new_dirs,
+                version,
+                schema=rewritten.schema,
+                dvs=_restrict_dvs(table, base_version, carry),
+                stats=table._stats_for_commit(
+                    new_dirs, base_version, carry + new_dirs, colmap=colmap
+                ),
+                colmap=colmap,
+                op=op,
+                extra_headers=cdf_headers,
+            )
+            return version
+        except ConcurrentCommitError:
+            rebase = _commuting_rebase(table, base_version, scope, None)
+            if rebase is None:
+                raise
+            base_version, carry = rebase
+            version = base_version + 1
+    raise ConcurrentCommitError(
+        f"{op} at {table.dir} lost 5 publish races in a row; re-run"
+    )
+
+
+def update_where(
+    table: VersionedTable,
+    set_exprs: dict[str, str],
+    predicates: list[tuple],
+) -> int:
+    """``UPDATE table SET col = expr, ... WHERE <conjunction>`` —
+    the predicate-DML half the row-level surface was missing next to
+    keyed MERGE/DELETE (Delta's UPDATE). Copy-on-write at DIR
+    granularity, scoped by the S33 manifest statistics: only dirs whose
+    recorded min/max MAY hold a matching row are read and rewritten;
+    provably-unmatched dirs carry into the new manifest BY REFERENCE —
+    on a time-batched or z-ordered 100 TB table an UPDATE over one
+    day's range rewrites that day's dirs, not the table (the same
+    scoping `cluster_rewrite(predicate=...)` uses, here load-bearing
+    for DML cost rather than maintenance cost).
+
+    ``predicates`` use the :meth:`VersionedTable.read_where` grammar
+    (``(col, op, literal)``, op in ``< <= > >= = between``, ANDed) —
+    deliberately: the same conjunction both PRUNES from metadata and
+    evaluates exactly row-wise. ``set_exprs`` maps column name → SQL
+    expression over the row (``{"price": "price * 1.1"}``); results
+    are cast back to the column's declared type, so the snapshot schema
+    never drifts. SQL UPDATE semantics: only rows where the predicate
+    is TRUE change (UNKNOWN/NULL rows are untouched); updating a
+    bucket-key column is safe — rewritten rows re-home through the
+    layout-aware writer, carried dirs by definition held no matching
+    row. Matching rows' POST-IMAGES ride the change feed when enabled.
+    Deletion vectors covering rewritten dirs materialize; coverage of
+    carried dirs rides along. A scope with no candidate dirs is a
+    no-op returning the current version (nothing could match — no
+    empty commit). Conflict rule: commutes with append interlopers
+    (as-of-read), raises on anything that rewrote a scope dir."""
+    from pyspark.sql import functions as F
+
+    if not set_exprs:
+        raise ValueError("update_where needs at least one SET expression")
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    base_version = committed[-1]
+    scope, carry = _predicate_scope(table, base_version, predicates)
+    if not scope:
+        return base_version
+    df = table._read_dirs(scope, base_version)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in set_exprs if c not in types]
+    if missing:
+        raise ValueError(f"SET targets not in the table: {sorted(missing)}")
+    cond = _predicate_condition(predicates)
+    rewritten = df.select(
+        *[
+            F.when(cond, F.expr(set_exprs[c]).cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    cdf_headers = None
+    if table.change_data_feed_enabled():
+        # post-images: apply the SET to the matched rows directly (a
+        # join-back would be wrong under duplicates) — one extra scoped
+        # filter job, O(matched rows) written
+        post = df.filter(cond).select(
+            *[
+                F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        change_df = post.withColumn("_change_type", F.lit("update"))
+        cdf_headers = [
+            f"#cdf={table._stage_cdf(change_df, base_version + 1)}"
+        ]
+    return _commit_scoped_rewrite(
+        table, base_version, scope, carry, rewritten, "update", cdf_headers
+    )
+
+
+def delete_where(
+    table: VersionedTable,
+    predicates: list[tuple],
+) -> int:
+    """``DELETE FROM table WHERE <conjunction>`` — predicate DELETE
+    (Delta's DELETE WHERE), sharing :func:`update_where`'s stats-scoped
+    dir-granular copy-on-write: provably-unmatched dirs carry by
+    reference, candidate dirs rewrite with only their surviving rows.
+    SQL DELETE semantics: rows are removed only where the predicate is
+    TRUE — UNKNOWN (NULL) keeps the row. Deleted rows ride the change
+    feed when enabled. Same no-op, conflict, and DV rules as
+    update_where."""
+    from pyspark.sql import functions as F
+
+    committed = table.versions()
+    if not committed:
+        raise ValueError(f"versioned table at {table.dir} has no commits")
+    base_version = committed[-1]
+    scope, carry = _predicate_scope(table, base_version, predicates)
+    if not scope:
+        return base_version
+    df = table._read_dirs(scope, base_version)
+    cond = _predicate_condition(predicates)
+    kept = df.filter(~F.coalesce(cond, F.lit(False)))
+    cdf_headers = None
+    if table.change_data_feed_enabled():
+        change_df = df.filter(cond).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        cdf_headers = [
+            f"#cdf={table._stage_cdf(change_df, base_version + 1)}"
+        ]
+    return _commit_scoped_rewrite(
+        table, base_version, scope, carry, kept, "delete", cdf_headers
     )
 
 

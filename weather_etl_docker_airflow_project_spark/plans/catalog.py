@@ -88,7 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "t2_weather_stream_upsert",
     "l6_oversample_mix",
     "l4_bpe_pretokens",
-    "w5_distribution_windows",
+    "s46_predicate_dml",
     "s45_versioned_batch_source",
     "q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "g2_triangle_counts",
     "w1_top3_orders_per_segment",
     "l3_ivf_persisted_probe",
+    "w5_distribution_windows",
     "ts5_weekly_retention_cohorts",
     "l4_lm_familiarity",
     "a23_countmin_estimates",

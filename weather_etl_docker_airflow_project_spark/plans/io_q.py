@@ -2840,3 +2840,96 @@ def s45_versioned_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(side).alias("side"), "*")
         )
     return sides[0].unionByName(sides[1]).orderBy("side", "o_orderstatus")
+
+
+@query(
+    "s46_predicate_dml",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN o_totalprice + 10 ELSE o_totalprice END AS p,
+             o_orderdate AS d
+      FROM orders)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM m
+    WHERE d >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("S46", "S47", "S33", "S44"),
+)
+def s46_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML — ``UPDATE ... SET ... WHERE`` and ``DELETE WHERE``
+    (`operators/versioned.update_where`/`delete_where`, Delta's UPDATE/
+    DELETE): the row-level surface next to keyed MERGE/DELETE, with
+    STATS-SCOPED dir-granular copy-on-write — only dirs whose recorded
+    S33 min/max MAY hold a matching row are read and rewritten;
+    provably-unmatched dirs carry into the new manifest BY REFERENCE
+    (the same metadata decision read_where makes for I/O, here
+    load-bearing for WRITE cost: an UPDATE over one date range on a
+    time-batched 100 TB table rewrites that range's dirs, not the
+    table). History: orders committed in three date-range batches
+    (<1995, 1995-96, ≥1997, each with tight footer-harvested date
+    stats); UPDATE flips 1995-96 to status 'U' with price+10 — the
+    engine asserts BOTH other batches carried by reference — then
+    DELETE WHERE date < 1993-07-01 — the engine asserts only the <1995
+    batch was rewritten. SQL three-valued semantics, change-feed
+    emission, append-commute/rewrite-conflict, and bucket-key re-homing
+    are pytest-gated (tests/test_round12_dml.py). The oracle restates
+    update-then-delete as one CASE + filter."""
+    import datetime as _dt
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        delete_where,
+        update_where,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vpdml_"), "orders_v"))
+    t.set_stats_columns(["o_orderdate"])
+    d97, d99 = _dt.datetime(1997, 1, 1), _dt.datetime(1999, 1, 1)
+    t.commit(o.filter(F.col("o_orderdate") < d97))
+    t.commit(
+        o.filter((F.col("o_orderdate") >= d97) & (F.col("o_orderdate") < d99)),
+        mode="append",
+    )
+    t.commit(o.filter(F.col("o_orderdate") >= d99), mode="append")
+    base_dirs = set(t._manifest(3))
+    v4 = update_where(
+        t,
+        {"o_orderstatus": "'U'", "o_totalprice": "o_totalprice + 10"},
+        [("o_orderdate", ">=", d97), ("o_orderdate", "<", d99)],
+    )
+    carried = base_dirs & set(t._manifest(v4))
+    if len(carried) != 2:
+        raise AssertionError(
+            f"UPDATE rewrote out-of-range dirs: carried {len(carried)}/3"
+        )
+    v5 = delete_where(t, [("o_orderdate", "<", _dt.datetime(1996, 1, 1))])
+    carried5 = set(t._manifest(v4)) & set(t._manifest(v5))
+    if len(carried5) != len(t._manifest(v4)) - 1:
+        raise AssertionError(
+            f"DELETE rewrote out-of-range dirs ({len(carried5)} carried "
+            f"of {len(t._manifest(v4))})"
+        )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
