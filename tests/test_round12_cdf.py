@@ -425,3 +425,13 @@ def test_rebased_merge_keeps_correct_feed(spark, tmp_path, monkeypatch):
     assert (diff, "insert", 2) in got
     assert (1, "update", 3) in got and (800, "insert", 3) in got
     assert len(got) == 3
+
+
+def test_vacuum_reclaims_dropped_versions_cdf_dirs(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path, n=20)
+    merge_upsert(t, _mk(spark, [(1, "U")]), keys=["k"])  # v2: cdf dir
+    cdf_v2 = t.cdf_path(2)
+    compact(t)  # v3
+    t.commit(_mk(spark, [(500, "A")]), mode="append")  # v4
+    vacuum(t, retain_versions=1)  # only v4 survives
+    assert not os.path.exists(cdf_v2), "dropped version's cdf dir leaked"

@@ -219,3 +219,72 @@ def test_update_after_dv_materializes_deletions(spark, tmp_path):
     assert t.deletion_vectors(v) == []
     got = {r.k: r.v for r in t.read().collect()}
     assert 1 not in got and got[2] == 20.0 and len(got) == 19
+
+
+def test_update_where_on_column_mapped_table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.set_stats_columns(["k"])
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)])
+    )
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        rename_column,
+    )
+
+    rename_column(t, "v", "val")
+    update_where(t, {"val": "val + 1"}, [("k", "<", 3)])
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got[0] == 1.0 and got[2] == 3.0 and got[5] == 5.0
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=1), Row(k=-5)]))
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("k >= 0")
+    assert t.constraints() == []  # nothing took effect
+    delete_where(t, [("k", "<", 0)])
+    t.add_constraint("k >= 0")  # now clean: accepted
+    assert t.constraints() == ["k >= 0"]
+    with pytest.raises(ConstraintViolation):
+        t.commit(spark.createDataFrame([Row(k=-1)]), mode="append")
+
+
+def test_in_predicate_skipping_and_dml(spark, tmp_path):
+    """IN joins the predicate grammar everywhere: read_where prunes dirs
+    whose range excludes EVERY listed value, delete_where removes
+    exactly the listed rows, and the batch DataSource maps pyspark's In
+    filter onto the same dir pruning."""
+    from weather_etl_docker_airflow_project_spark.sources.versioned_stream import (
+        VersionedTableBatchReader,
+    )
+
+    t = _ranged(spark, tmp_path)  # 4 dirs: 0-99, ..., 300-399
+    df, rep = t.read_where([("k", "in", [5, 7, 350])])
+    assert rep.scanned_dirs == 2  # only dirs 0-99 and 300-399 can match
+    assert sorted(r.k for r in df.collect()) == [5, 7, 350]
+    # empty IN list: no dir can match, zero rows
+    df0, rep0 = t.read_where([("k", "in", [])])
+    assert rep0.scanned_dirs == 0 and df0.count() == 0
+    # batch source: pyspark's In filter prunes planning (checked before
+    # any DML widens a rewritten dir's key span)
+    from pyspark.sql.datasource import In
+
+    reader = VersionedTableBatchReader(
+        t.snapshot_schema(t.versions()[-1]), {"tabledir": t.dir}
+    )
+    list(reader.pushFilters([In(("k",), (120, 130))]))
+    dirs = {os.path.dirname(p.path) for p in reader.partitions() if p.path}
+    assert len(dirs) == 1
+    # DML with IN
+    v = delete_where(t, [("k", "in", [5, 350, 9999])])
+    assert len(set(t._manifest(4)) & set(t._manifest(v))) == 2
+    got = {r.k for r in t.read().collect()}
+    assert 5 not in got and 350 not in got and len(got) == 398
+    update_where(t, {"s": "'I'"}, [("k", "in", [7])])
+    assert t.read().filter(F.col("s") == "I").count() == 1

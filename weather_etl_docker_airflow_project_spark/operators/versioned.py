@@ -211,6 +211,22 @@ def _dir_may_match(colstats: dict, predicates: list[tuple]) -> bool:
             if c_hi_lo == 1 or c_lo_hi == -1:
                 return False
             continue
+        if op == "in":
+            if not val:
+                return False  # IN () matches no row anywhere
+            excluded = True
+            for v in val:
+                c_lo_v = _stat_cmp(lo, v)
+                c_hi_v = _stat_cmp(hi, v)
+                if c_lo_v is None or c_hi_v is None:
+                    excluded = False  # incomparable: can't prove
+                    break
+                if not (c_lo_v == 1 or c_hi_v == -1):
+                    excluded = False  # v inside [lo, hi]: may match
+                    break
+            if excluded:
+                return False
+            continue
         c_lo = _stat_cmp(lo, val)
         c_hi = _stat_cmp(hi, val)
         if c_lo is None or c_hi is None:
@@ -306,6 +322,33 @@ class VersionedTable:
             return []
         with open(self._constraints_file) as f:
             return [line.strip() for line in f if line.strip()]
+
+    def add_constraint(self, expr: str) -> None:
+        """``ALTER TABLE ADD CONSTRAINT ... CHECK`` with Delta's full
+        contract: before the constraint starts gating future commits,
+        the CURRENT snapshot is validated against it in one scan — a
+        constraint existing rows violate is REFUSED, so a reader can
+        trust that every CHECK in :meth:`constraints` holds over all
+        visible data, not just rows committed after it was declared
+        (:meth:`set_constraints` is the raw primitive that skips the
+        scan — right for empty/new tables, documented trade). SQL CHECK
+        semantics as everywhere: FALSE violates, UNKNOWN satisfies."""
+        from pyspark.sql import functions as F
+
+        if self.versions():
+            n_bad = (
+                self.read()
+                .filter(F.expr(f"NOT coalesce(({expr}), true)"))
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ConstraintViolation(
+                    f"cannot add CHECK constraint {expr!r} at {self.dir}: "
+                    "existing rows violate it (Delta's ADD CONSTRAINT "
+                    "validation); clean the data first"
+                )
+        self.set_constraints(self.constraints() + [expr])
 
     def set_layout(self, bucket_keys: list[str], n_buckets: int) -> None:
         """Declare a key-bucket layout: every subsequent commit writes its
@@ -1223,7 +1266,7 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         for p in predicates:
-            if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between"):
+            if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between", "in"):
                 raise ValueError(f"unsupported predicate {p!r}")
         committed = self.versions()
         if not committed:
@@ -1261,6 +1304,8 @@ class VersionedTable:
                 e = c > F.lit(val)
             elif op == ">=":
                 e = c >= F.lit(val)
+            elif op == "in":
+                e = c.isin(list(val)) if val else F.lit(False)
             else:
                 e = c.between(F.lit(val[0]), F.lit(val[1]))
             cond = e if cond is None else (cond & e)
@@ -2605,7 +2650,7 @@ def cluster_rewrite(
         raise ValueError("n_chunks must be >= 2")
     if predicate:
         for p in predicate:
-            if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between"):
+            if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between", "in"):
                 raise ValueError(f"unsupported predicate {p!r}")
     from pyspark.sql import functions as F
 
@@ -2789,7 +2834,7 @@ def _predicate_scope(
     row-rewriting DML because a carried dir's rows all fail the
     predicate — there is nothing to update/delete there."""
     for p in predicates:
-        if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between"):
+        if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between", "in"):
             raise ValueError(f"unsupported predicate {p!r}")
     dirs = table._manifest(base_version)
     stats = table.dir_stats(base_version)
@@ -2820,6 +2865,8 @@ def _predicate_condition(predicates: list[tuple]) -> Column:
             e = c > F.lit(val)
         elif op == ">=":
             e = c >= F.lit(val)
+        elif op == "in":
+            e = c.isin(list(val)) if val else F.lit(False)
         else:
             e = c.between(F.lit(val[0]), F.lit(val[1]))
         cond = e if cond is None else (cond & e)

@@ -513,6 +513,7 @@ class VersionedTableBatchReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
         )
@@ -523,11 +524,13 @@ class VersionedTableBatchReader(DataSourceReader):
             GreaterThanOrEqual: ">=",
             LessThan: "<",
             LessThanOrEqual: "<=",
+            In: "in",
         }
         for f in filters:
             for klass, op in ops.items():
                 if isinstance(f, klass) and len(f.attribute) == 1:
-                    self._preds.append((f.attribute[0], op, f.value))
+                    val = f.value if op != "in" else list(f.value)
+                    self._preds.append((f.attribute[0], op, val))
                     break
             yield f  # Spark re-applies everything; we only prune dirs
 
