@@ -2935,12 +2935,15 @@ def update_where(
     for DML cost rather than maintenance cost).
 
     ``predicates`` use the :meth:`VersionedTable.read_where` grammar
-    (``(col, op, literal)``, op in ``< <= > >= = between``, ANDed) —
+    (``(col, op, literal)``, op in ``< <= > >= = between in``, ANDed) —
     deliberately: the same conjunction both PRUNES from metadata and
     evaluates exactly row-wise. ``set_exprs`` maps column name → SQL
     expression over the row (``{"price": "price * 1.1"}``); results
     are cast back to the column's declared type, so the snapshot schema
-    never drifts. SQL UPDATE semantics: only rows where the predicate
+    never drifts. Expressions must be DETERMINISTIC (pure functions of
+    the row): a ``rand()`` would desynchronize the staged change-feed
+    post-images from the rewritten data and make a conflict re-run
+    produce different rows. SQL UPDATE semantics: only rows where the predicate
     is TRUE change (UNKNOWN/NULL rows are untouched); updating a
     bucket-key column is safe — rewritten rows re-home through the
     layout-aware writer, carried dirs by definition held no matching
