@@ -214,7 +214,10 @@ HEADLINE = [
     # replication loop (~8 versioned commits) is trigger-latency bound
     # at ~10 s — the gate exists for data-path regressions, not for
     # counting micro-batch round-trips; its scale story is t23's +
-    # SCALE.md §r12, its correctness the driver window row
+    # SCALE.md §r12, its correctness the driver window row.
+    # s48_incremental_compact likewise: 8 sequential drip commits by
+    # construction (~17 s of commit latency at sf0.1); the compaction
+    # pass itself is O(fragments), pytest- and driver-gated
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

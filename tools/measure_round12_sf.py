@@ -159,6 +159,72 @@ def main() -> None:
         walls[label] = round(time.time() - t0, 2)
     out["cdf_merge_1k"] = walls
 
+    # B5: predicate UPDATE — stats-scoped vs unscoped (constant-size
+    # scope: a 50k-row sentinel batch outside the data's date range)
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        update_where,
+    )
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    import datetime as _dt
+
+    date_t = dict(od.dtypes)["o_orderdate"]
+    sentinel = (
+        od.orderBy("o_orderkey")
+        .limit(50_000)
+        .withColumn(
+            "o_orderdate", F.lit(_dt.datetime(2030, 1, 1)).cast(date_t)
+        )
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10**9))
+    )
+    upd_walls = {}
+    for label, with_stats in (("scoped", True), ("unscoped", False)):
+        tu = VersionedTable(
+            spark, os.path.join(scratch_dir(f"m12upd_{label}_"), "t")
+        )
+        if with_stats:
+            tu.set_stats_columns(["o_orderdate"])
+        tu.commit(od)
+        tu.commit(sentinel, mode="append")
+        t0 = time.time()
+        update_where(
+            tu,
+            {"o_orderstatus": "'U'"},
+            [("o_orderdate", ">=", _dt.datetime(2029, 1, 1))],
+        )
+        upd_walls[label] = round(time.time() - t0, 2)
+    out["update_where_50k_scope"] = upd_walls
+
+    # B6: incremental vs full compaction of a constant 20-drip fragment
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        compact,
+        compact_incremental,
+    )
+
+    cmp_walls = {}
+    for label in ("incremental", "full"):
+        tc = VersionedTable(
+            spark, os.path.join(scratch_dir(f"m12cmp_{label}_"), "t")
+        )
+        tc.commit(o.coalesce(max(1, n_orders // 500_000)))
+        drip = o.orderBy("o_orderkey").limit(20).collect()
+        for i, r in enumerate(drip):
+            tc.commit(
+                spark.createDataFrame([r], o.schema).coalesce(1).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit((i + 1) * 10**9)
+                ),
+                mode="append",
+            )
+        t0 = time.time()
+        if label == "incremental":
+            compact_incremental(tc, min_dir_bytes=16 * 1024)
+        else:
+            compact(tc)
+        cmp_walls[label] = round(time.time() - t0, 2)
+    out["compact_20_drips"] = cmp_walls
+
     # B4: auto-rebase cost vs a clean merge
     t3 = VersionedTable(spark, os.path.join(scratch_dir("m12reb_"), "t"))
     t3.set_layout(["o_orderkey"], 64)
