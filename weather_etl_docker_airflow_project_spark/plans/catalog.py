@@ -32,26 +32,31 @@ from .registry import REGISTRY, all_oracles, all_queries  # noqa: F401,E402
 
 _PRIORITY: tuple[str, ...] = (
     # ================= ROUND-12 WINDOW (first 50) =================
-    # Head block (26): flagship (entry() smoke), the FOUR round-12
-    # surface additions needing their FIRST driver row (s41
-    # incremental/predicate-scoped OPTIMIZE — the r11 verdict's top
-    # task; s42 z-order x bucket coexistence; s43 multi-writer
-    # auto-rebase; t23 streaming change feed), and every versioned-
+    # Head: flagship (entry() smoke), the NINE round-12 surface
+    # additions needing their FIRST driver row (s41 incremental/
+    # predicate-scoped OPTIMIZE — the r11 verdict's top task; s42
+    # z-order x bucket coexistence; s43 multi-writer auto-rebase; t23
+    # streaming change feed; s44 batch table_changes; s45 batch
+    # DataSource over the format; s46 predicate DML; s48 incremental
+    # compaction; cdc4 streaming CDC replication), and every versioned-
     # family query whose machinery materially changed this round
     # (cluster_rewrite rewritten scoped+granular; merge/delete gained
     # CDF staging + the widened superset-key granular trigger + the
     # commuting auto-rebase; vacuum reclaim recursive + cdf-aware;
     # identity commits pinned; rename CAS-first; DV reads broadcast;
     # t22 ignoreChanges/vacuumed-offset fixes; clone carries _cdf).
-    # Next 24: the r6-currency rotation (verdict item 8 — a13, a14,
+    # The rest: the r6-currency rotation (verdict item 8 — a13, a14,
     # a16, dq1, j10, j11, q1, s11, the l5 codec trio, and the rest of
-    # the r6 tier), plus tpch_q4 and g2 (g2 gets a fresh row after the
-    # r12 regression probe cleared it: HEAD 4.87 s vs r10-code 4.83 s
-    # min-of-3 same-host — variance, not code).
+    # the r6 tier), plus g2 (a fresh row after the r12 regression
+    # probe cleared it: HEAD 4.87 s vs r10-code 4.83 s min-of-3
+    # same-host — variance, not code). Displaced to positions 51+ for
+    # the r13 window: w1_top3, l3_ivf_persisted_probe, s39 (machinery
+    # unchanged this round), w5, tpch_q4.
     # ================= PAST THE CUT (positions 51+) ================
-    # r13 rotation order: oldest remaining tiers first (r7, r8, r9,
-    # r10 in the prior rotation order), then the r11-fresh entries
-    # demoted from last round's window (freshest last).
+    # r13 rotation order: the entries just displaced, then oldest
+    # remaining tiers (r7, r8, r9, r10 in the prior rotation order),
+    # then the r11-fresh entries demoted from last round's window
+    # (freshest last).
     "flagship",
     "s41_incremental_optimize",
     "s42_clustered_bucket_table",
