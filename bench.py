@@ -215,8 +215,9 @@ HEADLINE = [
     # at ~10 s — the gate exists for data-path regressions, not for
     # counting micro-batch round-trips; its scale story is t23's +
     # SCALE.md §r12, its correctness the driver window row.
-    # s48_incremental_compact likewise: 8 sequential drip commits by
-    # construction (~17 s of commit latency at sf0.1); the compaction
+    # s48_incremental_compact likewise: 6 sequential commits by
+    # construction (base + 4 one-row drips + a tail batch — commit
+    # latency dominated at sf0.1); the compaction
     # pass itself is O(fragments), pytest- and driver-gated
 ]
 

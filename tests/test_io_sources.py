@@ -278,7 +278,12 @@ def test_versioned_table_concurrent_commit_loses_cleanly(spark, tmp_path):
     del t.versions  # restore the real method
     assert t.commit(spark.createDataFrame([(99,)], "k long"), mode="append") == 3
     assert {r["k"] for r in t.read().collect()} == {1, 2, 99}
-    rep = vacuum(b, retain_versions=1)
+    # default staging grace DEFERS the fresh never-referenced orphan
+    # (it is indistinguishable from an in-flight writer's staging) …
+    rep0 = vacuum(b, retain_versions=1)
+    assert len(rep0.deferred_dirs) == 1 and not rep0.removed_dirs
+    # … and grace=0 (single-writer maintenance) reclaims it
+    rep = vacuum(b, retain_versions=1, staged_grace_seconds=0)
     data_dirs = os.listdir(os.path.join(str(tmp_path / "vt"), "data"))
     # v3's manifest references 3 batch dirs; the orphan is gone
     assert len(data_dirs) == 3 and len(rep.removed_dirs) == 1

@@ -411,7 +411,9 @@ def test_constraints_reject_bad_commit_and_publish_nothing(spark, tmp_path):
     )
 
     assert len(glob.glob(str(tmp_path / "t" / "data" / "batch_*"))) == 2
-    vacuum(t, retain_versions=1)
+    # grace=0: the torn batch is seconds old, and the default staging
+    # grace would (correctly) defer it as possibly-in-flight
+    vacuum(t, retain_versions=1, staged_grace_seconds=0)
     assert len(glob.glob(str(tmp_path / "t" / "data" / "batch_*"))) == 1
 
 

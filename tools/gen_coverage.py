@@ -17,10 +17,18 @@ from weather_etl_docker_airflow_project_spark.plans import catalog  # noqa: E402
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# ---- parse SURVEY.md §2: (code, short operator description), in order
+# ---- parse SURVEY.md §2: (code, short operator description), in order.
+# Round-13 (r12 verdict item 4): besides plain `| CODE | ...` table rows,
+# also split slash-labeled rows (`| S46/S47 | ... |` -> two codes sharing
+# the row) and harvest codes DEFINED IN PROSE — §2 describes several
+# families (O1-O5, U1-U3, A8-A13, TS6/TS7, DQ2, CDC1, P7, S13, S14, ...)
+# in running text or range notation rather than one-row-per-code tables.
 codes: list[tuple[str, str]] = []
 in_s2 = False
 seen = set()
+_FAMILIES = "TS|DQ|CDC|S|P|J|A|W|O|U|F|T|G|L"
+_CODE = rf"(?:{_FAMILIES})[0-9]+"
+prose_lines: list[str] = []
 with open(os.path.join(ROOT, "SURVEY.md")) as f:
     for line in f:
         if line.startswith("## 2. Operator inventory"):
@@ -30,10 +38,36 @@ with open(os.path.join(ROOT, "SURVEY.md")) as f:
             break
         if not in_s2:
             continue
-        m = re.match(r"^\| ([A-Z]+[0-9]+\+?) \| ([^|]+) \|", line)
-        if m and m.group(1) not in seen:
-            seen.add(m.group(1))
-            codes.append((m.group(1), m.group(2).strip()))
+        m = re.match(rf"^\| ({_CODE}(?:\+|(?:/{_CODE})*)?) \| ([^|]+) \|", line)
+        if m:
+            for c in m.group(1).split("/"):
+                if c not in seen:
+                    seen.add(c)
+                    codes.append((c, m.group(2).strip()))
+            continue
+        prose_lines.append(line.rstrip())
+
+# prose-defined codes: single mentions (`**DQ2**`, `CDC1`) and ranges
+# (`O1-O4`, `A8-A13` — both hyphen and en-dash spellings). Each gets the
+# sentence-ish snippet of the line that introduced it.
+def _snippet(line: str) -> str:
+    txt = re.sub(r"[|`*]", "", line).strip()
+    return ("§2 prose: " + txt[:90] + ("…" if len(txt) > 90 else ""))
+
+for line in prose_lines:
+    for fam, lo, hi in re.findall(
+        rf"\b({_FAMILIES})([0-9]+)[–-]\1?([0-9]+)\b", line
+    ):
+        for i in range(int(lo), int(hi) + 1):
+            c = f"{fam}{i}"
+            if c not in seen:
+                seen.add(c)
+                codes.append((c, _snippet(line)))
+    for fam, num in re.findall(rf"\b({_FAMILIES})([0-9]+)\b", line):
+        c = f"{fam}{num}"
+        if c not in seen:
+            seen.add(c)
+            codes.append((c, _snippet(line)))
 
 # ---- map codes -> queries: explicit tags PLUS the repo-wide naming
 # convention (query names are prefixed with their lowercase code:
@@ -59,6 +93,10 @@ PYTEST_ONLY = {
     "T14": "pytest `tests/test_transform_with_state.py` (env-bounded: "
     "needs protobuf; feature-probed with a fail-fast contract, zero "
     "skips — not in the driver contract by design)",
+    "S51": "pytest `tests/test_round13_sink.py::"
+    "test_vacuum_defers_inflight_staging` (a vacuum∥writer RACE window "
+    "— not meaningfully expressible as a DuckDB-checked query; the "
+    "deferral/reclaim lifecycle is engine-asserted)",
 }
 
 oracles = catalog.all_oracles()

@@ -199,6 +199,14 @@ def _dir_may_match(colstats: dict, predicates: list[tuple]) -> bool:
         rows, nulls = s.get("rows", 0), s.get("nulls", 0)
         if rows == 0:
             return False
+        if op == "isnull":
+            if nulls == 0:
+                return False  # provably no NULL row in this dir
+            continue
+        if op == "notnull":
+            if nulls >= rows:
+                return False  # entirely NULL: IS NOT NULL never holds
+            continue
         lo, hi = _stat_decode(s["lo"]), _stat_decode(s["hi"])
         if lo is None or hi is None:
             if nulls >= rows:
@@ -232,6 +240,10 @@ def _dir_may_match(colstats: dict, predicates: list[tuple]) -> bool:
         if c_lo is None or c_hi is None:
             continue
         if op == "=" and (c_lo == 1 or c_hi == -1):
+            return False
+        if op == "!=" and c_lo == 0 and c_hi == 0:
+            # every non-null value in the dir equals the literal (and
+            # NULL rows satisfy no comparison): != provably empty here
             return False
         if op == "<" and c_lo >= 0:
             return False
@@ -332,23 +344,54 @@ class VersionedTable:
         visible data, not just rows committed after it was declared
         (:meth:`set_constraints` is the raw primitive that skips the
         scan — right for empty/new tables, documented trade). SQL CHECK
-        semantics as everywhere: FALSE violates, UNKNOWN satisfies."""
+        semantics as everywhere: FALSE violates, UNKNOWN satisfies.
+
+        Concurrency: the validated version is PINNED before each scan
+        and, after the constraint file lands, the loop re-validates any
+        snapshot a racing writer published in between (rolling the
+        constraint back on a late violation) — so commits that land
+        DURING validation are still covered. The residual window is a
+        writer that STAGED its batch under the old constraint set and
+        publishes after the final re-check: its rows bypass this
+        constraint (the side file is not part of the manifest CAS, the
+        documented gap vs Delta's in-log metadata commits)."""
         from pyspark.sql import functions as F
 
-        if self.versions():
-            n_bad = (
-                self.read()
+        def _first_violation(version: int) -> int:
+            return (
+                self.read(version=version)
                 .filter(F.expr(f"NOT coalesce(({expr}), true)"))
                 .limit(1)
                 .count()
             )
-            if n_bad:
-                raise ConstraintViolation(
-                    f"cannot add CHECK constraint {expr!r} at {self.dir}: "
-                    "existing rows violate it (Delta's ADD CONSTRAINT "
-                    "validation); clean the data first"
+
+        published = False
+        validated: int | None = -1  # sentinel: nothing validated yet
+        try:
+            while True:
+                committed = self.versions()
+                latest = committed[-1] if committed else None
+                if latest == validated:
+                    return  # no commit landed since the validated scan
+                if latest is not None and _first_violation(latest):
+                    raise ConstraintViolation(
+                        f"cannot add CHECK constraint {expr!r} at "
+                        f"{self.dir}: existing rows violate it (Delta's "
+                        "ADD CONSTRAINT validation); clean the data first"
+                    )
+                validated = latest
+                if not published:
+                    self.set_constraints(self.constraints() + [expr])
+                    published = True
+        except ConstraintViolation:
+            if published:
+                # a racing commit (staged pre-constraint) slipped in
+                # violating rows: withdraw the constraint rather than
+                # leave a CHECK the snapshot provably breaks
+                self.set_constraints(
+                    [c for c in self.constraints() if c != expr]
                 )
-        self.set_constraints(self.constraints() + [expr])
+            raise
 
     def set_layout(self, bucket_keys: list[str], n_buckets: int) -> None:
         """Declare a key-bucket layout: every subsequent commit writes its
@@ -1240,34 +1283,35 @@ class VersionedTable:
 
     def read_where(
         self,
-        predicates: list[tuple],
+        predicates: "list[tuple] | str",
         version: int | None = None,
     ) -> tuple[DataFrame, "_PruneReport"]:
         """DATA-SKIPPING scan (Delta/Iceberg file skipping at dir
-        granularity): evaluate a conjunction of simple predicates —
-        ``(col, op, literal)`` with op in ``< <= > >= =`` or ``(col,
-        "between", (lo, hi))`` — against the manifest's recorded per-dir
-        min/max/null statistics and open ONLY the dirs that can contain a
-        matching row. On a time-batched or :func:`cluster_rewrite`-
-        clustered 100 TB table a selective range predicate reads the few
-        dirs whose recorded range overlaps, not the table — the pruning
-        decision is pure manifest metadata, zero file opens.
+        granularity): evaluate a predicate — either the legacy ANDed
+        list of ``(col, op, literal)`` triples (op in ``< <= > >= = !=
+        between in isnull notnull``) or a SQL predicate STRING with
+        ``OR`` / ``NOT`` / ``IS [NOT] NULL`` and parentheses
+        (``operators/predicate.py`` grammar) — against the manifest's
+        recorded per-dir min/max/null statistics and open ONLY the dirs
+        that can contain a matching row. On a time-batched or
+        :func:`cluster_rewrite`-clustered 100 TB table a selective range
+        predicate reads the few dirs whose recorded range overlaps, not
+        the table — the pruning decision is pure manifest metadata, zero
+        file opens.
 
-        Soundness: a dir is skipped only when a predicate PROVABLY
-        excludes it — its non-null range misses the literal entirely, or
-        the column is all-NULL there (SQL comparison semantics: NULL
-        satisfies no predicate), or the dir is empty. Dirs without a
-        recorded stat for the predicate column (pre-stats commits, schema
-        evolution, unsupported types, incomparable literals) are always
-        kept, and the exact predicate is re-applied as a normal Spark
-        filter over the surviving dirs — pruning can change I/O, never
-        results. Returns ``(DataFrame, report)`` where the report carries
+        Soundness: a dir is skipped only when the predicate PROVABLY
+        excludes it. A disjunctive predicate is normalized to DNF and a
+        dir survives when ANY disjunct may match (union of scopes); NOT
+        is pushed to the atoms with 3VL-preserving rewrites at parse
+        time, so the pruning decision and Spark's row evaluation can
+        never disagree on NULLs. Dirs without a recorded stat for a
+        predicate column (pre-stats commits, schema evolution,
+        unsupported types, incomparable literals) are always kept, and
+        the exact predicate is re-applied as a normal Spark filter over
+        the surviving dirs — pruning can change I/O, never results.
+        Returns ``(DataFrame, report)`` where the report carries
         ``total_dirs`` / ``scanned_dirs`` / ``pruned_dirs``."""
-        from pyspark.sql import functions as F
-
-        for p in predicates:
-            if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between", "in"):
-                raise ValueError(f"unsupported predicate {p!r}")
+        dnf, cond = _normalize_predicates(predicates)
         committed = self.versions()
         if not committed:
             raise ValueError(f"versioned table at {self.dir} has no commits")
@@ -1283,7 +1327,7 @@ class VersionedTable:
         pruned: list[str] = []
         for d in dirs:
             s = stats.get(d) or stats_real.get(os.path.realpath(d))
-            if s is None or _dir_may_match(s, predicates):
+            if s is None or _dnf_may_match(s, dnf):
                 keep.append(d)
             else:
                 pruned.append(d)
@@ -1291,24 +1335,6 @@ class VersionedTable:
             df = self._read_dirs(keep, v)
         else:
             df = self._read_dirs(dirs, v).limit(0)
-        cond = None
-        for col, op, val in predicates:
-            c = F.col(col)
-            if op == "=":
-                e = c == F.lit(val)
-            elif op == "<":
-                e = c < F.lit(val)
-            elif op == "<=":
-                e = c <= F.lit(val)
-            elif op == ">":
-                e = c > F.lit(val)
-            elif op == ">=":
-                e = c >= F.lit(val)
-            elif op == "in":
-                e = c.isin(list(val)) if val else F.lit(False)
-            else:
-                e = c.between(F.lit(val[0]), F.lit(val[1]))
-            cond = e if cond is None else (cond & e)
         return df.filter(cond) if cond is not None else df, _PruneReport(
             len(dirs), len(keep), pruned
         )
@@ -1418,8 +1444,12 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         committed = self.versions()
+        if not committed:
+            raise ValueError(
+                f"versioned table at {self.dir} has no commits"
+            )
         if v_to is None:
-            v_to = committed[-1] if committed else 0
+            v_to = committed[-1]
         for v in (v_from, v_to):
             if v != 0 and v not in committed:
                 raise ValueError(
@@ -1961,10 +1991,12 @@ class _VacuumReport:
         dropped_versions: list[int],
         removed_dirs: list[str],
         protected_dirs: list[str] | None = None,
+        deferred_dirs: list[str] | None = None,
     ):
         self.dropped_versions = dropped_versions
         self.removed_dirs = removed_dirs
         self.protected_dirs = protected_dirs or []
+        self.deferred_dirs = deferred_dirs or []
 
 
 def _clone_referenced_dirs(roots: list[str], skip_versions_dir: str) -> set[str]:
@@ -2009,6 +2041,7 @@ def vacuum(
     protect_roots: list[str] | None = None,
     retain_hours: float | None = None,
     dry_run: bool = False,
+    staged_grace_seconds: float = 600.0,
 ) -> _VacuumReport:
     """Retention job for :class:`VersionedTable`: keep the newest
     ``retain_versions`` versions, drop older manifests, and delete the
@@ -2038,7 +2071,20 @@ def vacuum(
     the window is ALSO kept, on top of the newest ``retain_versions``
     (the latest version is always kept). ``dry_run=True`` reports what
     WOULD be dropped/removed without touching anything — the standard
-    pre-flight for a destructive maintenance job."""
+    pre-flight for a destructive maintenance job.
+
+    ``staged_grace_seconds`` (round-13, the vacuum ∥ writer race): a
+    dir NO manifest has EVER referenced is either torn-commit debris or
+    a concurrent writer's IN-FLIGHT staging (both the library batch
+    writer and the vanilla DataSource sink stage under ``data/`` before
+    their manifest CAS publishes). The two are indistinguishable from
+    metadata, so never-referenced subtrees younger than the grace
+    window (max mtime over the subtree; default 10 min — Delta solves
+    the same race with its retention default) are DEFERRED, reported in
+    ``deferred_dirs``, and reclaimed by a later vacuum once stale. Dirs
+    referenced by a DROPPED manifest are past their commit's lifecycle
+    and reclaim immediately regardless of age. ``staged_grace_seconds=0``
+    restores unconditional reclaim (single-writer maintenance)."""
     import shutil
     import time as _time
 
@@ -2054,14 +2100,18 @@ def vacuum(
         )
     drop = [v for v in committed if v not in keep]
     referenced = set()
-    for v in keep:
-        referenced.update(table._manifest(v))
+    ever_referenced: set[str] = set()  # by ANY manifest, kept or dropped
+    for v in committed:
+        refs = set(table._manifest(v))
         for dv in table.deletion_vectors(v):
-            referenced.add(dv["path"])
-            referenced.update(dv["covers"])
+            refs.add(dv["path"])
+            refs.update(dv["covers"])
         cdf = table.cdf_path(v)
         if cdf:
-            referenced.add(cdf)
+            refs.add(cdf)
+        ever_referenced.update(os.path.realpath(p) for p in refs)
+        if v in keep:
+            referenced.update(refs)
     # realpath-normalize BOTH sides of the membership test: a handle
     # opened through a relative/symlinked/denormalized spelling of
     # table_dir must never conclude that every dir is unreferenced and
@@ -2074,6 +2124,8 @@ def vacuum(
     )
     removed: list[str] = []
     protected: list[str] = []
+    deferred: list[str] = []
+    now = _time.time()
 
     # Recursive reclaim (manifests may reference dirs at ANY depth under
     # a batch dir — a bucketed batch via bkt=* children, a bucketed
@@ -2088,6 +2140,25 @@ def vacuum(
             r.startswith(prefix) for r in referenced_real
         ) or any(r.startswith(prefix) for r in clone_refs)
 
+    def _ever_below(real: str) -> bool:
+        prefix = real + os.sep
+        return real in ever_referenced or any(
+            r.startswith(prefix) for r in ever_referenced
+        )
+
+    def _subtree_mtime(path: str) -> float:
+        newest = os.path.getmtime(path)
+        for root, _sub, files in os.walk(path):
+            newest = max(newest, os.path.getmtime(root))
+            for f in files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, f))
+                    )
+                except FileNotFoundError:
+                    continue  # writer racing us: treat as active anyway
+        return newest
+
     def _reclaim(path: str) -> None:
         real = os.path.realpath(path)
         if real in referenced_real:
@@ -2096,6 +2167,16 @@ def vacuum(
             protected.append(path)
             return
         if not _has_live_below(real):
+            if (
+                staged_grace_seconds > 0
+                and not _ever_below(real)
+                and now - _subtree_mtime(path) < staged_grace_seconds
+            ):
+                # never referenced AND recently written: a concurrent
+                # writer's in-flight staging (or very fresh torn-commit
+                # debris — indistinguishable); defer to a later vacuum
+                deferred.append(path)
+                return
             removed.append(path)
             if not dry_run:
                 shutil.rmtree(path)
@@ -2112,7 +2193,7 @@ def vacuum(
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
             _reclaim(os.path.join(data_root, d))
-    return _VacuumReport(drop, removed, protected)
+    return _VacuumReport(drop, removed, protected, deferred)
 
 
 def merge_upsert(
@@ -2775,10 +2856,7 @@ def cluster_rewrite(
         raise ValueError("bits * len(cols) must be <= 62")
     if n_chunks < 2:
         raise ValueError("n_chunks must be >= 2")
-    if predicate:
-        for p in predicate:
-            if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between", "in"):
-                raise ValueError(f"unsupported predicate {p!r}")
+    pred_dnf = _normalize_predicates(predicate)[0] if predicate else None
     from pyspark.sql import functions as F
 
     committed = table.versions()
@@ -2789,7 +2867,7 @@ def cluster_rewrite(
     scope = list(dirs)
     if incremental:
         scope = [d for d in scope if not _dir_zchunk(d)]
-    if predicate:
+    if pred_dnf is not None:
         stats = table.dir_stats(base_version)
         stats_real = {os.path.realpath(d): s for d, s in stats.items()}
         scope = [
@@ -2798,7 +2876,7 @@ def cluster_rewrite(
             if (
                 (s := stats.get(d) or stats_real.get(os.path.realpath(d)))
                 is None
-                or _dir_may_match(s, predicate)
+                or _dnf_may_match(s, pred_dnf)
             )
         ]
     if not scope:
@@ -2951,25 +3029,59 @@ def _restrict_dvs(
     return kept
 
 
+#: triple ops accepted in the legacy list-of-triples predicate form
+#: (isnull/notnull take val=None)
+_TRIPLE_OPS = (
+    "<", "<=", ">", ">=", "=", "!=", "between", "in", "isnull", "notnull",
+)
+
+
+def _normalize_predicates(
+    predicates: "list[tuple] | str",
+) -> tuple[list[list[tuple]], Column]:
+    """Normalize both predicate spellings the DML/skipping surface
+    accepts — the legacy ANDed list of ``(col, op, literal)`` triples,
+    or a SQL predicate STRING with OR / NOT / IS [NOT] NULL / != and
+    parentheses (round-13; grammar in ``operators/predicate.py``) —
+    into ``(dnf, condition)``: the disjunctive normal form the pruning
+    pass evaluates (a dir survives if ANY disjunct may match — union of
+    scopes, so skipping stays sound under disjunction) and the exact
+    Spark ``Column`` the scan re-applies above it."""
+    from .predicate import parse_predicate, to_column, to_dnf
+
+    if isinstance(predicates, str):
+        ast = parse_predicate(predicates)
+        return to_dnf(ast), to_column(ast)
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _TRIPLE_OPS:
+            raise ValueError(f"unsupported predicate {p!r}")
+    return [list(predicates)], _predicate_condition(predicates)
+
+
+def _dnf_may_match(colstats: dict, dnf: list[list[tuple]]) -> bool:
+    """Union-of-scopes pruning rule for a DNF predicate: the dir is
+    prunable only when EVERY disjunct provably misses it."""
+    return any(_dir_may_match(colstats, conj) for conj in dnf)
+
+
 def _predicate_scope(
-    table: VersionedTable, base_version: int, predicates: list[tuple]
+    table: VersionedTable, base_version: int, dnf: list[list[tuple]]
 ) -> tuple[list[str], list[str]]:
     """Split the base manifest into (scope, carry) for a predicate-
     scoped rewrite: ``scope`` = dirs whose recorded S33 stats MAY hold a
     matching row (dirs without stats conservatively in scope), ``carry``
     = dirs PROVABLY free of matches, carried by reference. Sound for
     row-rewriting DML because a carried dir's rows all fail the
-    predicate — there is nothing to update/delete there."""
-    for p in predicates:
-        if len(p) != 3 or p[1] not in ("<", "<=", ">", ">=", "=", "between", "in"):
-            raise ValueError(f"unsupported predicate {p!r}")
+    predicate — there is nothing to update/delete there. ``dnf`` comes
+    from :func:`_normalize_predicates`; under disjunction a dir carries
+    only when every disjunct misses it."""
     dirs = table._manifest(base_version)
     stats = table.dir_stats(base_version)
     stats_real = {os.path.realpath(d): s for d, s in stats.items()}
     scope, carry = [], []
     for d in dirs:
         s = stats.get(d) or stats_real.get(os.path.realpath(d))
-        if s is None or _dir_may_match(s, predicates):
+        if s is None or _dnf_may_match(s, dnf):
             scope.append(d)
         else:
             carry.append(d)
@@ -2984,6 +3096,8 @@ def _predicate_condition(predicates: list[tuple]) -> Column:
         c = F.col(col)
         if op == "=":
             e = c == F.lit(val)
+        elif op == "!=":
+            e = c != F.lit(val)
         elif op == "<":
             e = c < F.lit(val)
         elif op == "<=":
@@ -2994,6 +3108,10 @@ def _predicate_condition(predicates: list[tuple]) -> Column:
             e = c >= F.lit(val)
         elif op == "in":
             e = c.isin(list(val)) if val else F.lit(False)
+        elif op == "isnull":
+            e = c.isNull()
+        elif op == "notnull":
+            e = c.isNotNull()
         else:
             e = c.between(F.lit(val[0]), F.lit(val[1]))
         cond = e if cond is None else (cond & e)
@@ -3048,7 +3166,7 @@ def _commit_scoped_rewrite(
 def update_where(
     table: VersionedTable,
     set_exprs: dict[str, str],
-    predicates: list[tuple],
+    predicates: "list[tuple] | str",
 ) -> int:
     """``UPDATE table SET col = expr, ... WHERE <conjunction>`` —
     the predicate-DML half the row-level surface was missing next to
@@ -3061,10 +3179,11 @@ def update_where(
     scoping `cluster_rewrite(predicate=...)` uses, here load-bearing
     for DML cost rather than maintenance cost).
 
-    ``predicates`` use the :meth:`VersionedTable.read_where` grammar
-    (``(col, op, literal)``, op in ``< <= > >= = between in``, ANDed) —
-    deliberately: the same conjunction both PRUNES from metadata and
-    evaluates exactly row-wise. ``set_exprs`` maps column name → SQL
+    ``predicates`` use the :meth:`VersionedTable.read_where` grammar —
+    an ANDed triple list, or (round 13) a SQL predicate string with
+    OR / NOT / IS [NOT] NULL / != — deliberately the same form that
+    both PRUNES from metadata (DNF union-of-scopes) and evaluates
+    exactly row-wise. ``set_exprs`` maps column name → SQL
     expression over the row (``{"price": "price * 1.1"}``); results
     are cast back to the column's declared type, so the snapshot schema
     never drifts. Expressions must be DETERMINISTIC (pure functions of
@@ -3088,7 +3207,8 @@ def update_where(
     if not committed:
         raise ValueError(f"versioned table at {table.dir} has no commits")
     base_version = committed[-1]
-    scope, carry = _predicate_scope(table, base_version, predicates)
+    dnf, cond = _normalize_predicates(predicates)
+    scope, carry = _predicate_scope(table, base_version, dnf)
     if not scope:
         return base_version
     df = table._read_dirs(scope, base_version)
@@ -3096,7 +3216,6 @@ def update_where(
     missing = [c for c in set_exprs if c not in types]
     if missing:
         raise ValueError(f"SET targets not in the table: {sorted(missing)}")
-    cond = _predicate_condition(predicates)
     rewritten = df.select(
         *[
             F.when(cond, F.expr(set_exprs[c]).cast(types[c]))
@@ -3131,9 +3250,9 @@ def update_where(
 
 def delete_where(
     table: VersionedTable,
-    predicates: list[tuple],
+    predicates: "list[tuple] | str",
 ) -> int:
-    """``DELETE FROM table WHERE <conjunction>`` — predicate DELETE
+    """``DELETE FROM table WHERE <predicate>`` — predicate DELETE
     (Delta's DELETE WHERE), sharing :func:`update_where`'s stats-scoped
     dir-granular copy-on-write: provably-unmatched dirs carry by
     reference, candidate dirs rewrite with only their surviving rows.
@@ -3147,11 +3266,11 @@ def delete_where(
     if not committed:
         raise ValueError(f"versioned table at {table.dir} has no commits")
     base_version = committed[-1]
-    scope, carry = _predicate_scope(table, base_version, predicates)
+    dnf, cond = _normalize_predicates(predicates)
+    scope, carry = _predicate_scope(table, base_version, dnf)
     if not scope:
         return base_version
     df = table._read_dirs(scope, base_version)
-    cond = _predicate_condition(predicates)
     kept = df.filter(~F.coalesce(cond, F.lit(False)))
     cdf_headers = None
     if table.change_data_feed_enabled():

@@ -1903,7 +1903,7 @@ def a17_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY c_mktsegment
                  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
     """,
-    tags=("W1",),
+    tags=("W1", "W10"),
 )
 def w5_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist)

@@ -514,8 +514,11 @@ class VersionedTableBatchReader(DataSourceReader):
             GreaterThan,
             GreaterThanOrEqual,
             In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
+            Not,
         )
 
         ops = {
@@ -526,12 +529,28 @@ class VersionedTableBatchReader(DataSourceReader):
             LessThanOrEqual: "<=",
             In: "in",
         }
-        for f in filters:
+
+        def _triple(f):
+            # NULL-test filters carry no value; Not(EqualTo) is the one
+            # negation whose pruning form (!=) the stats grammar bounds
+            if isinstance(f, IsNull) and len(f.attribute) == 1:
+                return (f.attribute[0], "isnull", None)
+            if isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                return (f.attribute[0], "notnull", None)
+            if isinstance(f, Not) and isinstance(f.child, EqualTo):
+                c = f.child
+                if len(c.attribute) == 1:
+                    return (c.attribute[0], "!=", c.value)
             for klass, op in ops.items():
                 if isinstance(f, klass) and len(f.attribute) == 1:
                     val = f.value if op != "in" else list(f.value)
-                    self._preds.append((f.attribute[0], op, val))
-                    break
+                    return (f.attribute[0], op, val)
+            return None
+
+        for f in filters:
+            t = _triple(f)
+            if t is not None:
+                self._preds.append(t)
             yield f  # Spark re-applies everything; we only prune dirs
 
     def partitions(self):
@@ -653,14 +672,35 @@ class VersionedTableBatchSource(DataSource):
     def reader(self, schema) -> VersionedTableBatchReader:
         return VersionedTableBatchReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool):
+        # round-13: the WRITE half — df.write.format("versioned_table")
+        # .mode("append"|"overwrite").option("tableDir", ...).save()
+        # stages per-task parquet through the S16 commit protocol and
+        # publishes via the manifest CAS (see sources/versioned_sink.py)
+        from .versioned_sink import VersionedTableWriter
+
+        return VersionedTableWriter(schema, self.options, overwrite)
+
 
 def register(spark) -> None:
+    """Register the three ``versioned_table*`` sources on the session.
+
+    Documented side effect: enables the session-wide conf
+    ``spark.sql.python.filterPushdown.enabled`` (runtime-mutable,
+    default false) when it is not already on — the batch reader
+    implements ``pushFilters()``, which pyspark refuses to PLAN while
+    the conf is off, so a vanilla session (the driver contract) could
+    not read the format at all. The conf affects every Python
+    DataSource in the session, but only gates whether pushdown is
+    OFFERED to them — a source that ignores/yields back its filters
+    plans identically, so results never change. A value already set to
+    ``true`` is left untouched."""
     spark.dataSource.register(VersionedTableStreamSource)
     spark.dataSource.register(VersionedCDFStreamSource)
-    # the batch reader implements pushFilters(), which pyspark REFUSES
-    # to plan while this (runtime-mutable, default-false) conf is off —
-    # set it here so a vanilla session (the driver contract) can read
-    # the format; the reader hands every filter back to Spark, so the
-    # conf only gates the dir-pruning optimization, never results
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        cur = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+    except Exception:  # noqa: BLE001 - conf not defined on this build
+        cur = None
+    if str(cur).lower() != "true":
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedTableBatchSource)
