@@ -210,6 +210,11 @@ HEADLINE = [
     "s44_change_feed_batch",
     "s45_versioned_batch_source",
     "s46_predicate_dml",
+    # round-13 additions
+    "s49_versioned_batch_sink",
+    "s50_disjunctive_dml",
+    "s52_position_delete_vectors",
+    "s53_sql_statement_front",
     # cdc4_stream_replicate is NOT headline: a 4-trigger streaming
     # replication loop (~8 versioned commits) is trigger-latency bound
     # at ~10 s — the gate exists for data-path regressions, not for

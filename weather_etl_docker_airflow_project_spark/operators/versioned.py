@@ -725,7 +725,8 @@ class VersionedTable:
                     "ts": self.commit_timestamp(v),
                     "op": self.commit_op(v),
                     "n_dirs": len(self._manifest(v)),
-                    "n_dvs": len(self.deletion_vectors(v)),
+                    "n_dvs": len(self.deletion_vectors(v))
+                    + len(self.position_dvs(v)),
                     "n_cols": len(schema.fields) if schema else None,
                 }
             )
@@ -786,6 +787,27 @@ class VersionedTable:
             for line in f:
                 if line.startswith("#dv="):
                     parts = line[len("#dv="):].strip().split("::")
+                    out.append({"path": parts[0], "covers": parts[1:]})
+        return out
+
+    def position_dvs(self, version: int) -> list[dict]:
+        """The version's active POSITION deletion vectors (``#pdv=``
+        header lines, round 13 — Delta's row-index bitmap DVs in
+        miniature): each is ``{"path": <(file,pos)-parquet dir>,
+        "covers": [dirs...]}``. Unlike the key-set ``#dv=`` vectors
+        (broadcast anti-joins — read cost grows with |DV|, the bound
+        SCALE.md §r12 measured), a position vector is applied as a
+        PER-FILE row mask: each scan task reads only the positions
+        covering ITS file (parquet row-group pruning on the sorted
+        ``file`` column), so read wall-clock stays FLAT as |DV| grows.
+        Column-agnostic (no keys), so renames never block on it. Same
+        scoping rule as key DVs: covers only the dirs existing at
+        creation — later appends are untouched."""
+        out = []
+        with open(os.path.join(self._versions, str(version))) as f:
+            for line in f:
+                if line.startswith("#pdv="):
+                    parts = line[len("#pdv="):].strip().split("::")
                     out.append({"path": parts[0], "covers": parts[1:]})
         return out
 
@@ -934,14 +956,16 @@ class VersionedTable:
         new_dirs = self._write_batch(df, version, colmap=colmap)
         if existing and mode == "append":
             dirs = self._manifest(existing[-1]) + new_dirs
-            # active deletion vectors ride along unchanged: they cover
-            # only the dirs they already covered, never the new batch
+            # active deletion vectors (both kinds) ride along unchanged:
+            # they cover only the dirs they already covered, never the
+            # new batch
             dvs = self.deletion_vectors(existing[-1])
+            pdvs = self.position_dvs(existing[-1])
             stats = self._stats_for_commit(
                 new_dirs, existing[-1], dirs, colmap=colmap
             )
         else:
-            dirs, dvs = new_dirs, []
+            dirs, dvs, pdvs = new_dirs, [], []
             stats = self._stats_for_commit(new_dirs, None, dirs, colmap=colmap)
         last_err: ConcurrentCommitError | None = None
         for attempt in range(5):
@@ -949,6 +973,7 @@ class VersionedTable:
                 self._publish_manifest(
                     dirs, version, schema=df.schema, dvs=dvs, stats=stats,
                     colmap=colmap, op=op or mode, extra_headers=extra_headers,
+                    pdvs=pdvs,
                 )
                 return version
             except ConcurrentCommitError as e:
@@ -977,6 +1002,7 @@ class VersionedTable:
                 version = latest + 1
                 dirs = self._manifest(latest) + new_dirs
                 dvs = self.deletion_vectors(latest)
+                pdvs = self.position_dvs(latest)
                 stats = self._stats_for_commit(
                     new_dirs, latest, dirs, colmap=colmap
                 )
@@ -1106,6 +1132,7 @@ class VersionedTable:
         colmap=None,
         op: str | None = None,
         extra_headers: list[str] | None = None,
+        pdvs=None,
     ) -> None:
         """Publish ``dirs`` as version ``version`` via the atomic
         create-if-absent CAS (``os.link``): when two writers race for the
@@ -1146,6 +1173,10 @@ class VersionedTable:
                 f.write(f"#schema={json.dumps(schema.jsonValue())}\n")
             for dv in dvs or []:
                 f.write("#dv=" + "::".join([dv["path"]] + dv["covers"]) + "\n")
+            for dv in pdvs or []:
+                f.write(
+                    "#pdv=" + "::".join([dv["path"]] + dv["covers"]) + "\n"
+                )
             if colmap is not None:
                 f.write(f"#colmap={json.dumps(colmap)}\n")
             for d in sorted(stats or {}):
@@ -1244,11 +1275,16 @@ class VersionedTable:
                 return df
 
         dvs = self.deletion_vectors(version)
-        if not dvs:
+        pdvs = self.position_dvs(version)
+        if not dvs and not pdvs:
             return _delog(reader.parquet(*dirs))
         cover_sets = [
             (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
             for dv in dvs
+        ]
+        pdv_cover = [
+            (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
+            for dv in pdvs
         ]
         groups: dict[tuple, list[str]] = {}
         for d in dirs:
@@ -1256,10 +1292,19 @@ class VersionedTable:
             covering = tuple(
                 sorted(p for p, covered in cover_sets if rd in covered)
             )
-            groups.setdefault(covering, []).append(d)
+            pcovering = tuple(
+                sorted(p for p, covered in pdv_cover if rd in covered)
+            )
+            groups.setdefault((covering, pcovering), []).append(d)
         parts = []
-        for covering, group in groups.items():
-            df = _delog(reader.parquet(*group))
+        for (covering, pcovering), group in groups.items():
+            if pcovering:
+                # POSITION vectors apply as per-file masks inside the
+                # scan task (flat in |DV|); the kernel emits LOGICAL
+                # columns, so no _delog here
+                df = self._pdv_masked_scan(group, version, pcovering)
+            else:
+                df = _delog(reader.parquet(*group))
             for dv_path in covering:
                 dv_keys = self.spark.read.parquet(dv_path).distinct()
                 # KEY-SET DV size contract: vectors are applied as
@@ -1280,6 +1325,106 @@ class VersionedTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _pdv_masked_scan(
+        self,
+        dirs: list[str],
+        version: int,
+        pdv_paths: tuple[str, ...],
+        invert: bool = False,
+    ) -> DataFrame:
+        """Scan ``dirs`` with POSITION deletion vectors applied as
+        per-file row masks (the round-13 flat-in-|DV| read): one Spark
+        task per slice of the file list; each task pyarrow-reads its
+        data file, loads ONLY the vector rows covering that file
+        (parquet filter pushdown on the sorted ``file`` column —
+        row-group pruning makes this O(positions for this file), not
+        O(|DV|)), masks, translates physical→logical names, NULL-fills
+        pre-evolution columns, and yields Arrow batches. No broadcast,
+        no join, no driver data — the scan cost is O(data) + O(its own
+        positions) per task regardless of total vector size (the
+        key-set DV bound SCALE.md §r12 measured is gone for this
+        representation). ``invert=True`` returns the rows AT the
+        positions instead (the deleted rows — the manifest-CDC leg)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        schema = self.snapshot_schema(version)
+        if schema is None:
+            raise ValueError(
+                f"position-vector read at {self.dir} needs a recorded "
+                "manifest schema (pre-tracking manifest)"
+            )
+        colmap = self.column_mapping(version) or {}
+        files = sorted(
+            os.path.join(root, fname)
+            for d in dirs
+            for root, _sub, fs in os.walk(d)
+            for fname in fs
+            if fname.endswith(".parquet")
+        )
+        spec = self.spark.createDataFrame(
+            [(f,) for f in files], "path string"
+        )
+        par = self.spark.sparkContext.defaultParallelism
+        spec = spec.repartition(max(1, min(len(files), par)))
+        # vector part files resolved ONCE at plan time (driver metadata);
+        # each task filter-reads only its file's rows from them
+        pdv_parts = [
+            os.path.join(root, fname)
+            for p in pdv_paths
+            for root, _sub, fs in os.walk(p)
+            for fname in sorted(fs)
+            if fname.endswith(".parquet")
+        ]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        phys = dict(colmap)
+        inverted = bool(invert)
+
+        def _masked(batches):
+            import os
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            for b in batches:
+                for path in b.column(0).to_pylist():
+                    tbl = pq.read_table(path)
+                    mask = np.ones(tbl.num_rows, dtype=bool)
+                    # vectors store the URI-stripped spelling Spark's
+                    # _metadata reported; match both it and realpath
+                    cand = sorted({path, os.path.realpath(path)})
+                    for part in pdv_parts:
+                        dv = pq.read_table(
+                            part,
+                            columns=["pos"],
+                            filters=[("file", "in", cand)],
+                        )
+                        pos = dv.column("pos").to_numpy()
+                        if len(pos):
+                            mask[pos[pos < tbl.num_rows]] = False
+                    if inverted:
+                        mask = ~mask
+                    cols = {}
+                    for field in arrow_schema:
+                        fname = phys.get(field.name, field.name)
+                        if fname in tbl.column_names:
+                            cols[field.name] = tbl.column(fname).cast(
+                                field.type
+                            )
+                        else:
+                            # pre-evolution file: evolved-in column
+                            # surfaces NULL (recorded-schema fill)
+                            cols[field.name] = pa.nulls(
+                                tbl.num_rows, type=field.type
+                            )
+                    out = pa.table(cols, schema=arrow_schema)
+                    if not mask.all():
+                        out = out.filter(pa.array(mask))
+                    yield from out.to_batches()
+
+        return spec.mapInArrow(_masked, schema)
 
     def read_where(
         self,
@@ -1402,7 +1547,9 @@ class VersionedTable:
                 f"versions {v_from}..{v_to} at {self.dir} cross an overwrite "
                 "commit; the delta is not an append set — re-read the snapshot"
             )
-        if self.deletion_vectors(v_from) != self.deletion_vectors(v_to):
+        if self.deletion_vectors(v_from) != self.deletion_vectors(
+            v_to
+        ) or self.position_dvs(v_from) != self.position_dvs(v_to):
             raise ValueError(
                 f"versions {v_from}..{v_to} at {self.dir} cross a "
                 "deletion-vector commit; rows were removed, so the delta "
@@ -1469,12 +1616,14 @@ class VersionedTable:
             set(self._manifest(v_from)) if v_from in committed else set()
         )
         prev_dvs = (
-            self.deletion_vectors(v_from) if v_from in committed else []
+            (self.deletion_vectors(v_from), self.position_dvs(v_from))
+            if v_from in committed
+            else ([], [])
         )
         parts: list[DataFrame] = []
         for v in sorted(c for c in committed if v_from < c <= v_to):
             cur_dirs = set(self._manifest(v))
-            cur_dvs = self.deletion_vectors(v)
+            cur_dvs = (self.deletion_vectors(v), self.position_dvs(v))
             cdf = self.cdf_path(v)
             if cdf is not None:
                 part = self.spark.read.parquet(cdf)
@@ -1632,6 +1781,8 @@ class VersionedTable:
             to_dirs = self._manifest(v)
             prev_dvs = self.deletion_vectors(prev_v)
             cur_dvs = self.deletion_vectors(v)
+            prev_pdvs = self.position_dvs(prev_v)
+            cur_pdvs = self.position_dvs(v)
             if prev_dirs <= set(to_dirs):  # append and/or DV commit
                 if keys is None:
                     raise ValueError(
@@ -1653,6 +1804,25 @@ class VersionedTable:
                     )
                     deleted = self.read_at_keys(
                         dv_keys, keys=keys, version=prev_v
+                    )
+                    parts.append(
+                        deleted.select(
+                            *keys,
+                            F.lit("delete").alias("change_type"),
+                            F.lit(v).cast("long").alias("commit_version"),
+                        )
+                    )
+                # position-vector commit: the deleted rows are exactly
+                # the rows AT the recorded (file, pos) — the generator
+                # recorded only rows visible at its base, so this leg
+                # emits no phantom deletes (inverted per-file mask scan,
+                # O(positions) work)
+                prev_pdv_paths = {dv["path"] for dv in prev_pdvs}
+                for dv in cur_pdvs:
+                    if dv["path"] in prev_pdv_paths:
+                        continue
+                    deleted = self._pdv_masked_scan(
+                        dv["covers"], v, (dv["path"],), invert=True
                     )
                     parts.append(
                         deleted.select(
@@ -1695,9 +1865,12 @@ class VersionedTable:
                 pruned = self._bucket_pruned_sides(
                     sorted(prev_dirs), to_dirs, keys
                 )
-                if pruned is not None and {
-                    dv["path"] for dv in cur_dvs
-                } - {dv["path"] for dv in prev_dvs}:
+                if pruned is not None and (
+                    {dv["path"] for dv in cur_dvs}
+                    - {dv["path"] for dv in prev_dvs}
+                    or {dv["path"] for dv in cur_pdvs}
+                    - {dv["path"] for dv in prev_pdvs}
+                ):
                     pruned = None
                 if pruned is not None:
                     old_dirs, new_dirs2 = pruned
@@ -2023,10 +2196,13 @@ def _clone_referenced_dirs(roots: list[str], skip_versions_dir: str) -> set[str]
                         line = line.strip()
                         if not line:
                             continue
-                        if line.startswith("#dv="):
-                            # a deletion vector references its key file
-                            # and every covered dir
-                            for p in line[len("#dv="):].split("::"):
+                        if line.startswith("#dv=") or line.startswith(
+                            "#pdv="
+                        ):
+                            # a deletion vector (either kind) references
+                            # its vector file and every covered dir
+                            body = line.split("=", 1)[1]
+                            for p in body.split("::"):
                                 refs.add(os.path.realpath(p))
                         elif line.startswith("#cdf="):
                             refs.add(os.path.realpath(line[len("#cdf="):]))
@@ -2103,7 +2279,7 @@ def vacuum(
     ever_referenced: set[str] = set()  # by ANY manifest, kept or dropped
     for v in committed:
         refs = set(table._manifest(v))
-        for dv in table.deletion_vectors(v):
+        for dv in table.deletion_vectors(v) + table.position_dvs(v):
             refs.add(dv["path"])
             refs.update(dv["covers"])
         cdf = table.cdf_path(v)
@@ -2475,13 +2651,14 @@ def _granular_split(
 
 def _commit_headers(table: VersionedTable, version: int) -> tuple:
     """The commit-commutation-relevant header lines of a manifest: DV
-    lines (sorted), the schema line, the colmap line. ``#ts``/``#op``/
-    ``#idhwm`` are deliberately excluded — they never affect whether a
-    rewrite's result is still valid."""
+    lines (both key-set ``#dv=`` and position ``#pdv=``, sorted), the
+    schema line, the colmap line. ``#ts``/``#op``/``#idhwm`` are
+    deliberately excluded — they never affect whether a rewrite's
+    result is still valid."""
     dv, schema, colmap = [], None, None
     with open(os.path.join(table._versions, str(version))) as f:
         for line in f:
-            if line.startswith("#dv="):
+            if line.startswith("#dv=") or line.startswith("#pdv="):
                 dv.append(line.strip())
             elif line.startswith("#schema="):
                 schema = line.strip()
@@ -2711,6 +2888,7 @@ def delete_by_keys(
                     version,
                     schema=table.snapshot_schema(base_version),
                     dvs=dvs,
+                    pdvs=table.position_dvs(base_version),
                     # data dirs are unchanged, so their recorded bounds
                     # carry: a DV only REMOVES rows, which can loosen but
                     # never invalidate a min/max bound
@@ -2780,7 +2958,7 @@ def cluster_rewrite(
     cols: list[str],
     n_chunks: int = 32,
     bits: int = 8,
-    predicate: list[tuple] | None = None,
+    predicate: "list[tuple] | str | None" = None,
     incremental: bool = False,
 ) -> int:
     """OPTIMIZE ZORDER BY — rewrite the latest snapshot (or a SCOPED
@@ -2984,6 +3162,7 @@ def cluster_rewrite(
                 # scoped read; coverage restricted to carried dirs
                 # survives (same rule as _commit_granular)
                 dvs=_restrict_dvs(table, base_version, carry),
+                pdvs=_restrict_pdvs(table, base_version, carry),
                 stats=table._stats_for_commit(
                     new_dirs, base_version, carry + new_dirs, colmap=colmap
                 ),
@@ -3010,6 +3189,18 @@ def cluster_rewrite(
     )
 
 
+def _restrict_cover(vectors: list[dict], carried: list[str]) -> list[dict]:
+    carried_real = {os.path.realpath(d) for d in carried}
+    kept = []
+    for dv in vectors:
+        covers = [
+            c for c in dv["covers"] if os.path.realpath(c) in carried_real
+        ]
+        if covers:
+            kept.append({"path": dv["path"], "covers": covers})
+    return kept
+
+
 def _restrict_dvs(
     table: VersionedTable, version: int, carried: list[str]
 ) -> list[dict]:
@@ -3018,15 +3209,15 @@ def _restrict_dvs(
     WITH their DVs applied (deletions materialize), so coverage survives
     only for dirs staying in the manifest by reference; a DV covering
     nothing disappears."""
-    carried_real = {os.path.realpath(d) for d in carried}
-    kept = []
-    for dv in table.deletion_vectors(version):
-        covers = [
-            c for c in dv["covers"] if os.path.realpath(c) in carried_real
-        ]
-        if covers:
-            kept.append({"path": dv["path"], "covers": covers})
-    return kept
+    return _restrict_cover(table.deletion_vectors(version), carried)
+
+
+def _restrict_pdvs(
+    table: VersionedTable, version: int, carried: list[str]
+) -> list[dict]:
+    """Position vectors follow the same scoped-rewrite coverage rule as
+    key-set DVs (:func:`_restrict_dvs`)."""
+    return _restrict_cover(table.position_dvs(version), carried)
 
 
 #: triple ops accepted in the legacy list-of-triples predicate form
@@ -3144,6 +3335,7 @@ def _commit_scoped_rewrite(
                 version,
                 schema=rewritten.schema,
                 dvs=_restrict_dvs(table, base_version, carry),
+                pdvs=_restrict_pdvs(table, base_version, carry),
                 stats=table._stats_for_commit(
                     new_dirs, base_version, carry + new_dirs, colmap=colmap
                 ),
@@ -3251,6 +3443,7 @@ def update_where(
 def delete_where(
     table: VersionedTable,
     predicates: "list[tuple] | str",
+    merge_on_read: bool = False,
 ) -> int:
     """``DELETE FROM table WHERE <predicate>`` — predicate DELETE
     (Delta's DELETE WHERE), sharing :func:`update_where`'s stats-scoped
@@ -3259,7 +3452,21 @@ def delete_where(
     SQL DELETE semantics: rows are removed only where the predicate is
     TRUE — UNKNOWN (NULL) keeps the row. Deleted rows ride the change
     feed when enabled. Same no-op, conflict, and DV rules as
-    update_where."""
+    update_where.
+
+    ``merge_on_read=True`` (round 13) writes a POSITION deletion vector
+    instead of rewriting anything — Delta's row-index DVs: one stats-
+    scoped scan records the ``(file, row_index)`` of every matching row
+    into a ``pdv_*`` parquet (sorted by file for row-group pruning) and
+    the commit is pure metadata over unchanged data dirs. Reads apply
+    the vector as a PER-FILE mask inside each scan task, so — unlike
+    the key-set ``#dv=`` broadcast anti-join, whose wall grows with
+    |DV| (SCALE.md §r12) — read cost stays FLAT in total vector size.
+    A scattered 10M-row delete on a 100 TB table writes O(10M)
+    positions, rewrites nothing, and leaves reads one masked pass.
+    compact()/any rewrite materializes it away; covers only the dirs
+    existing at creation (later appends untouched — DELETE-then-INSERT
+    semantics); column-agnostic, so renames never block on it."""
     from pyspark.sql import functions as F
 
     committed = table.versions()
@@ -3270,6 +3477,10 @@ def delete_where(
     scope, carry = _predicate_scope(table, base_version, dnf)
     if not scope:
         return base_version
+    if merge_on_read:
+        return _delete_where_positions(
+            table, base_version, cond, scope
+        )
     df = table._read_dirs(scope, base_version)
     kept = df.filter(~F.coalesce(cond, F.lit(False)))
     cdf_headers = None
@@ -3282,6 +3493,159 @@ def delete_where(
         ]
     return _commit_scoped_rewrite(
         table, base_version, scope, carry, kept, "delete", cdf_headers
+    )
+
+
+def _delete_where_positions(
+    table: VersionedTable,
+    base_version: int,
+    cond: Column,
+    scope: list[str],
+) -> int:
+    """Stage and publish a POSITION deletion vector for the rows in
+    ``scope`` matching ``cond`` (see :func:`delete_where`
+    ``merge_on_read=True``). The matching scan reads RAW files (prior
+    DVs not applied — re-masking an already-deleted position is
+    idempotent, and skipping the DV application keeps this one plain
+    recorded-schema scan); positions come from Spark's
+    ``_metadata.row_index`` hidden column, file identity from
+    ``_metadata.file_path`` with the ``file:`` URI prefix stripped to
+    match the manifest's plain paths."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from functools import reduce
+
+    spark = table.spark
+    schema = table.snapshot_schema(base_version)
+    if schema is None:
+        raise ValueError(
+            f"position-vector delete at {table.dir} needs a recorded "
+            "manifest schema (pre-tracking manifest) — commit once first"
+        )
+    colmap = table.column_mapping(base_version) or {}
+    reader = spark.read
+    if colmap:
+        reader = reader.schema(
+            StructType(
+                [
+                    StructField(colmap[f.name], f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+        )
+    else:
+        reader = reader.schema(schema)
+
+    # VISIBLE rows with their (file, row_index) identity: prior vectors
+    # of BOTH kinds are applied per coverage group exactly like
+    # _read_dirs, so the recorded positions are exactly the rows this
+    # DELETE removes — the change feed and manifest-CDC emit no phantom
+    # deletes for rows an earlier vector already hid. The anti-joins
+    # cost O(prior |DV|) once, at DELETE time — never at read time.
+    dvs = table.deletion_vectors(base_version)
+    pdvs = table.position_dvs(base_version)
+    cover_sets = [
+        (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
+        for dv in dvs
+    ]
+    pdv_cover = [
+        (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
+        for dv in pdvs
+    ]
+    groups: dict[tuple, list[str]] = {}
+    for d in scope:
+        rd = os.path.realpath(d)
+        key = (
+            tuple(sorted(p for p, cc in cover_sets if rd in cc)),
+            tuple(sorted(p for p, cc in pdv_cover if rd in cc)),
+        )
+        groups.setdefault(key, []).append(d)
+    parts = []
+    for (cov, pcov), group in groups.items():
+        part = reader.parquet(*group).select(
+            F.regexp_replace(
+                F.col("_metadata.file_path").cast("string"), "^file:(//)?", ""
+            ).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+            *[
+                F.col(colmap.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+        )
+        for dv_path in cov:
+            dv_keys = spark.read.parquet(dv_path).distinct()
+            part = part.join(
+                F.broadcast(dv_keys), list(dv_keys.columns), "left_anti"
+            )
+        for p in pcov:
+            prior = spark.read.parquet(p).select("file", "pos").distinct()
+            part = part.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+        parts.append(part)
+    logical = reduce(lambda a, b: a.unionByName(b), parts)
+    matched = logical.filter(cond)
+    version = base_version + 1
+    pdv_dir = os.path.join(table._data, f"pdv_{version}_{uuid.uuid4().hex[:8]}")
+    (
+        matched.select("file", "pos")
+        .sort("file", "pos")  # row-group pruning on the per-file reads
+        .write.mode("overwrite")
+        .parquet(pdv_dir)
+    )
+    # no-match => no-op (no empty commit), decided from the staged
+    # vector's own footers — zero extra jobs
+    import pyarrow.parquet as pq
+
+    n_positions = sum(
+        pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+        for root, _sub, fs in os.walk(pdv_dir)
+        for fname in fs
+        if fname.endswith(".parquet")
+    )
+    if n_positions == 0:
+        import shutil
+
+        shutil.rmtree(pdv_dir, ignore_errors=True)
+        return base_version
+    cdf_headers = None
+    if table.change_data_feed_enabled():
+        # the visible-rows scan already exists — the feed is its
+        # matched rows minus the position identity
+        change_df = matched.drop("file", "pos").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        cdf_headers = [f"#cdf={table._stage_cdf(change_df, version)}"]
+    scope_dirs = list(scope)
+    for _attempt in range(5):
+        try:
+            table._publish_manifest(
+                table._manifest(base_version),
+                version,
+                schema=table.snapshot_schema(base_version),
+                dvs=table.deletion_vectors(base_version),
+                pdvs=table.position_dvs(base_version)
+                + [{"path": pdv_dir, "covers": scope_dirs}],
+                # data dirs unchanged: recorded bounds stay valid (a DV
+                # only removes rows — bounds loosen, never break)
+                stats=table.dir_stats(base_version) or None,
+                colmap=table.column_mapping(base_version),
+                op="delete (merge-on-read)",
+                extra_headers=cdf_headers,
+            )
+            return version
+        except ConcurrentCommitError:
+            # commutes with interlopers that left every SCOPE dir in
+            # place (pure appends, disjoint granular rewrites): our
+            # positions reference immutable files that are still
+            # referenced. An interloper that REWROTE a scope dir read
+            # it without our pending vector — hard conflict.
+            rebase = _commuting_rebase(table, base_version, scope_dirs, None)
+            if rebase is None:
+                raise
+            base_version = rebase[0]
+            version = base_version + 1
+    raise ConcurrentCommitError(
+        f"merge-on-read delete at {table.dir} lost 5 publish races; re-run"
     )
 
 
@@ -3478,6 +3842,7 @@ def rename_column(table: VersionedTable, old: str, new: str) -> int:
         base + 1,
         schema=new_schema,
         dvs=table.deletion_vectors(base),
+        pdvs=table.position_dvs(base),
         stats=stats,
         colmap=colmap,
         op="rename_column",
@@ -3540,6 +3905,7 @@ def drop_column(table: VersionedTable, col: str) -> int:
         base + 1,
         schema=new_schema,
         dvs=table.deletion_vectors(base),
+        pdvs=table.position_dvs(base),
         stats=stats,
         colmap=colmap,
         op="drop_column",
@@ -3579,6 +3945,7 @@ def restore(table: VersionedTable, to_version: int) -> int:
         return_version,
         schema=table.snapshot_schema(to_version),
         dvs=table.deletion_vectors(to_version),
+        pdvs=table.position_dvs(to_version),
         stats=table.dir_stats(to_version) or None,
         colmap=table.column_mapping(to_version),
         op=f"restore (to v{to_version})",
@@ -3632,13 +3999,21 @@ def clone(
         }
         for dv in table.deletion_vectors(v)
     ]
+    pdvs = [
+        {
+            "path": os.path.realpath(dv["path"]),
+            "covers": [os.path.realpath(c) for c in dv["covers"]],
+        }
+        for dv in table.position_dvs(v)
+    ]
     stats = {
         os.path.realpath(d): s for d, s in table.dir_stats(v).items()
     } or None
     try:
         src_hwm = table._latest_idhwm_line()
         target._publish_manifest(
-            dirs, 1, schema=table.snapshot_schema(v), dvs=dvs, stats=stats,
+            dirs, 1, schema=table.snapshot_schema(v), dvs=dvs, pdvs=pdvs,
+            stats=stats,
             colmap=table.column_mapping(v),
             op=f"clone (of v{v})",
             extra_headers=[src_hwm] if src_hwm else None,

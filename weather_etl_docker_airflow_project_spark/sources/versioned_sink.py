@@ -325,11 +325,12 @@ class VersionedTableWriter(DataSourceArrowWriter):
             if self._mode == "append" and latest is not None:
                 dirs = table._manifest(latest) + new_dirs
                 dvs = table.deletion_vectors(latest)
+                pdvs = table.position_dvs(latest)
                 stats = table._stats_for_commit(
                     new_dirs, latest, dirs, colmap=self._colmap
                 )
             else:
-                dirs, dvs = new_dirs, []
+                dirs, dvs, pdvs = new_dirs, [], []
                 stats = table._stats_for_commit(
                     new_dirs, None, new_dirs, colmap=self._colmap
                 )
@@ -340,6 +341,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     version,
                     schema=schema,
                     dvs=dvs,
+                    pdvs=pdvs,
                     stats=stats,
                     colmap=self._colmap,
                     op=self._mode,

@@ -50,16 +50,23 @@ class _FileSlice(InputPartition):
 def _parquet_files(d: str) -> list[str]:
     out = []
     for root, _sub, files in os.walk(d):
-        for f in sorted(files):
+        for f in files:
             if f.endswith(".parquet"):
                 out.append(os.path.join(root, f))
-    return out
+    # fully sorted (os.walk's subdir order is OS-arbitrary): offsets
+    # that SPLIT a commit's file list rely on a stable enumeration
+    return sorted(out)
 
 
 def _dv_lines(table: VersionedTable, version: int) -> set[str]:
+    # both vector kinds count: a position-vector commit changes visible
+    # rows without touching dirs, exactly like a key-set DV commit
     return {
         dv["path"] + "::" + "::".join(dv["covers"])
         for dv in table.deletion_vectors(version)
+    } | {
+        "pdv::" + dv["path"] + "::" + "::".join(dv["covers"])
+        for dv in table.position_dvs(version)
     }
 
 
@@ -78,8 +85,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._per_batch = int(options.get("maxversionsperbatch", 0))
+        # round-13 (r12 verdict item 6): pace by FILES, not only commit
+        # count — offsets can split one huge commit across micro-batches
+        self._per_batch_files = int(options.get("maxfilesperbatch", 0))
         self._pace_dir = options.get("pacestatedir")
-        self._last_end = None
+        self._last_end: tuple[int, int] | None = None
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
@@ -92,55 +102,120 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             self._table.column_mapping(committed[-1]) if committed else None
         ) or {}
 
-    def initialOffset(self) -> dict:
-        return {"version": self._start}
+    @staticmethod
+    def _off_tuple(offset: dict) -> tuple[int, int]:
+        """(version, files): commits <= version are fully delivered,
+        PLUS the first ``files`` delta files of the SUCCESSOR commit
+        (``files > 0`` = a split commit in flight — stable because file
+        enumeration is fully sorted and data dirs are immutable). The
+        encoding is chosen so plain tuple order IS delivery order:
+        (v, 0) < (v, k) < (v+1, 0)."""
+        return (offset["version"], offset.get("files", 0))
 
-    def _load_pace_floor(self) -> int | None:
+    def initialOffset(self) -> dict:
+        return {"version": self._start, "files": 0}
+
+    def _succ(self, v: int) -> int | None:
+        """The smallest committed version above ``v`` (the split-commit
+        identity for a mid-commit offset)."""
+        later = [c for c in self._table.versions() if c > v]
+        return later[0] if later else None
+
+    def _load_pace_floor(self) -> tuple[int, int] | None:
         if self._pace_dir is None:
             return None
         try:
             with open(os.path.join(self._pace_dir, "floor")) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+                raw = f.read().strip()
+        except FileNotFoundError:
+            return None
+        try:
+            if raw.startswith("{"):
+                import json
+
+                d = json.loads(raw)
+                return (int(d["version"]), int(d.get("files", 0)))
+            return (int(raw), 0)  # pre-r13 floor file: version only
+        except (ValueError, KeyError):
             return None
 
-    def _save_pace_floor(self, v: int) -> None:
+    def _save_pace_floor(self, off: tuple[int, int]) -> None:
         if self._pace_dir is None:
             return
+        import json
+
         os.makedirs(self._pace_dir, exist_ok=True)
         tmp = os.path.join(self._pace_dir, ".floor.tmp")
         with open(tmp, "w") as f:
-            f.write(str(v))
+            f.write(json.dumps({"version": off[0], "files": off[1]}))
         os.replace(tmp, os.path.join(self._pace_dir, "floor"))
 
     def latestOffset(self) -> dict:
         committed = self._table.versions()
         latest = committed[-1] if committed else self._start
         latest = max(latest, self._start)
+        paced = self._per_batch > 0 or self._per_batch_files > 0
+        if not paced:
+            end = (latest, 0)
+            self._last_end = max(self._last_end or (0, 0), end)
+            return {"version": end[0], "files": end[1]}
+        # pacing: advance at most k commits and/or m files per trigger
+        # so a drain exercises real multi-batch replay. The floor must
+        # SURVIVE a checkpoint restart: a fresh reader pacing from
+        # startingVersion would report an offset BELOW the engine's
+        # recovered offset, the offset log would step backward, and
+        # already-delivered versions would re-deliver under new batch
+        # ids (a real duplicate the restart pytest caught — 280 rows
+        # from a 240-row table). ``paceStateDir`` (point it inside the
+        # query's checkpoint dir) persists the floor across restarts;
+        # without it, a paced RESTART is refused in partitions() rather
+        # than allowed to duplicate.
+        #
+        # IDEMPOTENCE (round-13 lesson): the floor advances only when
+        # partitions() actually PLANS a batch — the engine may invoke
+        # latestOffset more than once per trigger (progress reporting),
+        # and a floor ratcheted here would silently merge several pacing
+        # steps into one oversized batch.
+        floor = self._last_end
+        persisted = self._load_pace_floor()
+        if persisted is not None:
+            floor = max(floor or (0, 0), persisted)
+        if floor is None:
+            floor = (self._start, 0)
+        v_hi = latest
         if self._per_batch > 0:
-            # pacing: advance at most k commits per trigger so a drain
-            # exercises real multi-batch replay. The floor must SURVIVE
-            # a checkpoint restart: a fresh reader pacing from
-            # startingVersion would report an offset BELOW the engine's
-            # recovered offset, the offset log would step backward, and
-            # already-delivered versions would re-deliver under new
-            # batch ids (a real duplicate the restart pytest caught —
-            # 280 rows from a 240-row table). ``paceStateDir`` (point it
-            # inside the query's checkpoint dir) persists the floor
-            # across restarts; without it, a paced RESTART is refused in
-            # partitions() rather than allowed to duplicate.
-            floor = self._last_end
-            persisted = self._load_pace_floor()
-            if persisted is not None:
-                floor = max(floor or 0, persisted)
-            if floor is None:
-                floor = self._start
-            latest = min(latest, floor + self._per_batch)
-            self._save_pace_floor(latest)
-        self._last_end = max(latest, self._last_end or 0)
-        return {"version": latest}
+            # a mid-commit floor's in-flight successor counts as the
+            # first budgeted commit, so floor[0] + per_batch bounds both
+            # cases uniformly under this offset encoding
+            v_hi = min(latest, floor[0] + self._per_batch)
+        if self._per_batch_files <= 0:
+            end = (v_hi, 0) if (v_hi, 0) > floor else floor
+        else:
+            deltas = self._delta_slices(floor[0], max(v_hi, floor[0]))
+            budget = self._per_batch_files
+            end = floor
+            prev_done = floor[0]
+            first_v = deltas[0][0] if deltas else None
+            for v, slices in deltas:
+                skip = floor[1] if (floor[1] > 0 and v == first_v) else 0
+                avail = len(slices) - skip
+                if avail <= budget:
+                    budget -= avail
+                    end = (v, 0)
+                    prev_done = v
+                    if budget == 0:
+                        break
+                else:
+                    end = (prev_done, skip + budget)
+                    break
+            if end < floor:
+                end = floor
+        return {"version": end[0], "files": end[1]}
 
-    def _added_dirs(self, v_from: int, v_to: int) -> list[str]:
+    def _delta_dirs(self, v_from: int, v_to: int) -> list[tuple[int, list[str]]]:
+        """Per-commit added dirs in ``(v_from, v_to]`` — the append-
+        stream contract: raises on non-append commits (removed dirs or
+        changed deletion vectors) unless ``ignoreChanges``."""
         committed = set(self._table.versions())
         if v_from != 0 and v_from not in committed:
             # the stream's last committed offset was VACUUMED out of the
@@ -162,8 +237,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         prev_dvs = (
             _dv_lines(self._table, v_from) if v_from in committed else set()
         )
-        added: list[str] = []
-        prev = v_from
+        out: list[tuple[int, list[str]]] = []
         for v in sorted(c for c in committed if v_from < c <= v_to):
             cur_dirs = set(self._table._manifest(v))
             cur_dvs = _dv_lines(self._table, v)
@@ -183,35 +257,59 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             # trade); only the removal itself is invisible to an
             # append stream. A DV commit adds no dirs, so it
             # contributes nothing either way.
-            added.extend(sorted(cur_dirs - prev_dirs))
-            prev_dirs, prev_dvs, prev = cur_dirs, cur_dvs, v
-        return added
+            out.append((v, sorted(cur_dirs - prev_dirs)))
+            prev_dirs, prev_dvs = cur_dirs, cur_dvs
+        return out
+
+    def _added_dirs(self, v_from: int, v_to: int) -> list[str]:
+        return [d for _v, ds in self._delta_dirs(v_from, v_to) for d in ds]
+
+    def _delta_slices(
+        self, v_from: int, v_to: int
+    ) -> list[tuple[int, list[InputPartition]]]:
+        """Per-commit InputPartitions (one per parquet FILE, fully
+        sorted) — the unit both pacing dials and split-commit offsets
+        count in."""
+        return [
+            (v, [_FileSlice(f) for d in ds for f in _parquet_files(d)])
+            for v, ds in self._delta_dirs(v_from, v_to)
+        ]
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        if end["version"] < start["version"]:
+        s, e = self._off_tuple(start), self._off_tuple(end)
+        if e < s:
             # only reachable when a PACED query was restarted without
             # paceStateDir: the fresh floor reported an offset below the
             # engine's recovered one. Refuse loudly — committing the
             # backward offset would re-deliver versions under new batch
             # ids (silent duplicates)
             raise ValueError(
-                f"paced offset {end['version']} is behind the recovered "
-                f"offset {start['version']} — a restarted paced query "
+                f"paced offset {e} is behind the recovered "
+                f"offset {s} — a restarted paced query "
                 "needs .option('paceStateDir', <dir inside the "
                 "checkpoint>) so the pacing floor survives restarts "
-                "(or drop maxVersionsPerBatch)"
+                "(or drop maxVersionsPerBatch/maxFilesPerBatch)"
             )
-        # planned ranges reveal the engine's real offset position —
-        # never pace below it
-        self._last_end = max(
-            self._last_end or 0, start["version"], end["version"]
-        )
-        dirs = self._added_dirs(start["version"], end["version"])
-        parts = [_FileSlice(f) for d in dirs for f in _parquet_files(d)]
+        # planned ranges reveal the engine's real offset position — the
+        # pacing floor ratchets HERE (a real batch is being planned),
+        # never in latestOffset
+        self._last_end = max(self._last_end or (0, 0), s, e)
+        self._save_pace_floor(self._last_end)
+        # a mid-commit endpoint names files of its SUCCESSOR commit
+        s_split = self._succ(s[0]) if s[1] > 0 else None
+        e_hi = (self._succ(e[0]) or e[0]) if e[1] > 0 else e[0]
+        parts: list[InputPartition] = []
+        for v, slices in self._delta_slices(s[0], e_hi):
+            lo = s[1] if v == s_split else 0
+            hi = e[1] if (e[1] > 0 and v == e_hi) else len(slices)
+            parts.extend(slices[lo:hi])
         # an empty micro-batch is legal (e.g. every windowed commit was
         # skipped under ignoreChanges) but the API needs >= 1 partition;
         # a sentinel with no path yields zero rows
-        return parts or [_FileSlice("")]
+        return parts or [self._empty_slice()]
+
+    def _empty_slice(self) -> InputPartition:
+        return _FileSlice("")
 
     def read(self, partition: _FileSlice):
         if not partition.path:
@@ -243,7 +341,14 @@ class VersionedTableStreamSource(DataSource):
     ``ignoreChanges`` (Delta semantics: non-append commits stop raising;
     their new dirs are still delivered — possible duplicates — and
     removals/DV deletes stay invisible),
-    ``maxVersionsPerBatch`` (pace a drain into real multi-batch replay; a PACED query that must survive checkpoint restarts also needs ``paceStateDir`` — a dir inside its checkpoint — so the pacing floor persists; without it a paced restart is refused rather than allowed to re-deliver).
+    ``maxVersionsPerBatch`` (pace a drain into real multi-batch replay),
+    ``maxFilesPerBatch`` (round 13: pace by FILES — offsets carry a
+    ``files`` cursor so one huge commit SPLITS across micro-batches
+    instead of landing whole, Delta's ``maxFilesPerTrigger``; both dials
+    compose). A PACED query that must survive checkpoint restarts also
+    needs ``paceStateDir`` — a dir inside its checkpoint — so the pacing
+    floor persists; without it a paced restart is refused rather than
+    allowed to re-deliver.
     The stream's schema is the table's RECORDED manifest schema (the
     ``#schema=`` header riding every commit) — resolved once at plan
     time, O(1) metadata."""
@@ -310,19 +415,9 @@ class VersionedCDFStreamReader(VersionedTableStreamReader):
 
     META_COLS = ("_change_type", "_commit_version")
 
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        if end["version"] < start["version"]:
-            raise ValueError(
-                f"paced offset {end['version']} is behind the recovered "
-                f"offset {start['version']} — a restarted paced query "
-                "needs .option('paceStateDir', <dir inside the "
-                "checkpoint>) so the pacing floor survives restarts "
-                "(or drop maxVersionsPerBatch)"
-            )
-        self._last_end = max(
-            self._last_end or 0, start["version"], end["version"]
-        )
-        v_from, v_to = start["version"], end["version"]
+    def _delta_slices(
+        self, v_from: int, v_to: int
+    ) -> list[tuple[int, list[InputPartition]]]:
         committed = self._table.versions()
         if v_from != 0 and v_from not in committed:
             raise ValueError(
@@ -351,21 +446,22 @@ class VersionedCDFStreamReader(VersionedTableStreamReader):
         prev_dvs = (
             _dv_lines(self._table, v_from) if v_from in committed else set()
         )
-        parts: list[InputPartition] = []
+        out: list[tuple[int, list[InputPartition]]] = []
         for v in sorted(c for c in committed if v_from < c <= v_to):
             cur_dirs = set(self._table._manifest(v))
             cur_dvs = _dv_lines(self._table, v)
             cdf = self._table.cdf_path(v)
+            slices: list[InputPartition] = []
             if cdf is not None:
-                parts.extend(
+                slices = [
                     _CDFSlice(f, v, "cdf") for f in _parquet_files(cdf)
-                )
+                ]
             elif not (prev_dirs - cur_dirs) and cur_dvs == prev_dvs:
-                parts.extend(
+                slices = [
                     _CDFSlice(f, v, "insert")
                     for d in sorted(cur_dirs - prev_dirs)
                     for f in _parquet_files(d)
-                )
+                ]
             elif self._table.commit_op(v) in ("compact", "zorder"):
                 pass  # row-preserving rewrite: dataChange=false, skip
             else:
@@ -376,8 +472,12 @@ class VersionedCDFStreamReader(VersionedTableStreamReader):
                     "feed() before row-changing writes, or use the batch "
                     "read_changes_cdc"
                 )
+            out.append((v, slices))
             prev_dirs, prev_dvs = cur_dirs, cur_dvs
-        return parts or [_CDFSlice("", 0, "insert")]
+        return out
+
+    def _empty_slice(self) -> InputPartition:
+        return _CDFSlice("", 0, "insert")
 
     def read(self, partition: _CDFSlice):
         if not partition.path:
@@ -418,10 +518,11 @@ class VersionedCDFStreamSource(DataSource):
     """``spark.readStream.format("versioned_cdf_stream")`` — the
     streaming row-level change feed (Delta's ``readChangeFeed``).
     Options: ``tableDir`` (required), ``startingVersion``,
-    ``maxVersionsPerBatch`` + ``paceStateDir`` (same pacing contract as
-    `versioned_table_stream`). Schema: the table's recorded manifest
-    schema plus ``_change_type`` (string) and ``_commit_version``
-    (long)."""
+    ``maxVersionsPerBatch`` / ``maxFilesPerBatch`` + ``paceStateDir``
+    (same pacing contract as `versioned_table_stream` — file pacing
+    splits a large commit's cdf/insert file list across micro-batches).
+    Schema: the table's recorded manifest schema plus ``_change_type``
+    (string) and ``_commit_version`` (long)."""
 
     @classmethod
     def name(cls) -> str:
@@ -465,9 +566,10 @@ class VersionedCDFStreamSource(DataSource):
 
 
 class _BatchSlice(InputPartition):
-    def __init__(self, path: str, dv_paths: list[str]):
+    def __init__(self, path: str, dv_paths: list[str], pdv_paths: list[str]):
         self.path = path
         self.dv_paths = dv_paths  # DV key files covering this file's dir
+        self.pdv_paths = pdv_paths  # position-vector files covering it
 
 
 class VersionedTableBatchReader(DataSourceReader):
@@ -577,22 +679,50 @@ class VersionedTableBatchReader(DataSourceReader):
             (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
             for dv in dvs
         ]
+        pcover = [
+            (dv["path"], {os.path.realpath(c) for c in dv["covers"]})
+            for dv in self._table.position_dvs(self._version)
+        ]
         parts = []
         for d in dirs:
             rd = os.path.realpath(d)
             covering = sorted(p for p, cs in cover if rd in cs)
-            parts.extend(
-                _BatchSlice(f, covering) for f in _parquet_files(d)
+            pcovering = sorted(
+                _parquet_files(p)  # vector PART files, resolved at plan
+                for p, cs in pcover
+                if rd in cs
             )
-        return parts or [_BatchSlice("", [])]
+            pflat = [f for fs in pcovering for f in fs]
+            parts.extend(
+                _BatchSlice(f, covering, pflat) for f in _parquet_files(d)
+            )
+        return parts or [_BatchSlice("", [], [])]
 
     def read(self, partition: _BatchSlice):
         if not partition.path:
             return
+        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        if partition.pdv_paths:
+            # POSITION vectors: per-file row mask — this task reads only
+            # the positions covering ITS file (row-group pruning on the
+            # sorted `file` column), flat in total |DV|
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            cand = sorted(
+                {partition.path, os.path.realpath(partition.path)}
+            )
+            for part in partition.pdv_paths:
+                dv = pq.read_table(
+                    part, columns=["pos"], filters=[("file", "in", cand)]
+                )
+                pos = dv.column("pos").to_numpy()
+                if len(pos):
+                    mask[pos[pos < tbl.num_rows]] = False
+            if not mask.all():
+                tbl = tbl.filter(pa.array(mask))
         cols = {}
         for field in self._arrow_schema:
             fname = self._phys.get(field.name, field.name)

@@ -582,6 +582,7 @@ def drain_versioned_source(
     ignore_changes: bool = False,
     timeout: float = 300.0,
     source_format: str = "versioned_table_stream",
+    max_files_per_batch: int = 0,
 ) -> tuple[DataFrame, int]:
     """Drain a `versioned_table_stream` source (sources/versioned_stream
     — the read half of the lakehouse streaming loop) to a memory sink,
@@ -608,6 +609,7 @@ def drain_versioned_source(
         .option("startingVersion", str(starting_version))
         .option("ignoreChanges", "true" if ignore_changes else "false")
         .option("maxVersionsPerBatch", str(per_batch))
+        .option("maxFilesPerBatch", str(max_files_per_batch))
         # pacing floor rides the checkpoint so even a restarted drain
         # could never step its offset backward (source contract)
         .option("paceStateDir", os.path.join(ckpt, "pace"))
@@ -637,7 +639,11 @@ def drain_versioned_source(
                             import ast as _ast
 
                             eo = _ast.literal_eval(eo)
-                    if eo["version"] >= target:
+                    done = eo["version"] > target or (
+                        eo["version"] == target
+                        and eo.get("files", 0) == 0
+                    )  # a file-paced offset can sit MID-commit at target
+                    if done:
                         break
             if q.exception() is not None:
                 raise q.exception()
@@ -663,6 +669,7 @@ def drain_versioned_cdf(
     per_batch: int = 1,
     starting_version: int = 0,
     timeout: float = 300.0,
+    max_files_per_batch: int = 0,
 ) -> tuple[DataFrame, int]:
     """Drain the ROW-LEVEL streaming change feed (t23,
     `sources/versioned_stream.VersionedCDFStreamSource` — Delta's
@@ -679,6 +686,7 @@ def drain_versioned_cdf(
         starting_version=starting_version,
         timeout=timeout,
         source_format="versioned_cdf_stream",
+        max_files_per_batch=max_files_per_batch,
     )
 
 
