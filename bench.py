@@ -220,6 +220,9 @@ HEADLINE = [
     # at ~10 s — the gate exists for data-path regressions, not for
     # counting micro-batch round-trips; its scale story is t23's +
     # SCALE.md §r12, its correctness the driver window row.
+    # t24_stream_versioned_sink likewise (a full stream start/drain
+    # ~13 s of trigger+startup latency; the sink's data path IS s49's,
+    # which is headline).
     # s48_incremental_compact likewise: 6 sequential commits by
     # construction (base + 4 one-row drips + a tail batch — commit
     # latency dominated at sf0.1); the compaction

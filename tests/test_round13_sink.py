@@ -363,3 +363,31 @@ def test_vanilla_overwrite_empty_truncates(spark, tmp_path):
     _vw(_kv(spark, 0, 10).filter("k < 0"), tdir, mode="overwrite")
     t = VersionedTable(spark, tdir)
     assert t.read().count() == 0 and t.read(version=1).count() == 10
+
+
+def test_vanilla_merge_schema_appends_additively(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    _vw(_kv(spark, 0, 10), tdir)
+    evolved = spark.range(10, 15).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        F.lit("en").alias("lang"),
+    )
+    # without the option: refused with a pointer to it
+    with pytest.raises(Exception, match="mergeSchema"):
+        _vw(evolved, tdir)
+    evolved.write.format("versioned_table").mode("append").option(
+        "tableDir", tdir
+    ).option("mergeSchema", "true").save()
+    t = VersionedTable(spark, tdir)
+    snap = t.read()
+    assert snap.columns == ["k", "v", "lang"]
+    # pre-evolution rows NULL-fill the evolved-in column
+    assert snap.filter("lang IS NULL").count() == 10
+    assert snap.filter("lang = 'en'").count() == 5
+    # non-additive shapes stay refused
+    narrowed = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(Exception, match="additive"):
+        narrowed.write.format("versioned_table").mode("append").option(
+            "tableDir", tdir
+        ).option("mergeSchema", "true").save()

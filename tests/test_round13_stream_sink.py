@@ -1,0 +1,161 @@
+"""Round-13 gates: the vanilla STREAMING sink
+(``writeStream.format("versioned_table")`` →
+``sources/versioned_sink.VersionedTableStreamWriter``) — one atomic
+append commit per micro-batch, #sbatch-header exactly-once against
+redelivery, checkpoint-restart continuation, constraint enforcement
+executor-side, and interop with library readers."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators.versioned import (
+    VersionedTable,
+)
+from weather_etl_docker_airflow_project_spark.sources.versioned_sink import (
+    VersionedTableStreamWriter,
+)
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    from weather_etl_docker_airflow_project_spark.sources import (
+        versioned_stream,
+    )
+
+    versioned_stream.register(spark)
+
+
+def _drop(srcdir, name, lo, hi):
+    with open(os.path.join(srcdir, name), "w") as f:
+        for k in range(lo, hi):
+            f.write('{"k": %d, "v": %f}\n' % (k, k * 1.0))
+
+
+def _stream(spark, srcdir, tdir, ck):
+    return (
+        spark.readStream.schema("k bigint, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(srcdir)
+        .writeStream.format("versioned_table")
+        .option("tableDir", tdir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_stream_sink_commit_per_batch_and_restart(spark, tmp_path):
+    srcdir = str(tmp_path / "src")
+    os.makedirs(srcdir)
+    for i in range(3):
+        _drop(srcdir, f"f{i}.json", i * 10, (i + 1) * 10)
+    tdir, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    q = _stream(spark, srcdir, tdir, ck)
+    assert q.awaitTermination(180)
+    t = VersionedTable(spark, tdir)
+    assert t.versions() == [1, 2, 3]  # one commit per micro-batch
+    assert [h.get("op") for h in t.history()] == ["stream append"] * 3
+    assert t.read().count() == 30
+    # restart from the same checkpoint with one more file: continuation
+    # is exactly-once (no replays of batches 0-2)
+    _drop(srcdir, "f3.json", 30, 40)
+    q2 = _stream(spark, srcdir, tdir, ck)
+    assert q2.awaitTermination(180)
+    assert sorted(r.k for r in t.read().collect()) == list(range(40))
+    assert t.versions() == [1, 2, 3, 4]
+
+
+def _task_batches(spark, t, rows):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    asch = to_arrow_schema(t.snapshot_schema(t.versions()[-1]))
+    return iter(
+        [
+            pa.record_batch(
+                [pa.array(c, type=f.type) for c, f in zip(rows, asch)],
+                schema=asch,
+            )
+        ]
+    )
+
+
+def test_stream_sink_redelivery_is_noop(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    )
+    w = VersionedTableStreamWriter(
+        t.snapshot_schema(1), {"tabledir": t.dir}, False
+    )
+    msg = w.write(_task_batches(spark, t, [[100], [2.0]]))
+    w.commit([msg], 7)
+    assert t.read().count() == 6
+    # the SAME batch id redelivered (crash between sink commit and
+    # checkpoint advance): no-op, staged files dropped
+    msg2 = w.write(_task_batches(spark, t, [[100], [2.0]]))
+    staged = msg2.root
+    w.commit([msg2], 7)
+    assert t.read().count() == 6
+    assert not os.path.exists(staged)
+    # the NEXT id commits normally
+    msg3 = w.write(_task_batches(spark, t, [[101], [3.0]]))
+    w.commit([msg3], 8)
+    assert t.read().count() == 7
+
+
+def test_stream_sink_empty_batch_publishes_nothing(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(3).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    )
+    w = VersionedTableStreamWriter(
+        t.snapshot_schema(1), {"tabledir": t.dir}, False
+    )
+    w.commit([], 0)
+    assert t.versions() == [1]
+
+
+def test_stream_sink_enforces_constraints(spark, tmp_path):
+    srcdir = str(tmp_path / "src")
+    os.makedirs(srcdir)
+    _drop(srcdir, "bad.json", -5, 5)  # negative keys violate
+    tdir = str(tmp_path / "t")
+    t = VersionedTable(spark, tdir)
+    t.set_constraints(["k >= 0"])
+    q = _stream(spark, srcdir, tdir, str(tmp_path / "ck"))
+    with pytest.raises(Exception, match="CHECK constraint"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    assert t.versions() == []  # nothing published
+
+
+def test_stream_sink_interops_with_library_and_granular_merge(spark, tmp_path):
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        merge_upsert,
+    )
+
+    srcdir = str(tmp_path / "src")
+    os.makedirs(srcdir)
+    _drop(srcdir, "a.json", 0, 50)
+    tdir = str(tmp_path / "t")
+    t = VersionedTable(spark, tdir)
+    t.set_layout(["k"], 4)  # streamed rows must bucket correctly
+    q = _stream(spark, srcdir, tdir, str(tmp_path / "ck"))
+    assert q.awaitTermination(180)
+    dirs = t._manifest(t.versions()[-1])
+    assert all("bkt=" in d for d in dirs)
+    v = merge_upsert(
+        t,
+        spark.createDataFrame([(7, 99.0)], "k bigint, v double"),
+        ["k"],
+    )
+    snap = {r.k: r.v for r in t.read().collect()}
+    assert snap[7] == 99.0 and len(snap) == 50
+    assert len(set(dirs) & set(t._manifest(v))) > 0  # granular carry

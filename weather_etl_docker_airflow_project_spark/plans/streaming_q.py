@@ -950,3 +950,84 @@ def t23_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+@query(
+    "t24_stream_versioned_sink",
+    oracle="""
+    WITH seq AS (SELECT unnest(generate_series(0, 299)) AS i),
+    feed AS (
+      SELECT (i % 2) AS station_id, (i // 2) AS obs_seq,
+             ((i % 2) * 1000003 + (i // 2) * 7919) % 60000 - 20000 AS temp_c_milli,
+             ['N','NE','E','SE','S','SW','W','NW'][((i % 2) + (i // 2)) % 8 + 1]
+                 AS wind_dir
+      FROM seq)
+    SELECT wind_dir,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(temp_c_milli) AS BIGINT) AS sum_temp,
+           CAST(min(obs_seq) AS BIGINT) AS first_seq
+    FROM feed GROUP BY wind_dir
+    ORDER BY wind_dir
+    """,
+    tags=("T24", "T20", "S49", "T15", "S45"),
+)
+def t24_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vanilla STREAMING sink over the versioned format
+    (`sources/versioned_sink.VersionedTableStreamWriter` —
+    ``df.writeStream.format("versioned_table")``, round-13 T24): every
+    non-empty micro-batch lands as one atomic append COMMIT through the
+    same staging/CAS/rebase machinery as the S49 batch sink, closing
+    the vanilla lakehouse streaming loop (readStream t22/t23 +
+    writeStream, zero library imports). Exactly-once against
+    foreachBatch-style redelivery rides an ``#sbatch=`` micro-batch-id
+    header on the commit CAS (replayed ids no-op — engine-asserted in
+    tests/test_round13_stream_sink.py along with a mid-stream
+    checkpoint restart). Here: the closed-form station feed (2 stations
+    x 150 obs) drains availableNow into a versioned table; the engine
+    asserts the commit op is ``stream append`` and the declared output
+    re-reads the table through the VANILLA batch reader (S45) and
+    aggregates per wind direction; the oracle regenerates the feed from
+    generate_series. The reference's poll-transform-insert loop
+    (airflow/dags/weather_etl.py:25-32,158-187) is exactly this shape:
+    stream in, commit atomically, query the table."""
+    import os as _os
+    import uuid as _uuid
+
+    from ..operators.versioned import VersionedTable
+    from ..sources import pyds, versioned_stream
+
+    pyds.register(spark)
+    versioned_stream.register(spark)
+    root = scratch_dir("vssink_")
+    tdir = _os.path.join(root, f"obs_{_uuid.uuid4().hex[:8]}")
+    q = (
+        spark.readStream.format("weather_feed_stream")
+        .option("stations", "2")
+        .option("obs_per_station", "150")
+        .load()
+        .writeStream.format("versioned_table")
+        .option("tableDir", tdir)
+        .option("checkpointLocation", _os.path.join(root, f"ck_{_uuid.uuid4().hex[:8]}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("t24 stream drain did not finish in 240s")
+    t = VersionedTable(spark, tdir)
+    ops = {h.get("op") for h in t.history()}
+    if ops != {"stream append"}:
+        raise AssertionError(f"unexpected commit ops from the stream sink: {ops}")
+    table = (
+        spark.read.format("versioned_table").option("tableDir", tdir).load()
+    )
+    return (
+        table.groupBy("wind_dir")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("temp_c_milli").alias("sum_temp"),
+            F.min("obs_seq").alias("first_seq"),
+        )
+        .orderBy("wind_dir")
+    )

@@ -57,7 +57,11 @@ import os
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
 
 from ..operators.versioned import (
     BUCKET_COL,
@@ -71,6 +75,7 @@ from ..operators.versioned import (
 class _TaskFiles(WriterCommitMessage):
     files: list = field(default_factory=list)  # (relpath, rows)
     buckets: list = field(default_factory=list)  # bucket ids this task wrote
+    root: str = ""  # staging root this task wrote under
 
 
 class VersionedTableWriter(DataSourceArrowWriter):
@@ -86,18 +91,42 @@ class VersionedTableWriter(DataSourceArrowWriter):
 
         # ---- schema contract (plan time, against the current latest;
         # re-verified at commit) --------------------------------------
+        # ``.option("mergeSchema","true")`` opts an APPEND into
+        # ADDITIVE-ONLY evolution (Delta's mergeSchema): the batch must
+        # carry every existing column with its exact type; new nullable
+        # columns join the recorded schema and old files NULL-fill at
+        # read. Type WIDENING stays library-only (the parquet-upcast
+        # probe lives there) — refused loudly, never coerced.
+        self._merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
         new_fields = {f.name: f.dataType for f in schema.fields}
         if self._base is not None and self._mode == "append":
             prev = table.snapshot_schema(self._base)
             if prev is not None:
                 prev_fields = {f.name: f.dataType for f in prev.fields}
-                if prev_fields != new_fields:
+                if prev_fields != new_fields and not self._merge_schema:
                     raise ValueError(
                         f"append batch schema {sorted(new_fields)} differs "
-                        f"from the table schema {sorted(prev_fields)}; the "
-                        "vanilla sink never evolves a schema — use "
-                        "VersionedTable.commit(allow_schema_evolution=True)"
+                        f"from the table schema {sorted(prev_fields)}; pass "
+                        ".option('mergeSchema','true') for additive "
+                        "evolution, or use VersionedTable.commit("
+                        "allow_schema_evolution=True) for type widening"
                     )
+                if prev_fields != new_fields:
+                    missing = set(prev_fields) - set(new_fields)
+                    changed = [
+                        n
+                        for n, t in prev_fields.items()
+                        if n in new_fields and new_fields[n] != t
+                    ]
+                    if missing or changed:
+                        raise ValueError(
+                            "vanilla-sink schema evolution is additive-"
+                            f"only: missing columns {sorted(missing)}, "
+                            f"changed types {sorted(changed)} — use "
+                            "VersionedTable.commit for widening"
+                        )
         self._schema_fields = {
             f.name: f.dataType.simpleString() for f in schema.fields
         }
@@ -178,10 +207,17 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     "version was published"
                 )
 
+    def _task_root(self) -> str:
+        """Staging root for ONE task invocation: the batch writer shares
+        one job-wide dir (one dir per commit); the streaming subclass
+        mints a fresh dir per call so micro-batches never mix files."""
+        return self._batch
+
     def write(self, iterator) -> _TaskFiles:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        root = self._task_root()
         phys_schema = pa.schema(
             [
                 pa.field(self._colmap.get(f.name, f.name), f.type, f.nullable)
@@ -198,9 +234,9 @@ class VersionedTableWriter(DataSourceArrowWriter):
             w = writers.get(bucket)
             if w is None:
                 d = (
-                    os.path.join(self._batch, f"{BUCKET_COL}={bucket}")
+                    os.path.join(root, f"{BUCKET_COL}={bucket}")
                     if bucket is not None
-                    else self._batch
+                    else root
                 )
                 os.makedirs(d, exist_ok=True)
                 p = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
@@ -242,23 +278,33 @@ class VersionedTableWriter(DataSourceArrowWriter):
                 w.close()
         return _TaskFiles(
             files=[
-                (os.path.relpath(paths[b], self._batch), rows[b])
-                for b in paths
+                (os.path.relpath(paths[b], root), rows[b]) for b in paths
             ],
             buckets=sorted(b for b in paths if b is not None),
+            root=root,
         )
 
     # ---------------------------------------------------------- driver
+    @staticmethod
+    def _dirs_from_messages(messages) -> list[str]:
+        # manifest dirs staged by the tasks: per-bucket leaf dirs under
+        # each task root for a layout table, else the distinct roots
+        dirs: set = set()
+        for m in messages:
+            if m is None or not m.files:
+                continue
+            if m.buckets:
+                dirs.update(
+                    os.path.join(m.root, f"{BUCKET_COL}={b}")
+                    for b in m.buckets
+                )
+            else:
+                dirs.add(m.root)
+        return sorted(dirs)
+
     def commit(self, messages):
         table = VersionedTable(None, self._dir)
-        buckets = sorted({b for m in messages if m for b in m.buckets})
-        wrote_any = any(m and m.files for m in messages)
-        if self._layout is not None:
-            new_dirs = [
-                os.path.join(self._batch, f"{BUCKET_COL}={b}") for b in buckets
-            ]
-        else:
-            new_dirs = [self._batch] if wrote_any else []
+        new_dirs = self._dirs_from_messages(messages)
         if not new_dirs:
             # an all-empty write still publishes a commit (mode
             # semantics: overwrite of an empty df must truncate) — stage
@@ -283,6 +329,15 @@ class VersionedTableWriter(DataSourceArrowWriter):
             )
             new_dirs = [self._batch]
 
+        self._publish_with_rebase(table, new_dirs)
+
+    def _publish_with_rebase(
+        self,
+        table: VersionedTable,
+        new_dirs: list,
+        op: str | None = None,
+        extra_headers: list | None = None,
+    ) -> None:
         last_err: ConcurrentCommitError | None = None
         for _attempt in range(5):
             committed = table.versions()
@@ -308,7 +363,19 @@ class VersionedTableWriter(DataSourceArrowWriter):
                         f.name: f.dataType.simpleString()
                         for f in cur_schema.fields
                     }
-                    if cur_fields != self._schema_fields:
+                    compatible = cur_fields == self._schema_fields or (
+                        # mergeSchema append: the current schema must be
+                        # a SUBSET we are additively evolving — an
+                        # interloper's own evolution (a column we don't
+                        # carry) cannot be silently reverted
+                        self._merge_schema
+                        and set(cur_fields) <= set(self._schema_fields)
+                        and all(
+                            self._schema_fields[n] == t
+                            for n, t in cur_fields.items()
+                        )
+                    )
+                    if not compatible:
                         raise ConcurrentCommitError(
                             f"table schema at {self._dir} evolved during "
                             "the write; re-run against the new schema"
@@ -344,7 +411,8 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     pdvs=pdvs,
                     stats=stats,
                     colmap=self._colmap,
-                    op=self._mode,
+                    op=op or self._mode,
+                    extra_headers=extra_headers,
                 )
                 return
             except ConcurrentCommitError as e:
@@ -357,8 +425,80 @@ class VersionedTableWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self._batch, ignore_errors=True)
+        for m in messages or []:
+            if m is not None and m.root and m.root != self._batch:
+                shutil.rmtree(m.root, ignore_errors=True)
 
     def _spark_schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         return from_arrow_schema(self._arrow_schema)
+
+
+class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamArrowWriter):
+    """Streaming SINK over the versioned format (round-13 T24 —
+    ``df.writeStream.format("versioned_table")``): every non-empty
+    micro-batch lands as ONE atomic append commit through the same
+    staging/CAS/rebase machinery as the batch sink (the vanilla twin of
+    t20's library ``stream_versioned_commits`` foreachBatch loop), so a
+    vanilla session now completes the whole lakehouse streaming loop —
+    readStream (t22/t23) AND writeStream — with zero library imports.
+
+    Exactly-once: each stream commit records its micro-batch id as an
+    ``#sbatch=`` manifest header (riding the commit CAS). foreachBatch-
+    style redelivery — a crash between the sink commit and the engine's
+    checkpoint advance re-runs the SAME batchId — is detected by
+    comparing against the newest recorded id and skipped as a no-op
+    (the re-staged files are dropped), so replays can never double-
+    append. Contract: one streaming query per table (concurrent stream
+    writers would share the id sequence — the same single-writer
+    contract as Delta's ``txnAppId`` default); concurrent BATCH/library
+    writers interleave freely (the append auto-rebase handles them).
+    Tasks mint a fresh staging dir per micro-batch (never reusing the
+    plan-time job dir), so commit(messages, batchId) publishes exactly
+    that batch's dirs; an all-empty micro-batch publishes nothing."""
+
+    def _task_root(self) -> str:
+        return os.path.join(
+            self._dir, "data", f"batch_s_{uuid.uuid4().hex[:12]}"
+        )
+
+    def _newest_stream_batch_id(self, table: VersionedTable) -> int | None:
+        for v in reversed(table.versions()):
+            with open(os.path.join(table._versions, str(v))) as f:
+                for line in f:
+                    if line.startswith("#sbatch="):
+                        return int(line[len("#sbatch="):].strip())
+                    if not line.startswith("#"):
+                        break
+        return None
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import shutil
+
+        table = VersionedTable(None, self._dir)
+        new_dirs = self._dirs_from_messages(messages)
+        applied = self._newest_stream_batch_id(table)
+        if applied is not None and applied >= batchId:
+            # redelivered micro-batch (crash between sink commit and
+            # checkpoint advance): already visible — drop the re-staged
+            # files and no-op, exactly-once by construction
+            for m in messages or []:
+                if m is not None and m.root:
+                    shutil.rmtree(m.root, ignore_errors=True)
+            return
+        if not new_dirs:
+            return  # empty micro-batch: no empty commit
+        self._publish_with_rebase(
+            table,
+            new_dirs,
+            op="stream append",
+            extra_headers=[f"#sbatch={batchId}"],
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        import shutil
+
+        for m in messages or []:
+            if m is not None and m.root:
+                shutil.rmtree(m.root, ignore_errors=True)

@@ -754,15 +754,26 @@ class VersionedTableBatchReader(DataSourceReader):
 
 
 class VersionedTableBatchSource(DataSource):
-    """``spark.read.format("versioned_table")`` — the BATCH DataSource
-    over the versioned table format, so ANY Spark job (plain SQL users
-    included) can read it without importing this library: snapshot
-    reads, ``versionAsOf`` / ``timestampAsOf`` time travel, recorded-
-    schema scans with pre-evolution NULL-fill, column-mapping
-    resolution, deletion-vector application, and manifest-stats dir
+    """``spark.read/write.format("versioned_table")`` — the full BATCH
+    DataSource over the versioned table format, so ANY Spark job (plain
+    SQL users included) uses it without importing this library.
+
+    READ (S45): snapshot reads, ``versionAsOf`` / ``timestampAsOf``
+    time travel, recorded-schema scans with pre-evolution NULL-fill,
+    column-mapping resolution, deletion-vector application (key-set
+    anti-joins + per-file position masks), and manifest-stats dir
     pruning for pushed filters (filters are still re-applied by Spark —
     pruning only cuts I/O). Options: ``tableDir`` (required),
-    ``versionAsOf`` (int), ``timestampAsOf`` (epoch seconds)."""
+    ``versionAsOf`` (int), ``timestampAsOf`` (epoch seconds).
+
+    WRITE (S49, round 13): ``df.write...mode("append"|"overwrite")``
+    publishes a real commit through the manifest CAS with append
+    auto-rebase, CHECK constraints, bucket layout, column mapping, and
+    skipping stats; ``.option("mergeSchema","true")`` allows additive
+    append evolution. STREAMING WRITE (T24):
+    ``df.writeStream.format("versioned_table")`` commits one atomic
+    append per micro-batch with ``#sbatch=`` exactly-once redelivery
+    protection. See ``sources/versioned_sink.py`` for both."""
 
     @classmethod
     def name(cls) -> str:
@@ -810,6 +821,20 @@ class VersionedTableBatchSource(DataSource):
         from .versioned_sink import VersionedTableWriter
 
         return VersionedTableWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        # round-13 T24: the STREAMING write half — every micro-batch is
+        # one atomic append commit, #sbatch-header idempotence against
+        # foreachBatch-style redelivery (see sources/versioned_sink.py)
+        if overwrite:
+            raise ValueError(
+                "versioned_table streaming sink supports append output "
+                "mode only (complete-mode overwrite would rewrite the "
+                "table every trigger)"
+            )
+        from .versioned_sink import VersionedTableStreamWriter
+
+        return VersionedTableStreamWriter(schema, self.options, False)
 
 
 def register(spark) -> None:
