@@ -234,3 +234,76 @@ def test_pdv_survives_rename_column(spark, tmp_path):
     snap = t.read()
     assert snap.columns == ["k", "val"]
     assert snap.count() == 90
+
+
+def test_pdv_survives_granular_bucket_rewrite(spark, tmp_path):
+    """Round-13 review finding: _commit_granular must carry position
+    vectors for untouched-bucket dirs — a granular merge after a
+    merge-on-read delete must not resurrect the deleted rows."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        compact_incremental,
+        merge_upsert,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.set_layout(["k"], 4)
+    t.commit(
+        spark.range(400).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    delete_where(t, "k BETWEEN 100 AND 199", merge_on_read=True)
+    assert t.read().count() == 300
+    # granular merge touching ONE key's bucket: the carried buckets'
+    # position coverage must ride along
+    v = merge_upsert(
+        t, spark.createDataFrame([(0, 999.0)], "k bigint, v double"), ["k"]
+    )
+    assert len(t.position_dvs(v)) == 1
+    snap = t.read()
+    assert snap.count() == 300
+    assert snap.filter("k BETWEEN 100 AND 199").count() == 0
+    assert snap.filter("k = 0").first().v == 999.0
+    # incremental compaction (granular path) keeps coverage too
+    compact_incremental(t, min_dir_bytes=1)
+    assert t.read().count() == 300
+    assert t.read().filter("k = 150").count() == 0
+
+
+def test_pdv_table_path_with_space(spark, tmp_path):
+    """Round-13 review finding: Spark reports _metadata.file_path
+    URI-ENCODED ('%20' for spaces); the recorded vector spelling must
+    still match the manifest's plain paths at mask time."""
+    t = VersionedTable(spark, str(tmp_path / "my table" / "t"))
+    t.set_stats_columns(["k"])
+    t.commit(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    v = delete_where(t, "k < 30", merge_on_read=True)
+    assert len(t.position_dvs(v)) == 1
+    assert t.read().count() == 70  # masks applied, not silently skipped
+    assert t.read().filter("k < 30").count() == 0
+
+
+def test_pdv_columns_named_file_and_pos(spark, tmp_path):
+    """Round-13 review finding: user columns named 'file'/'pos' must
+    neither break the position scan nor vanish from the change feed."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_change_data_feed()
+    t.commit(
+        spark.range(50).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("f"), F.col("id").cast("string")).alias("file"),
+            F.col("id").alias("pos"),
+        )
+    )
+    v = delete_where(t, "k < 10", merge_on_read=True)
+    assert t.read().count() == 40
+    feed = t.read_changes_cdf(v - 1, v)
+    assert feed.count() == 10
+    assert set(feed.columns) >= {"k", "file", "pos", "_change_type"}
+    assert sorted(r.file for r in feed.collect()) == sorted(
+        f"f{i}" for i in range(10)
+    )

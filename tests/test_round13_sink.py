@@ -391,3 +391,42 @@ def test_vanilla_merge_schema_appends_additively(spark, tmp_path):
         narrowed.write.format("versioned_table").mode("append").option(
             "tableDir", tdir
         ).option("mergeSchema", "true").save()
+
+
+def test_xxhash_kernels_do_not_leak_errstate(spark):
+    """Round-13 review finding: reusing one np.errstate instance across
+    NESTED decorated calls corrupted its saved state on numpy 1.x and
+    left over=ignore set globally. The kernels must restore the
+    caller's error state exactly."""
+    import numpy as np
+
+    from weather_etl_docker_airflow_project_spark.functions.xxh64 import (
+        bucket_ids,
+    )
+
+    before = np.geterr()
+    cols = [pa.array(["abc", None, "x" * 40]), pa.array([1, 2, None], type=pa.int64())]
+    bucket_ids(cols, 3, 16)  # nested decorated calls
+    assert np.geterr() == before
+
+
+def test_vanilla_write_stages_per_task_dirs(spark, tmp_path):
+    """Round-13 review finding: all tasks staging into ONE shared dir
+    would publish a failed attempt's closed parquet files. Each task
+    attempt stages its own dir and only message-named dirs publish."""
+    tdir = str(tmp_path / "t")
+    _vw(_kv(spark, 0, 100).repartition(4), tdir)
+    t = VersionedTable(spark, tdir)
+    dirs = t._manifest(1)
+    assert len(dirs) == 4  # one staged dir per task
+    assert all(os.path.basename(d).startswith("batch_w_") for d in dirs)
+    assert t.read().count() == 100
+    # a never-published orphan dir (failed attempt stand-in) stays
+    # invisible and is grace-deferred, not swept mid-write
+    orphan = os.path.join(tdir, "data", "batch_w_failedattempt")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-x.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert t.read().count() == 100
+    rep = vacuum(t, retain_versions=1)
+    assert orphan in rep.deferred_dirs

@@ -91,7 +91,7 @@ def test_stream_sink_redelivery_is_noop(spark, tmp_path):
         spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
     )
     w = VersionedTableStreamWriter(
-        t.snapshot_schema(1), {"tabledir": t.dir}, False
+        t.snapshot_schema(1), {"tabledir": t.dir, "txnappid": "qA"}, False
     )
     msg = w.write(_task_batches(spark, t, [[100], [2.0]]))
     w.commit([msg], 7)
@@ -115,7 +115,7 @@ def test_stream_sink_empty_batch_publishes_nothing(spark, tmp_path):
         spark.range(3).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
     )
     w = VersionedTableStreamWriter(
-        t.snapshot_schema(1), {"tabledir": t.dir}, False
+        t.snapshot_schema(1), {"tabledir": t.dir, "txnappid": "qE"}, False
     )
     w.commit([], 0)
     assert t.versions() == [1]
@@ -159,3 +159,37 @@ def test_stream_sink_interops_with_library_and_granular_merge(spark, tmp_path):
     snap = {r.k: r.v for r in t.read().collect()}
     assert snap[7] == 99.0 and len(snap) == 50
     assert len(set(dirs) & set(t._manifest(v))) > 0  # granular carry
+
+
+def test_stream_sink_batch_ids_are_query_scoped(spark, tmp_path):
+    """A NEW query's restarting batchIds must not be mistaken for
+    replays of an earlier query's (round-13 review finding): the
+    #sbatch header is scoped by txnAppId/checkpoint identity."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(2).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    )
+    wa = VersionedTableStreamWriter(
+        t.snapshot_schema(1), {"tabledir": t.dir, "txnappid": "qA"}, False
+    )
+    for bid in range(3):
+        msg = wa.write(_task_batches(spark, t, [[100 + bid], [2.0]]))
+        wa.commit([msg], bid)
+    assert t.read().count() == 5
+    # a DIFFERENT query starts at batchId 0 against the same table:
+    # its batches must land, not be dropped as replays
+    wb = VersionedTableStreamWriter(
+        t.snapshot_schema(1), {"tabledir": t.dir, "txnappid": "qB"}, False
+    )
+    msg = wb.write(_task_batches(spark, t, [[200], [3.0]]))
+    wb.commit([msg], 0)
+    assert t.read().count() == 6
+    # and qA's OWN replay detection still works across qB's interleave
+    msg = wa.write(_task_batches(spark, t, [[102], [2.0]]))
+    wa.commit([msg], 2)  # replay of qA's batch 2
+    assert t.read().count() == 6
+    # missing scope refuses at plan time
+    with pytest.raises(ValueError, match="txnAppId"):
+        VersionedTableStreamWriter(
+            t.snapshot_schema(1), {"tabledir": t.dir}, False
+        )

@@ -27,9 +27,20 @@ from __future__ import annotations
 import numpy as np
 
 # uint64 arithmetic here overflows BY DESIGN (mod-2^64 hashing); NumPy's
-# wraparound is the behavior we want — the kernels run under this
-# decorator so the warning is silenced for them alone, never globally
-_wrapping = np.errstate(over="ignore")
+# wraparound is the behavior we want. Each decorated call gets a FRESH
+# errstate context: sharing one np.errstate instance across NESTED
+# decorated calls corrupts its saved oldstate on numpy 1.x (the inner
+# __enter__ overwrites it), leaking over=ignore globally — caught in
+# round-13 review, regression-gated in tests/test_round13_sink.py.
+def _wrapping(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    return inner
 
 _P1 = np.uint64(0x9E3779B185EBCA87)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)

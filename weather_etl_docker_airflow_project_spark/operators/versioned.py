@@ -79,6 +79,37 @@ def _bucket_column(keys: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
+def apply_position_mask(tbl, path: str, pdv_parts, invert: bool = False):
+    """Shared per-file POSITION-vector mask kernel: drop (or with
+    ``invert`` keep only) the rows of ``tbl`` — a pyarrow Table read
+    from ``path`` — whose row indices appear in any of the vector part
+    files. ONE implementation imported by both read paths (the library
+    ``_pdv_masked_scan`` mapInArrow kernel and the vanilla batch
+    DataSource reader), so they can never disagree on which rows are
+    deleted. Each call filter-reads only the positions covering THIS
+    file (parquet row-group pruning on the file-sorted vector)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mask = np.ones(tbl.num_rows, dtype=bool)
+    # vectors store the url-decoded URI spelling Spark's _metadata
+    # reported; match it and the realpath spelling
+    cand = sorted({path, os.path.realpath(path)})
+    for part in pdv_parts:
+        dv = pq.read_table(
+            part, columns=["pos"], filters=[("file", "in", cand)]
+        )
+        pos = dv.column("pos").to_numpy()
+        if len(pos):
+            mask[pos[pos < tbl.num_rows]] = False
+    if invert:
+        mask = ~mask
+    if mask.all():
+        return tbl
+    return tbl.filter(pa.array(mask))
+
+
 def _dir_bucket(path: str) -> int | None:
     """Bucket id encoded in a manifest dir name (``.../bkt=7`` -> 7), or
     None for a pre-layout/unbucketed batch dir."""
@@ -366,6 +397,8 @@ class VersionedTable:
             )
 
         published = False
+        before = self.constraints()  # rollback target — restoring the
+        # exact prior list never strips a pre-existing identical CHECK
         validated: int | None = -1  # sentinel: nothing validated yet
         try:
             while True:
@@ -381,16 +414,13 @@ class VersionedTable:
                     )
                 validated = latest
                 if not published:
-                    self.set_constraints(self.constraints() + [expr])
+                    self.set_constraints(before + [expr])
                     published = True
         except ConstraintViolation:
             if published:
                 # a racing commit (staged pre-constraint) slipped in
-                # violating rows: withdraw the constraint rather than
-                # leave a CHECK the snapshot provably breaks
-                self.set_constraints(
-                    [c for c in self.constraints() if c != expr]
-                )
+                # violating rows: withdraw exactly what we added
+                self.set_constraints(before)
             raise
 
     def set_layout(self, bucket_keys: list[str], n_buckets: int) -> None:
@@ -1383,29 +1413,15 @@ class VersionedTable:
         inverted = bool(invert)
 
         def _masked(batches):
-            import os
-            import numpy as np
             import pyarrow as pa
             import pyarrow.parquet as pq
 
             for b in batches:
                 for path in b.column(0).to_pylist():
                     tbl = pq.read_table(path)
-                    mask = np.ones(tbl.num_rows, dtype=bool)
-                    # vectors store the URI-stripped spelling Spark's
-                    # _metadata reported; match both it and realpath
-                    cand = sorted({path, os.path.realpath(path)})
-                    for part in pdv_parts:
-                        dv = pq.read_table(
-                            part,
-                            columns=["pos"],
-                            filters=[("file", "in", cand)],
-                        )
-                        pos = dv.column("pos").to_numpy()
-                        if len(pos):
-                            mask[pos[pos < tbl.num_rows]] = False
-                    if inverted:
-                        mask = ~mask
+                    tbl = apply_position_mask(
+                        tbl, path, pdv_parts, invert=inverted
+                    )
                     cols = {}
                     for field in arrow_schema:
                         fname = phys.get(field.name, field.name)
@@ -1420,8 +1436,6 @@ class VersionedTable:
                                 tbl.num_rows, type=field.type
                             )
                     out = pa.table(cols, schema=arrow_schema)
-                    if not mask.all():
-                        out = out.filter(pa.array(mask))
                     yield from out.to_batches()
 
         return spec.mapInArrow(_masked, schema)
@@ -2323,16 +2337,25 @@ def vacuum(
         )
 
     def _subtree_mtime(path: str) -> float:
-        newest = os.path.getmtime(path)
+        # every stat here can race a concurrent writer's abort()
+        # rmtree — a vanished entry means the subtree is ACTIVE churn,
+        # so report "fresh" (defer) rather than crash the vacuum
+        try:
+            newest = os.path.getmtime(path)
+        except FileNotFoundError:
+            return now
         for root, _sub, files in os.walk(path):
-            newest = max(newest, os.path.getmtime(root))
+            try:
+                newest = max(newest, os.path.getmtime(root))
+            except FileNotFoundError:
+                return now
             for f in files:
                 try:
                     newest = max(
                         newest, os.path.getmtime(os.path.join(root, f))
                     )
                 except FileNotFoundError:
-                    continue  # writer racing us: treat as active anyway
+                    continue
         return newest
 
     def _reclaim(path: str) -> None:
@@ -2779,6 +2802,7 @@ def _commit_granular(
                 # deletion vectors survive for CARRIED dirs only: the
                 # rewritten buckets were read WITH their DVs applied
                 dvs=_restrict_dvs(table, base_version, carry_dirs),
+                pdvs=_restrict_pdvs(table, base_version, carry_dirs),
                 stats=table._stats_for_commit(
                     new_dirs, base_version, carry_dirs + new_dirs,
                     colmap=colmap,
@@ -3561,13 +3585,31 @@ def _delete_where_positions(
             tuple(sorted(p for p, cc in pdv_cover if rd in cc)),
         )
         groups.setdefault(key, []).append(d)
+    # internal aliases, NOT "file"/"pos": a table column with either
+    # name must neither collide in the select nor be stripped from the
+    # change feed (the vector parquet itself keeps file/pos — we own
+    # its schema)
+    FCOL, PCOL = "__pdv_file", "__pdv_pos"
+    # Spark reports _metadata.file_path as a URI: strip the scheme AND
+    # url-decode (%20 -> space ...) so the recorded spelling matches
+    # the manifest's plain filesystem paths. Hadoop leaves '+' literal
+    # while url_decode would turn it into a space — pre-escape it.
+    file_expr = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path").cast("string"),
+                "^file:(//)?",
+                "",
+            ),
+            r"\+",
+            "%2B",
+        )
+    )
     parts = []
     for (cov, pcov), group in groups.items():
         part = reader.parquet(*group).select(
-            F.regexp_replace(
-                F.col("_metadata.file_path").cast("string"), "^file:(//)?", ""
-            ).alias("file"),
-            F.col("_metadata.row_index").alias("pos"),
+            file_expr.alias(FCOL),
+            F.col("_metadata.row_index").alias(PCOL),
             *[
                 F.col(colmap.get(f.name, f.name)).alias(f.name)
                 for f in schema.fields
@@ -3579,42 +3621,54 @@ def _delete_where_positions(
                 F.broadcast(dv_keys), list(dv_keys.columns), "left_anti"
             )
         for p in pcov:
-            prior = spark.read.parquet(p).select("file", "pos").distinct()
-            part = part.join(F.broadcast(prior), ["file", "pos"], "left_anti")
+            prior = (
+                spark.read.parquet(p)
+                .select(F.col("file").alias(FCOL), F.col("pos").alias(PCOL))
+                .distinct()
+            )
+            part = part.join(F.broadcast(prior), [FCOL, PCOL], "left_anti")
         parts.append(part)
     logical = reduce(lambda a, b: a.unionByName(b), parts)
-    matched = logical.filter(cond)
+    # persist: the matched set is written as the vector AND (with CDF
+    # on) staged as the feed — without it Spark re-runs the whole scan
+    # + anti-joins for the second job
+    matched = logical.filter(cond).persist()
     version = base_version + 1
     pdv_dir = os.path.join(table._data, f"pdv_{version}_{uuid.uuid4().hex[:8]}")
-    (
-        matched.select("file", "pos")
-        .sort("file", "pos")  # row-group pruning on the per-file reads
-        .write.mode("overwrite")
-        .parquet(pdv_dir)
-    )
-    # no-match => no-op (no empty commit), decided from the staged
-    # vector's own footers — zero extra jobs
-    import pyarrow.parquet as pq
-
-    n_positions = sum(
-        pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
-        for root, _sub, fs in os.walk(pdv_dir)
-        for fname in fs
-        if fname.endswith(".parquet")
-    )
-    if n_positions == 0:
-        import shutil
-
-        shutil.rmtree(pdv_dir, ignore_errors=True)
-        return base_version
-    cdf_headers = None
-    if table.change_data_feed_enabled():
-        # the visible-rows scan already exists — the feed is its
-        # matched rows minus the position identity
-        change_df = matched.drop("file", "pos").withColumn(
-            "_change_type", F.lit("delete")
+    try:
+        (
+            matched.select(
+                F.col(FCOL).alias("file"), F.col(PCOL).alias("pos")
+            )
+            .sort("file", "pos")  # row-group pruning on per-file reads
+            .write.mode("overwrite")
+            .parquet(pdv_dir)
         )
-        cdf_headers = [f"#cdf={table._stage_cdf(change_df, version)}"]
+        # no-match => no-op (no empty commit), decided from the staged
+        # vector's own footers — zero extra jobs
+        import pyarrow.parquet as pq
+
+        n_positions = sum(
+            pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+            for root, _sub, fs in os.walk(pdv_dir)
+            for fname in fs
+            if fname.endswith(".parquet")
+        )
+        if n_positions == 0:
+            import shutil
+
+            shutil.rmtree(pdv_dir, ignore_errors=True)
+            return base_version
+        cdf_headers = None
+        if table.change_data_feed_enabled():
+            # the persisted matched set is the feed, minus the
+            # position identity
+            change_df = matched.drop(FCOL, PCOL).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            cdf_headers = [f"#cdf={table._stage_cdf(change_df, version)}"]
+    finally:
+        matched.unpersist()
     scope_dirs = list(scope)
     for _attempt in range(5):
         try:

@@ -18,11 +18,13 @@ How each library-writer responsibility is met WITHOUT a SparkSession
 (the DataSource writer runs in plain Python workers):
 
 - **Commit protocol** (`ScratchJsonSink`'s S16 pattern, now load-
-  bearing): each task writes private ``part-<uuid>`` files under a
-  staging batch dir; only files named in task commit messages are
-  published; ``abort()`` removes the staging dir, and an unpublished
-  dir is invisible anyway (torn-commit invisibility — vacuum's staging
-  grace protects it from a concurrent sweep until it is referenced).
+  bearing): each task ATTEMPT stages a private ``batch_w_<uuid>`` dir;
+  ``commit()`` publishes exactly the dirs named in the winning
+  attempts' commit messages, so a failed/speculative attempt's closed
+  parquet files can never leak into the manifest; ``abort()`` removes
+  staged dirs, and an unpublished dir is invisible anyway (torn-commit
+  invisibility — vacuum's staging grace protects in-flight dirs from a
+  concurrent sweep until referenced).
 - **CAS + rebase**: the driver-side ``commit()`` republishes against
   the newest manifest on a lost race exactly like
   ``VersionedTable.commit``'s append auto-rebase — and re-verifies
@@ -180,8 +182,9 @@ class VersionedTableWriter(DataSourceArrowWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
-        # one staging batch dir per WRITE JOB, minted at plan time so
-        # every task lands in the same dir and commit() publishes it
+        # job-scoped dir used ONLY for the all-empty-write fallback
+        # staging (tasks stage under their own per-attempt roots — see
+        # _task_root) and as an abort-cleanup anchor
         self._batch = os.path.join(
             table_dir, "data", f"batch_w_{uuid.uuid4().hex[:12]}"
         )
@@ -208,10 +211,16 @@ class VersionedTableWriter(DataSourceArrowWriter):
                 )
 
     def _task_root(self) -> str:
-        """Staging root for ONE task invocation: the batch writer shares
-        one job-wide dir (one dir per commit); the streaming subclass
-        mints a fresh dir per call so micro-batches never mix files."""
-        return self._batch
+        """Staging root for ONE task invocation — every task attempt
+        gets its OWN dir, and commit() publishes only the dirs named in
+        task commit messages. A failed/speculative attempt's closed
+        parquet files therefore sit in a never-referenced dir (vacuum's
+        staging grace reclaims it) instead of leaking into the
+        published manifest — the committer contract the module
+        docstring promises, at dir granularity."""
+        return os.path.join(
+            self._dir, "data", f"batch_w_{uuid.uuid4().hex[:12]}"
+        )
 
     def write(self, iterator) -> _TaskFiles:
         import pyarrow as pa
@@ -444,19 +453,35 @@ class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamArrowWrit
     vanilla session now completes the whole lakehouse streaming loop —
     readStream (t22/t23) AND writeStream — with zero library imports.
 
-    Exactly-once: each stream commit records its micro-batch id as an
-    ``#sbatch=`` manifest header (riding the commit CAS). foreachBatch-
-    style redelivery — a crash between the sink commit and the engine's
-    checkpoint advance re-runs the SAME batchId — is detected by
-    comparing against the newest recorded id and skipped as a no-op
-    (the re-staged files are dropped), so replays can never double-
-    append. Contract: one streaming query per table (concurrent stream
-    writers would share the id sequence — the same single-writer
-    contract as Delta's ``txnAppId`` default); concurrent BATCH/library
-    writers interleave freely (the append auto-rebase handles them).
-    Tasks mint a fresh staging dir per micro-batch (never reusing the
-    plan-time job dir), so commit(messages, batchId) publishes exactly
-    that batch's dirs; an all-empty micro-batch publishes nothing."""
+    Exactly-once: each stream commit records ``<txn-app-id>:<batchId>``
+    as an ``#sbatch=`` manifest header (riding the commit CAS).
+    foreachBatch-style redelivery — a crash between the sink commit and
+    the engine's checkpoint advance re-runs the SAME batchId — is
+    detected by comparing against the newest id recorded FOR THE SAME
+    app and skipped as a no-op (the re-staged files are dropped), so
+    replays can never double-append. The app id scopes the sequence
+    (Delta's ``txnAppId``): a NEW query with a fresh checkpoint has
+    restarting batchIds that must NOT be mistaken for replays of an
+    earlier query's — pass ``.option("txnAppId", ...)`` explicitly, or
+    it derives from ``checkpointLocation`` (the identity the engine's
+    batchId sequence is actually scoped to); with neither the writer
+    refuses at plan time rather than risk silently dropping batches.
+    Concurrent BATCH/library writers interleave freely (the append
+    auto-rebase handles them). Tasks mint a fresh staging dir per
+    micro-batch; an all-empty micro-batch publishes nothing."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        super().__init__(schema, options, overwrite)
+        import hashlib
+
+        app = options.get("txnappid") or options.get("checkpointlocation")
+        if not app:
+            raise ValueError(
+                "versioned_table streaming sink needs a transaction "
+                "scope for exactly-once: set .option('txnAppId', ...) "
+                "or .option('checkpointLocation', ...) on the writer"
+            )
+        self._txn_app = hashlib.md5(str(app).encode("utf-8")).hexdigest()[:16]
 
     def _task_root(self) -> str:
         return os.path.join(
@@ -464,11 +489,18 @@ class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamArrowWrit
         )
 
     def _newest_stream_batch_id(self, table: VersionedTable) -> int | None:
+        """Newest batchId recorded for THIS txn app — other queries'
+        (differently-scoped) lines are invisible, so their id sequences
+        never collide with ours."""
         for v in reversed(table.versions()):
             with open(os.path.join(table._versions, str(v))) as f:
                 for line in f:
                     if line.startswith("#sbatch="):
-                        return int(line[len("#sbatch="):].strip())
+                        body = line[len("#sbatch="):].strip()
+                        app, sep, bid = body.rpartition(":")
+                        if sep and app == self._txn_app:
+                            return int(bid)
+                        break  # a different app's commit: keep walking
                     if not line.startswith("#"):
                         break
         return None
@@ -493,7 +525,7 @@ class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamArrowWrit
             table,
             new_dirs,
             op="stream append",
-            extra_headers=[f"#sbatch={batchId}"],
+            extra_headers=[f"#sbatch={self._txn_app}:{batchId}"],
         )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803

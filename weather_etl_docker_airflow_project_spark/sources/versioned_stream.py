@@ -701,28 +701,18 @@ class VersionedTableBatchReader(DataSourceReader):
     def read(self, partition: _BatchSlice):
         if not partition.path:
             return
-        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from ..operators.versioned import apply_position_mask
 
         tbl = pq.read_table(partition.path)
         if partition.pdv_paths:
             # POSITION vectors: per-file row mask — this task reads only
             # the positions covering ITS file (row-group pruning on the
-            # sorted `file` column), flat in total |DV|
-            mask = np.ones(tbl.num_rows, dtype=bool)
-            cand = sorted(
-                {partition.path, os.path.realpath(partition.path)}
-            )
-            for part in partition.pdv_paths:
-                dv = pq.read_table(
-                    part, columns=["pos"], filters=[("file", "in", cand)]
-                )
-                pos = dv.column("pos").to_numpy()
-                if len(pos):
-                    mask[pos[pos < tbl.num_rows]] = False
-            if not mask.all():
-                tbl = tbl.filter(pa.array(mask))
+            # sorted `file` column; the SHARED kernel, so this path and
+            # the library read can never disagree)
+            tbl = apply_position_mask(tbl, partition.path, partition.pdv_paths)
         cols = {}
         for field in self._arrow_schema:
             fname = self._phys.get(field.name, field.name)
