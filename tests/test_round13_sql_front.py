@@ -117,3 +117,46 @@ def test_update_where_string_prunes(spark, tmp_path):
     engine_sql(spark, f"UPDATE '{t.dir}' SET v = 0.0 WHERE k >= 250")
     carried = base & set(t._manifest(4))
     assert len(carried) == 2  # first two batches untouched by reference
+
+
+def test_alter_table_and_view_statements(spark, tmp_path):
+    """Round-13 DDL completion: ALTER TABLE ADD CONSTRAINT / RENAME /
+    DROP COLUMN and CREATE TEMP VIEW ... AS VERSIONED (the SELECT
+    surface — plain spark.sql works over the registered view)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.commit(
+        spark.range(20).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            (F.col("id") * 2).alias("w"),
+        )
+    )
+    engine_sql(
+        spark, f"ALTER TABLE '{t.dir}' ADD CONSTRAINT CHECK (v >= 0.0)"
+    )
+    assert t.constraints() == ["v >= 0.0"]
+    with pytest.raises(Exception, match="violate"):
+        engine_sql(
+            spark, f"ALTER TABLE '{t.dir}' ADD CONSTRAINT CHECK (k > 5)"
+        )
+    # renaming a constraint-referenced column refuses (library contract)
+    with pytest.raises(ValueError, match="references"):
+        engine_sql(spark, f"ALTER TABLE '{t.dir}' RENAME COLUMN v TO val")
+    engine_sql(spark, f"ALTER TABLE '{t.dir}' RENAME COLUMN k TO key")
+    engine_sql(spark, f"ALTER TABLE '{t.dir}' DROP COLUMN w")
+    assert t.read().columns == ["key", "v"]
+    # versioned SELECT surface: current + time travel views
+    engine_sql(
+        spark,
+        f"CREATE OR REPLACE TEMP VIEW sqlf_now AS VERSIONED '{t.dir}'",
+    )
+    engine_sql(
+        spark,
+        f"CREATE OR REPLACE TEMP VIEW sqlf_v1 AS VERSIONED '{t.dir}' "
+        "VERSION AS OF 1",
+    )
+    assert spark.sql("SELECT count(*) AS n FROM sqlf_now").first().n == 20
+    assert spark.sql(
+        "SELECT count(*) AS n FROM sqlf_v1 WHERE w >= 0"
+    ).first().n == 20  # the pre-DDL schema, via time travel

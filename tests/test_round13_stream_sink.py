@@ -193,3 +193,57 @@ def test_stream_sink_batch_ids_are_query_scoped(spark, tmp_path):
         VersionedTableStreamWriter(
             t.snapshot_schema(1), {"tabledir": t.dir}, False
         )
+
+
+def test_vanilla_batch_change_feed_reader(spark, tmp_path):
+    """S54: the batch CDF read through the format reader — range
+    bounds, synthesized inserts, skip of row-preserving rewrites, and
+    refusal contracts (composes over the T23 stream planner)."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        compact,
+        delete_where,
+        merge_upsert,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_change_data_feed()
+    t.commit(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    merge_upsert(
+        t,
+        spark.createDataFrame([(5, 99.0), (200, 1.0)], "k bigint, v double"),
+        ["k"],
+    )
+    compact(t)  # dataChange=false: must contribute nothing
+    delete_where(t, "k < 3", merge_on_read=True)
+
+    def feed(**opts):
+        r = (
+            spark.read.format("versioned_table")
+            .option("tableDir", t.dir)
+            .option("readChangeFeed", "true")
+        )
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    full = feed()
+    by = {
+        (r._commit_version, r._change_type): r["count"]
+        for r in full.groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    }
+    assert by == {
+        (1, "insert"): 100,
+        (2, "update"): 1,
+        (2, "insert"): 1,
+        (4, "delete"): 3,
+    }  # compact (v3) contributed nothing
+    assert feed(startingVersion=2).count() == 3  # (2, 4] = delete leg
+    assert feed(startingVersion=1, endingVersion=2).count() == 2
+    with pytest.raises(Exception, match="range, not a snapshot"):
+        feed(versionAsOf=1)

@@ -16,6 +16,11 @@ path — the versioned format's identity is its directory):
                      [INCREMENTAL]
     VACUUM '<dir>' [RETAIN <n> VERSIONS]
     RESTORE '<dir>' TO VERSION AS OF <n>
+    ALTER TABLE '<dir>' ADD CONSTRAINT CHECK (<expr>)
+    ALTER TABLE '<dir>' RENAME COLUMN <old> TO <new>
+    ALTER TABLE '<dir>' DROP COLUMN <col>
+    CREATE [OR REPLACE] TEMP VIEW <name> AS VERSIONED '<dir>'
+                     [VERSION AS OF <n>]
 
 Safety model, deliberately layered:
 
@@ -185,6 +190,28 @@ _RESTORE = re.compile(
     r"(?P<v>\d+)\s*$",
     re.IGNORECASE,
 )
+_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+ADD\s+CONSTRAINT\s+CHECK\s*"
+    r"\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RENAME_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+RENAME\s+COLUMN\s+"
+    r"`?(?P<old>[A-Za-z_][A-Za-z_0-9]*)`?\s+TO\s+"
+    r"`?(?P<new>[A-Za-z_][A-Za-z_0-9]*)`?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+DROP\s+COLUMN\s+"
+    r"`?(?P<col>[A-Za-z_][A-Za-z_0-9]*)`?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TEMP(?:ORARY)?\s+VIEW\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z_0-9]*)\s+AS\s+VERSIONED\s+'(?P<path>[^']+)'"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*$",
+    re.IGNORECASE,
+)
 _ON_EQ = re.compile(
     r"^\s*(?:[A-Za-z_][A-Za-z_0-9]*\.)?(?P<l>[A-Za-z_][A-Za-z_0-9]*)\s*=\s*"
     r"(?:[A-Za-z_][A-Za-z_0-9]*\.)?(?P<r>[A-Za-z_][A-Za-z_0-9]*)\s*$"
@@ -267,6 +294,60 @@ def engine_sql(
         t = VersionedTable(spark, m.group("path"))
         v = restore(t, int(m.group("v")))
         return _result(spark, "restore", t.dir, v)
+
+    m = _ADD_CONSTRAINT.match(stmt)
+    if m:
+        t = VersionedTable(spark, m.group("path"))
+        t.add_constraint(m.group("expr").strip())
+        committed = t.versions()
+        return _result(
+            spark, "add_constraint", t.dir,
+            committed[-1] if committed else 0,
+        )
+
+    m = _RENAME_COL.match(stmt)
+    if m:
+        from .versioned import rename_column
+
+        t = VersionedTable(spark, m.group("path"))
+        v = rename_column(t, m.group("old"), m.group("new"))
+        return _result(spark, "rename_column", t.dir, v)
+
+    m = _DROP_COL.match(stmt)
+    if m:
+        from .versioned import drop_column
+
+        t = VersionedTable(spark, m.group("path"))
+        v = drop_column(t, m.group("col"))
+        return _result(spark, "drop_column", t.dir, v)
+
+    m = _CREATE_VIEW.match(stmt)
+    if m:
+        # the SELECT completion for SQL-first users: register the table
+        # (optionally time-travelled) through the VANILLA batch reader,
+        # then plain spark.sql("SELECT ...") works on the view
+        from ..sources import versioned_stream
+
+        versioned_stream.register(spark)
+        reader = spark.read.format("versioned_table").option(
+            "tableDir", m.group("path")
+        )
+        version = m.group("v")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        df = reader.load()
+        if m.group("replace"):
+            df.createOrReplaceTempView(m.group("name"))
+        else:
+            df.createTempView(m.group("name"))
+        t = VersionedTable(spark, m.group("path"))
+        committed = t.versions()
+        return _result(
+            spark,
+            "create_view",
+            t.dir,
+            int(version) if version is not None else committed[-1],
+        )
 
     raise ValueError(
         f"unrecognized statement {statement[:80]!r}; supported: UPDATE / "

@@ -3425,3 +3425,100 @@ def s53_sql_statement_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "s54_vanilla_change_feed",
+    oracle="""
+    WITH touched AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+    ins AS (
+      SELECT 2 AS commit_version, 'insert' AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+      FROM orders WHERE o_orderkey % 2 = 1),
+    upd AS (
+      SELECT 3 AS commit_version, 'update' AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+      FROM touched),
+    del AS (
+      SELECT 4 AS commit_version, 'delete' AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+      FROM orders WHERE o_orderkey % 1000 = 0)
+    SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+    ORDER BY commit_version, change_type
+    """,
+    tags=("S54", "S44", "S45", "T23", "S52"),
+)
+def s54_vanilla_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH change feed through the VANILLA format reader
+    (`sources/versioned_stream.VersionedCDFBatchReader` — Delta's
+    ``spark.read.format("delta").option("readChangeFeed","true")``,
+    round-13 S54): any Spark job reads row-level history with zero
+    library imports, completing the vanilla surface's last read gap
+    (snapshot/time-travel S45, streams T22/T23, writes S49/T24 —
+    and now the batch feed). Planning COMPOSES over the T23 stream
+    reader's per-commit slice planner (one implementation — the batch
+    and stream feed can never disagree); rows carry ``_change_type`` /
+    ``_commit_version``; appends synthesize inserts, compact/zorder
+    skip (dataChange=false), feed-less rewrites raise;
+    ``startingVersion``/``endingVersion`` bound the range (exclusive-
+    from, the library/stream convention). History: v1 = even keys, v2
+    = odd-key append (inserts synthesized from added files), v3 =
+    conditional MERGE touching %97 keys (updates from the materialized
+    feed), v4 = position-vector DELETE of %1000 keys (deletes from the
+    S52 feed rows). Declared output aggregates the feed per
+    (commit, change_type) for commits AFTER v1; the oracle restates
+    each leg set-theoretically."""
+    import os as _os
+
+    from ..operators.versioned import (
+        VersionedTable,
+        delete_where,
+        merge_upsert,
+    )
+    from ..sources import versioned_stream
+
+    versioned_stream.register(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vcdfb_"), "orders_v"))
+    t.enable_change_data_feed()
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    merge_upsert(
+        t,
+        o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderstatus", F.lit("T")
+        ),
+        ["o_orderkey"],
+    )
+    delete_where(
+        t,
+        "o_orderkey IN " + "(" + ",".join(
+            str(k)
+            for k in range(0, 60001, 1000)
+        ) + ")",
+        merge_on_read=True,
+    )
+    feed = (
+        spark.read.format("versioned_table")
+        .option("tableDir", t.dir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

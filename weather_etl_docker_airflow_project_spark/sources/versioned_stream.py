@@ -743,6 +743,39 @@ class VersionedTableBatchReader(DataSourceReader):
         yield from out.to_batches()
 
 
+class VersionedCDFBatchReader(DataSourceReader):
+    """BATCH change-feed read through the vanilla format reader
+    (round-13 S54 — Delta's ``spark.read.format("delta")
+    .option("readChangeFeed","true")``): plans exactly the per-commit
+    cdf/insert slices the T23 stream plans (composition over the stream
+    reader — one planning implementation, the two read paths cannot
+    disagree) for the RANGE ``(startingVersion, endingVersion]``
+    (exclusive-from, the same convention as the library
+    ``read_changes_cdf`` and the stream offsets). Rows carry
+    ``_change_type`` / ``_commit_version``; appends synthesize inserts,
+    compact/zorder are skipped (dataChange=false), feed-less
+    row-changing commits raise."""
+
+    def __init__(self, schema, options):
+        self._inner = VersionedCDFStreamReader(schema, options)
+        committed = self._inner._table.versions()
+        if not committed:
+            raise ValueError(
+                f"versioned table at {self._inner._table.dir} has no commits"
+            )
+        self._v_from = int(options.get("startingversion", 0))
+        ev = options.get("endingversion")
+        self._v_to = int(ev) if ev is not None else committed[-1]
+
+    def partitions(self):
+        slices = self._inner._delta_slices(self._v_from, self._v_to)
+        parts = [sl for _v, ss in slices for sl in ss]
+        return parts or [_CDFSlice("", 0, "insert")]
+
+    def read(self, partition):
+        yield from self._inner.read(partition)
+
+
 class VersionedTableBatchSource(DataSource):
     """``spark.read/write.format("versioned_table")`` — the full BATCH
     DataSource over the versioned table format, so ANY Spark job (plain
@@ -769,6 +802,11 @@ class VersionedTableBatchSource(DataSource):
     def name(cls) -> str:
         return "versioned_table"
 
+    def _cdf_mode(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower() == "true"
+        )
+
     def schema(self):
         table_dir = self.options.get("tabledir") or self.options.get("path")
         if not table_dir:
@@ -781,6 +819,33 @@ class VersionedTableBatchSource(DataSource):
             )
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
+        if self._cdf_mode():
+            if v is not None or ts is not None:
+                raise ValueError(
+                    "readChangeFeed takes startingVersion/endingVersion, "
+                    "not versionAsOf/timestampAsOf (a feed is a range, "
+                    "not a snapshot)"
+                )
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            schema = t.snapshot_schema(committed[-1])
+            if schema is None:
+                raise ValueError(
+                    f"versioned table at {table_dir} has no recorded "
+                    "manifest schema (pre-tracking manifest)"
+                )
+            return StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
         if ts is not None:
             version = t.version_at_timestamp(float(ts))
         elif v is not None:
@@ -800,7 +865,9 @@ class VersionedTableBatchSource(DataSource):
             )
         return schema
 
-    def reader(self, schema) -> VersionedTableBatchReader:
+    def reader(self, schema):
+        if self._cdf_mode():
+            return VersionedCDFBatchReader(schema, self.options)
         return VersionedTableBatchReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool):
