@@ -222,7 +222,9 @@ HEADLINE = [
     # SCALE.md §r12, its correctness the driver window row.
     # t24_stream_versioned_sink likewise (a full stream start/drain
     # ~13 s of trigger+startup latency; the sink's data path IS s49's,
-    # which is headline).
+    # which is headline). s54_vanilla_change_feed likewise: its fixture
+    # is 4 commits + a merge + a MOR delete (~11 s of commit latency);
+    # the feed read it exercises is s44's data path, which is headline.
     # s48_incremental_compact likewise: 6 sequential commits by
     # construction (base + 4 one-row drips + a tail batch — commit
     # latency dominated at sf0.1); the compaction

@@ -430,3 +430,61 @@ def test_vanilla_write_stages_per_task_dirs(spark, tmp_path):
     assert t.read().count() == 100
     rep = vacuum(t, retain_versions=1)
     assert orphan in rep.deferred_dirs
+
+
+def test_merge_schema_relaxes_added_columns_to_nullable(spark, tmp_path):
+    """Round-13 review finding: an added column arriving NON-nullable
+    (the plain F.lit()/createDataFrame shape) must be RECORDED nullable
+    — pre-evolution files NULL-fill it, and a non-null recorded schema
+    would let Catalyst prune IS NULL to empty (wrong results)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tdir = str(tmp_path / "t")
+    _vw(_kv(spark, 0, 5), tdir)
+    schema = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("v", DoubleType(), True),
+            StructField("lang", StringType(), False),  # NOT nullable
+        ]
+    )
+    evolved = spark.createDataFrame([(9, 1.0, "en")], schema)
+    evolved.write.format("versioned_table").mode("append").option(
+        "tableDir", tdir
+    ).option("mergeSchema", "true").save()
+    t = VersionedTable(spark, tdir)
+    recorded = {f.name: f.nullable for f in t.snapshot_schema(2).fields}
+    assert recorded["lang"] is True  # relaxed, not recorded non-null
+    snap = t.read()
+    assert snap.filter("lang IS NULL").count() == 5  # NOT pruned to empty
+    assert snap.filter("lang = 'en'").count() == 1
+
+
+def test_add_constraint_preserves_concurrent_writer(spark, tmp_path, monkeypatch):
+    """Round-13 review finding: the constraint list is re-read at
+    PUBLISH time, so a CHECK another writer adds during our (long)
+    validation scan survives."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    )
+    state = {"raced": False}
+    orig_read = t.read
+
+    def read_hook(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            other = VersionedTable(spark, t.dir)
+            other.set_constraints(other.constraints() + ["v IS NOT NULL"])
+        return orig_read(*a, **k)
+
+    monkeypatch.setattr(t, "read", read_hook)
+    t.add_constraint("k >= 0")
+    assert state["raced"]
+    assert set(t.constraints()) == {"v IS NOT NULL", "k >= 0"}

@@ -247,3 +247,71 @@ def test_vanilla_batch_change_feed_reader(spark, tmp_path):
     assert feed(startingVersion=1, endingVersion=2).count() == 2
     with pytest.raises(Exception, match="range, not a snapshot"):
         feed(versionAsOf=1)
+
+
+def test_sbatch_marker_survives_vacuum(spark, tmp_path):
+    """Round-13 review finding: the exactly-once watermark must survive
+    retention — every publish re-carries the newest #sbatch per app, so
+    a vacuum dropping the marker's own manifest cannot re-open the
+    replay window."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        vacuum,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    )
+    w = VersionedTableStreamWriter(
+        t.snapshot_schema(1), {"tabledir": t.dir, "txnappid": "qA"}, False
+    )
+    msg = w.write(_task_batches(spark, t, [[100], [2.0]]))
+    w.commit([msg], 7)  # v2 carries #sbatch=qA:7
+    # library commits push the marker's manifest out of retention
+    t.commit(
+        spark.range(1).select(F.col("id").alias("k"), F.lit(0.0).alias("v")),
+        mode="append",
+    )
+    vacuum(t, retain_versions=1, staged_grace_seconds=0)
+    assert t.versions() == [3]
+    # crash-style redelivery of batch 7 AFTER the vacuum: still a no-op
+    msg2 = w.write(_task_batches(spark, t, [[100], [2.0]]))
+    w.commit([msg2], 7)
+    assert t.read().filter("k = 100").count() == 1  # not duplicated
+    # and the next id still lands
+    msg3 = w.write(_task_batches(spark, t, [[101], [2.0]]))
+    w.commit([msg3], 8)
+    assert t.read().filter("k = 101").count() == 1
+
+
+def test_cdf_feed_resolves_renamed_columns(spark, tmp_path):
+    """Round-13 review finding: cdf files carry COMMIT-TIME logical
+    names; a later rename must resolve through the stable physical id
+    instead of NULL-filling the renamed column."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        merge_upsert,
+        rename_column,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.enable_column_mapping()
+    t.enable_change_data_feed()
+    t.commit(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    merge_upsert(
+        t,
+        spark.createDataFrame([(3, 99.0)], "k bigint, v double"),
+        ["k"],
+    )  # v2 stages a cdf file under logical name 'v'
+    rename_column(t, "v", "val")  # v3
+    feed = (
+        spark.read.format("versioned_table")
+        .option("tableDir", t.dir)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    upd = feed.filter("_change_type = 'update'").collect()
+    assert len(upd) == 1
+    assert upd[0].val == 99.0  # resolved through the physical id, not NULL

@@ -351,6 +351,8 @@ def engine_sql(
 
     raise ValueError(
         f"unrecognized statement {statement[:80]!r}; supported: UPDATE / "
-        "DELETE FROM / MERGE INTO / OPTIMIZE / VACUUM / RESTORE over a "
+        "DELETE FROM / MERGE INTO / OPTIMIZE / VACUUM / RESTORE / "
+        "ALTER TABLE (ADD CONSTRAINT CHECK, RENAME COLUMN, DROP COLUMN) / "
+        "CREATE [OR REPLACE] TEMP VIEW ... AS VERSIONED — all over a "
         "quoted versioned-table path"
     )

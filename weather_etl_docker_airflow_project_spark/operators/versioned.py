@@ -397,8 +397,6 @@ class VersionedTable:
             )
 
         published = False
-        before = self.constraints()  # rollback target — restoring the
-        # exact prior list never strips a pre-existing identical CHECK
         validated: int | None = -1  # sentinel: nothing validated yet
         try:
             while True:
@@ -414,13 +412,21 @@ class VersionedTable:
                     )
                 validated = latest
                 if not published:
-                    self.set_constraints(before + [expr])
+                    # re-read AT publish time (the validation scan can
+                    # be long — a constraint another writer added
+                    # meanwhile must not be clobbered)
+                    self.set_constraints(self.constraints() + [expr])
                     published = True
         except ConstraintViolation:
             if published:
                 # a racing commit (staged pre-constraint) slipped in
-                # violating rows: withdraw exactly what we added
-                self.set_constraints(before)
+                # violating rows: withdraw exactly ONE occurrence of
+                # what we appended — a pre-existing identical CHECK and
+                # any constraint a concurrent writer added both survive
+                cur = self.constraints()
+                if expr in cur:
+                    cur.remove(expr)
+                self.set_constraints(cur)
             raise
 
     def set_layout(self, bucket_keys: list[str], n_buckets: int) -> None:
@@ -761,6 +767,25 @@ class VersionedTable:
                 }
             )
         return out
+
+    def _latest_sbatch_lines(self) -> list[str]:
+        """The newest ``#sbatch=`` marker PER txn app across the commit
+        log (the streaming sink's exactly-once watermarks). Every
+        publish re-emits these (the #idhwm survival pattern): without
+        the carry, a vacuum that drops the marker's manifest would let
+        a crash-redelivered micro-batch append twice."""
+        seen: dict[str, str] = {}
+        for v in reversed(self.versions()):
+            with open(os.path.join(self._versions, str(v))) as f:
+                for line in f:
+                    if line.startswith("#sbatch="):
+                        body = line[len("#sbatch="):].strip()
+                        app, sep, _bid = body.rpartition(":")
+                        if sep and app not in seen:
+                            seen[app] = line.strip()
+                    elif not line.startswith("#"):
+                        break
+        return list(seen.values())
 
     def _latest_idhwm_line(self) -> str | None:
         """The newest ``#idhwm=`` header across all manifests (or None):
@@ -1186,6 +1211,20 @@ class VersionedTable:
             if op:
                 f.write(f"#op={op}\n")
             headers = list(extra_headers or [])
+            # streaming exactly-once watermarks must survive VACUUM the
+            # same way the identity mark does: every publish re-emits
+            # the newest #sbatch per app (the commit's own marker, if
+            # any, supersedes that app's carried line)
+            own_apps = {
+                h.split("=", 1)[1].rpartition(":")[0]
+                for h in headers
+                if h.startswith("#sbatch=")
+            }
+            headers.extend(
+                line
+                for line in self._latest_sbatch_lines()
+                if line.split("=", 1)[1].rpartition(":")[0] not in own_apps
+            )
             if not any(h.startswith("#idhwm=") for h in headers):
                 # the identity high-water mark must survive VACUUM: if
                 # only newer manifests remain and none carries the line,

@@ -3496,12 +3496,19 @@ def s54_vanilla_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["o_orderkey"],
     )
+    # the delete key list comes from the DATA (bounded driver collect:
+    # <= n_rows/1000 keys), not a hard-coded range — the query must
+    # agree with its oracle at EVERY scale, not just sf0.01
+    del_keys = sorted(
+        r.o_orderkey
+        for r in o.filter(F.col("o_orderkey") % 1000 == 0)
+        .select("o_orderkey")
+        .distinct()
+        .collect()
+    )
     delete_where(
         t,
-        "o_orderkey IN " + "(" + ",".join(
-            str(k)
-            for k in range(0, 60001, 1000)
-        ) + ")",
+        "o_orderkey IN (" + ",".join(str(k) for k in del_keys) + ")",
         merge_on_read=True,
     )
     feed = (

@@ -129,6 +129,17 @@ class VersionedTableWriter(DataSourceArrowWriter):
                             f"changed types {sorted(changed)} — use "
                             "VersionedTable.commit for widening"
                         )
+                    # added columns are RECORDED nullable regardless
+                    # of the incoming df's nullability (F.lit() columns
+                    # arrive non-null): pre-evolution files NULL-fill
+                    # them at read, so a non-null recorded schema would
+                    # let Catalyst prune IS NULL to empty — wrong
+                    # results (Delta's mergeSchema relaxes the same way)
+                    self._relax_nullable = {
+                        f.name
+                        for f in schema.fields
+                        if f.name not in prev_fields and not f.nullable
+                    }
         self._schema_fields = {
             f.name: f.dataType.simpleString() for f in schema.fields
         }
@@ -182,6 +193,16 @@ class VersionedTableWriter(DataSourceArrowWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
+        relax = getattr(self, "_relax_nullable", None)
+        if relax:
+            import pyarrow as pa
+
+            self._arrow_schema = pa.schema(
+                [
+                    f.with_nullable(True) if f.name in relax else f
+                    for f in self._arrow_schema
+                ]
+            )
         # job-scoped dir used ONLY for the all-empty-write fallback
         # staging (tasks stage under their own per-attempt roots — see
         # _task_root) and as an abort-cleanup anchor
@@ -346,9 +367,17 @@ class VersionedTableWriter(DataSourceArrowWriter):
         new_dirs: list,
         op: str | None = None,
         extra_headers: list | None = None,
-    ) -> None:
+        pre_attempt=None,
+    ) -> bool:
+        """Returns True when a version was published, False when
+        ``pre_attempt(table)`` declared the commit a no-op (e.g. a
+        replayed stream batch detected mid-retry — the check must run
+        INSIDE the CAS loop: a zombie driver losing the race to its
+        replacement's identical batch must skip, not rebase-append)."""
         last_err: ConcurrentCommitError | None = None
         for _attempt in range(5):
+            if pre_attempt is not None and pre_attempt(table):
+                return False
             committed = table.versions()
             latest = committed[-1] if committed else None
             # ---- metadata re-verification against the CURRENT latest:
@@ -423,7 +452,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     op=op or self._mode,
                     extra_headers=extra_headers,
                 )
-                return
+                return True
             except ConcurrentCommitError as e:
                 if self._mode != "append":
                     raise
@@ -510,23 +539,30 @@ class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamArrowWrit
 
         table = VersionedTable(None, self._dir)
         new_dirs = self._dirs_from_messages(messages)
-        applied = self._newest_stream_batch_id(table)
-        if applied is not None and applied >= batchId:
+
+        def _already_applied(tbl: VersionedTable) -> bool:
+            applied = self._newest_stream_batch_id(tbl)
+            return applied is not None and applied >= batchId
+
+        published = False
+        if new_dirs and not _already_applied(table):
+            # the replay check also re-runs inside the CAS retry loop:
+            # a zombie driver racing its restarted replacement over the
+            # SAME batch must lose-and-skip, never rebase-and-duplicate
+            published = self._publish_with_rebase(
+                table,
+                new_dirs,
+                op="stream append",
+                extra_headers=[f"#sbatch={self._txn_app}:{batchId}"],
+                pre_attempt=_already_applied,
+            )
+        if not published:
             # redelivered micro-batch (crash between sink commit and
-            # checkpoint advance): already visible — drop the re-staged
-            # files and no-op, exactly-once by construction
+            # checkpoint advance) or empty batch: drop the re-staged
+            # files — exactly-once by construction
             for m in messages or []:
                 if m is not None and m.root:
                     shutil.rmtree(m.root, ignore_errors=True)
-            return
-        if not new_dirs:
-            return  # empty micro-batch: no empty commit
-        self._publish_with_rebase(
-            table,
-            new_dirs,
-            op="stream append",
-            extra_headers=[f"#sbatch={self._txn_app}:{batchId}"],
-        )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         import shutil

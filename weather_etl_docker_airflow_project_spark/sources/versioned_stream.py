@@ -486,6 +486,13 @@ class VersionedCDFStreamReader(VersionedTableStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        if partition.kind == "cdf":
+            # cdf files carry the COMMIT-TIME logical names; a column
+            # renamed since then must resolve through its stable
+            # physical id, not NULL-fill (one O(1) manifest header read
+            # per task)
+            cm_v = self._table.column_mapping(partition.version) or {}
+            inv_v = {p: l for l, p in cm_v.items()}
         cols = {}
         for field in self._arrow_schema:
             if field.name == "_commit_version":
@@ -498,13 +505,14 @@ class VersionedCDFStreamReader(VersionedTableStreamReader):
                     ["insert"] * tbl.num_rows, type=field.type
                 )
                 continue
-            # cdf files are written under LOGICAL names; data files
-            # under the table's physical mapping
-            fname = (
-                field.name
-                if partition.kind == "cdf"
-                else self._phys.get(field.name, field.name)
-            )
+            # cdf files are written under commit-time LOGICAL names;
+            # data files under the table's physical mapping
+            if partition.kind == "cdf":
+                fname = inv_v.get(
+                    self._phys.get(field.name, field.name), field.name
+                )
+            else:
+                fname = self._phys.get(field.name, field.name)
             if fname in tbl.column_names:
                 cols[field.name] = tbl.column(fname).cast(field.type)
             else:
