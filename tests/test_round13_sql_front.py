@@ -160,3 +160,15 @@ def test_alter_table_and_view_statements(spark, tmp_path):
     assert spark.sql(
         "SELECT count(*) AS n FROM sqlf_v1 WHERE w >= 0"
     ).first().n == 20  # the pre-DDL schema, via time travel
+
+
+def test_enable_change_data_feed_statement(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20)
+    r = engine_sql(
+        spark, f"ALTER TABLE '{t.dir}' ENABLE CHANGE DATA FEED"
+    ).first()
+    assert r.op == "enable_cdf"
+    assert t.change_data_feed_enabled()
+    engine_sql(spark, f"DELETE FROM '{t.dir}' WHERE k < 5")
+    feed = t.read_changes_cdf(1, 2)
+    assert feed.filter("_change_type = 'delete'").count() == 5

@@ -17,6 +17,7 @@ path — the versioned format's identity is its directory):
     VACUUM '<dir>' [RETAIN <n> VERSIONS]
     RESTORE '<dir>' TO VERSION AS OF <n>
     ALTER TABLE '<dir>' ADD CONSTRAINT CHECK (<expr>)
+    ALTER TABLE '<dir>' ENABLE CHANGE DATA FEED
     ALTER TABLE '<dir>' RENAME COLUMN <old> TO <new>
     ALTER TABLE '<dir>' DROP COLUMN <col>
     CREATE [OR REPLACE] TEMP VIEW <name> AS VERSIONED '<dir>'
@@ -195,6 +196,11 @@ _ADD_CONSTRAINT = re.compile(
     r"\((?P<expr>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ENABLE_CDF = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+ENABLE\s+CHANGE\s+DATA\s+"
+    r"FEED\s*$",
+    re.IGNORECASE,
+)
 _RENAME_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+RENAME\s+COLUMN\s+"
     r"`?(?P<old>[A-Za-z_][A-Za-z_0-9]*)`?\s+TO\s+"
@@ -303,6 +309,15 @@ def engine_sql(
         return _result(
             spark, "add_constraint", t.dir,
             committed[-1] if committed else 0,
+        )
+
+    m = _ENABLE_CDF.match(stmt)
+    if m:
+        t = VersionedTable(spark, m.group("path"))
+        t.enable_change_data_feed()
+        committed = t.versions()
+        return _result(
+            spark, "enable_cdf", t.dir, committed[-1] if committed else 0
         )
 
     m = _RENAME_COL.match(stmt)

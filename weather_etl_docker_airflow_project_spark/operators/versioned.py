@@ -785,6 +785,13 @@ class VersionedTable:
                             seen[app] = line.strip()
                     elif not line.startswith("#"):
                         break
+            if seen:
+                # the carry is TRANSITIVE: any marker-bearing manifest
+                # re-emitted every app's newest marker when it was
+                # published, so the newest such manifest is complete —
+                # the walk is O(commits since the last stream write),
+                # not O(all versions), on every publish
+                break
         return list(seen.values())
 
     def _latest_idhwm_line(self) -> str | None:

@@ -3433,17 +3433,17 @@ def s53_sql_statement_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH touched AS (
       SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
     ins AS (
-      SELECT 2 AS commit_version, 'insert' AS change_type,
+      SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
       FROM orders WHERE o_orderkey % 2 = 1),
     upd AS (
-      SELECT 3 AS commit_version, 'update' AS change_type,
+      SELECT CAST(3 AS BIGINT) AS commit_version, 'update' AS change_type,
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
       FROM touched),
     del AS (
-      SELECT 4 AS commit_version, 'delete' AS change_type,
+      SELECT CAST(4 AS BIGINT) AS commit_version, 'delete' AS change_type,
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
       FROM orders WHERE o_orderkey % 1000 = 0)
