@@ -228,7 +228,12 @@ HEADLINE = [
     # s48_incremental_compact likewise: 6 sequential commits by
     # construction (base + 4 one-row drips + a tail batch — commit
     # latency dominated at sf0.1); the compaction
-    # pass itself is O(fragments), pytest- and driver-gated
+    # pass itself is O(fragments), pytest- and driver-gated.
+    # s55_checkpointed_log likewise: 12 sequential commits + a vacuum
+    # by construction (commit-latency bound); the checkpoint's own
+    # value — flat metadata cost at 10^3+ commits — is gated by
+    # tests/test_round14_checkpoint.py's counted-parse test, and its
+    # read data path is the s20/s22 family, which is headline via s22.
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

@@ -1,0 +1,176 @@
+"""Round-14 regression gates: the ADVICE.md fixes — multi-app
+exactly-once watermarks surviving vacuum (a carried ``#sbatch`` line
+must be read past another app's own marker), plain-decimal float
+parameter binding in the SQL statement front, and the parsed-manifest
+cache (parse-once semantics + stamp invalidation on table recreate)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from weather_etl_docker_airflow_project_spark.operators.versioned import (
+    VersionedTable,
+)
+from weather_etl_docker_airflow_project_spark.sources.versioned_sink import (
+    VersionedTableStreamWriter,
+)
+
+
+def _task_batches(spark, t, rows):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    asch = to_arrow_schema(t.snapshot_schema(t.versions()[-1]))
+    return iter(
+        [
+            pa.record_batch(
+                [pa.array(c, type=f.type) for c, f in zip(rows, asch)],
+                schema=asch,
+            )
+        ]
+    )
+
+
+def test_multi_app_sbatch_carry_survives_vacuum(spark, tmp_path):
+    """ADVICE r13 (high): with TWO streaming apps writing one table,
+    app B's manifests carry app A's newest ``#sbatch`` marker as a
+    LATER header line (after B's own). Once vacuum drops A's own
+    marker-bearing manifest, that carried line is the only surviving
+    copy — the watermark scan must read past B's line to find it, or a
+    crash-redelivered micro-batch of A appends twice."""
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        vacuum,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    )
+    wa = VersionedTableStreamWriter(
+        t.snapshot_schema(1), {"tabledir": t.dir, "txnappid": "qA"}, False
+    )
+    wb = VersionedTableStreamWriter(
+        t.snapshot_schema(1), {"tabledir": t.dir, "txnappid": "qB"}, False
+    )
+    # v2: app A's batch 7 (its own marker line)
+    wa.commit([wa.write(_task_batches(spark, t, [[100], [2.0]]))], 7)
+    # v3, v4: app B's batches — B's own marker first, A's carried after
+    wb.commit([wb.write(_task_batches(spark, t, [[200], [3.0]]))], 0)
+    wb.commit([wb.write(_task_batches(spark, t, [[201], [3.0]]))], 1)
+    assert t.read().count() == 8
+    # retention drops v2 (A's own marker manifest); only B-published
+    # manifests survive, each carrying A's marker as a non-first line
+    vacuum(t, retain_versions=1, staged_grace_seconds=0)
+    assert t.versions() == [4]
+    assert wa._newest_stream_batch_id(t) == 7
+    assert wb._newest_stream_batch_id(t) == 1
+    # crash-style redelivery of A's batch 7: must be a no-op
+    wa.commit([wa.write(_task_batches(spark, t, [[100], [2.0]]))], 7)
+    assert t.read().filter("k = 100").count() == 1
+    # restart of app B past its own marker-bearing manifests: batch 1
+    # redelivery no-op, batch 2 lands
+    wb.commit([wb.write(_task_batches(spark, t, [[201], [3.0]]))], 1)
+    assert t.read().filter("k = 201").count() == 1
+    wb.commit([wb.write(_task_batches(spark, t, [[202], [3.0]]))], 2)
+    assert t.read().filter("k = 202").count() == 1
+
+
+def test_float_params_bind_in_plain_decimal(spark, tmp_path):
+    """ADVICE r13 (low): float params rendered via repr() yield
+    exponent notation (1e-05) the predicate tokenizer cannot parse;
+    non-finite floats rendered as bare words. Now: plain decimal at any
+    magnitude, loud refusal for inf/nan."""
+    from weather_etl_docker_airflow_project_spark.operators.dml_sql import (
+        _render_literal,
+        engine_sql,
+    )
+
+    assert _render_literal(1e-05) == "0.00001"
+    assert float(_render_literal(1.23456789e-07)) == 1.23456789e-07
+    assert "e" not in _render_literal(1e300).lower()
+    assert _render_literal(-0.5) == "-0.5"
+    assert _render_literal(3.0) == "3.0"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _render_literal(bad)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 1e-05).alias("v")
+        )
+    )
+    res = engine_sql(
+        spark,
+        f"DELETE FROM '{t.dir}' WHERE v < :eps",
+        params={"eps": 3e-05},
+    )
+    assert res.collect()[0].op == "delete"
+    assert t.read().count() == 7
+
+
+def test_manifest_parse_is_cached_per_stamp(spark, tmp_path):
+    """The parsed-manifest cache: repeated header accessors on an
+    immutable manifest parse the file once; recreating the table at the
+    SAME path (fresh stamp) must never serve the stale parse."""
+    import weather_etl_docker_airflow_project_spark.operators.versioned as V
+
+    tdir = str(tmp_path / "t")
+    t = VersionedTable(spark, tdir)
+    t.commit(spark.range(4).select(F.col("id").alias("k")))
+    calls = {"n": 0}
+    real = V._parse_manifest
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    V._parse_manifest = counting
+    try:
+        t2 = VersionedTable(spark, tdir)  # fresh instance, shared cache
+        t2.read()  # warms (or hits) the cache
+        before = calls["n"]
+        for _ in range(3):
+            assert t2.snapshot_schema(1) is not None
+            assert t2.commit_op(1) == "append"
+            assert t2.deletion_vectors(1) == []
+            assert t2.position_dvs(1) == []
+            assert t2._manifest(1)
+            t2.commit_timestamp(1)
+        assert calls["n"] == before  # zero re-parses
+        # accessors return copies: mutating one must not poison the next
+        m = t2._manifest(1)
+        m.append("bogus")
+        assert "bogus" not in t2._manifest(1)
+        # recreate the table at the same path: new stamp, fresh parse
+        shutil.rmtree(tdir)
+        t3 = VersionedTable(spark, tdir)
+        t3.commit(
+            spark.range(2).select(F.col("id").alias("x")), op="rebuilt"
+        )
+        assert t3.commit_op(1) == "rebuilt"
+        assert [f.name for f in t3.snapshot_schema(1).fields] == ["x"]
+    finally:
+        V._parse_manifest = real
+
+
+def test_manifest_cache_eviction_keeps_serving(spark, tmp_path):
+    """FIFO eviction past the cache bound must stay correct (re-parse,
+    not KeyError/stale)."""
+    import weather_etl_docker_airflow_project_spark.operators.versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(3).select(F.col("id").alias("k")))
+    t.commit(spark.range(3).select(F.col("id").alias("k")), mode="append")
+    old_max = V._MANIFEST_CACHE_MAX
+    V._MANIFEST_CACHE_MAX = 1
+    try:
+        assert t.commit_op(1) == "append"
+        assert t.commit_op(2) == "append"  # evicts v1
+        assert len(t._manifest(1)) == 1  # re-parsed, still right
+        assert len(t._manifest(2)) == 2
+        assert len(V._MANIFEST_CACHE) <= 1
+    finally:
+        V._MANIFEST_CACHE_MAX = old_max

@@ -67,8 +67,29 @@ def _render_literal(v) -> str:
         )
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, int):
         return repr(v)
+    if isinstance(v, float):
+        # plain decimal, never exponent notation: repr() yields 1e-05 /
+        # 1e+300, which the predicate tokenizer's number regex cannot
+        # parse — and non-finite floats would render as bare words
+        import math
+
+        if not math.isfinite(v):
+            raise ValueError(
+                f"non-finite float parameter {v!r} is not renderable "
+                "into the predicate grammar"
+            )
+        from decimal import Decimal
+
+        # Decimal(repr(v)) keeps exactly repr's significant digits, and
+        # its 'f' format expands any exponent to plain decimal, so the
+        # rendered literal round-trips to the same double at any
+        # magnitude (1e-300 included)
+        out = format(Decimal(repr(v)), "f")
+        if "." not in out:
+            out += ".0"  # tokenizer's float form; ints bind as ints
+        return out
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     raise ValueError(f"unsupported parameter type {type(v).__name__}")

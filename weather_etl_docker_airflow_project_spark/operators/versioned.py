@@ -68,6 +68,94 @@ from pyspark.sql import Column, DataFrame, SparkSession
 #: manifest must be able to point a read AT a bucket dir directly.
 BUCKET_COL = "bkt"
 
+#: process-wide cache of PARSED manifests, keyed by (realpath of the
+#: table's _versions dir, version number). Manifests are IMMUTABLE once
+#: published (the CAS is create-if-absent; nothing ever rewrites a
+#: version file), so a parse can be reused forever — but each hit is
+#: still validated against the file's (mtime_ns, size) stamp, so a
+#: table dir deleted and recreated at the same path (tests, scratch
+#: reuse) can never serve a stale parse. One os.stat per access
+#: replaces a full open+readlines+json-decode per header accessor:
+#: before this cache a single read() re-parsed the same manifest up to
+#: five times (schema, colmap, DVs, PDVs, dir list) and commit-heavy
+#: paths (publish carries, CDC walks) re-parsed every version per call
+#: — the r13 bench regression on the pure read-path queries.
+_MANIFEST_CACHE: dict[tuple[str, int], dict] = {}
+_MANIFEST_CACHE_MAX = 4096  # ~a few MB; FIFO-evicted
+
+#: commits between checkpoint refreshes (Delta checkpoints its log every
+#: 10 commits for the same reason). The checkpoint is a pure
+#: PERFORMANCE artifact — every answer it serves is also derivable from
+#: the manifests — so losing or lagging it costs a longer walk, never a
+#: wrong result.
+CHECKPOINT_INTERVAL = 10
+
+
+def _parse_manifest(path: str) -> dict:
+    """One-pass parse of a manifest file into every field the accessors
+    serve. Decodes eagerly (the cache makes each decode once-per-file):
+    schema JSON -> StructType, colmap/stats JSON -> dicts, dv/pdv lines
+    -> {"path", "covers"} records."""
+    from pyspark.sql.types import StructType
+
+    dirs: list[str] = []
+    ts: float | None = None
+    op: str | None = None
+    schema = None
+    colmap: dict | None = None
+    cdf: str | None = None
+    dvs: list[dict] = []
+    pdvs: list[dict] = []
+    stats: dict[str, dict] = {}
+    sbatch: list[str] = []
+    idhwm: str | None = None
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line:
+                continue
+            if not line.startswith("#"):
+                dirs.append(line)
+                continue
+            if line.startswith("#ts="):
+                ts = float(line[len("#ts="):])
+            elif line.startswith("#op="):
+                op = line[len("#op="):]
+            elif line.startswith("#schema="):
+                schema = StructType.fromJson(
+                    json.loads(line[len("#schema="):])
+                )
+            elif line.startswith("#colmap="):
+                colmap = json.loads(line[len("#colmap="):])
+            elif line.startswith("#cdf="):
+                cdf = line[len("#cdf="):]
+            elif line.startswith("#dv="):
+                parts = line[len("#dv="):].split("::")
+                dvs.append({"path": parts[0], "covers": parts[1:]})
+            elif line.startswith("#pdv="):
+                parts = line[len("#pdv="):].split("::")
+                pdvs.append({"path": parts[0], "covers": parts[1:]})
+            elif line.startswith("#stats="):
+                rec = json.loads(line[len("#stats="):])
+                stats[rec["dir"]] = rec["cols"]
+            elif line.startswith("#sbatch="):
+                sbatch.append(line)
+            elif line.startswith("#idhwm="):
+                idhwm = line
+    return {
+        "dirs": dirs,
+        "ts": ts,
+        "op": op,
+        "schema": schema,
+        "colmap": colmap,
+        "cdf": cdf,
+        "dvs": dvs,
+        "pdvs": pdvs,
+        "stats": stats,
+        "sbatch": sbatch,
+        "idhwm": idhwm,
+    }
+
 
 def _bucket_column(keys: list[str], n_buckets: int) -> Column:
     """Deterministic bucket id for a row: ``pmod(xxhash64(keys...), B)``.
@@ -343,6 +431,162 @@ class VersionedTable:
         self._stats_file = os.path.join(table_dir, "_stats_cols")
         self._colmap_flag = os.path.join(table_dir, "_column_mapping")
         self._cdf_flag = os.path.join(table_dir, "_cdf")
+        self._ckpt_path = os.path.join(self._versions, "_checkpoint")
+        # cache key prefix: resolved once — manifests are addressed
+        # through it thousands of times on CDC walks
+        self._versions_key = os.path.realpath(self._versions)
+
+    def checkpoint(self) -> dict | None:
+        """The manifest-log CHECKPOINT (Delta's ``_last_checkpoint`` in
+        miniature, round 14): a single JSON file summarizing commit-log
+        state as of a version — ``{"version", "ts", "idhwm", "sbatch":
+        {app: line}, "colmap_used": [ids]}`` — refreshed every
+        :data:`CHECKPOINT_INTERVAL` commits by ``_publish_manifest``.
+        It bounds every O(all-commits) metadata walk to O(commits since
+        the checkpoint): latest-version resolution stops probing at the
+        checkpointed version (:meth:`latest_version`), the
+        idhwm/``#sbatch`` carry scans stop at it and read the rest from
+        its state, and the never-reuse physical-column-id rule unions
+        its aggregated id set instead of re-reading every manifest. At
+        a streaming sink's cadence (10^5 commits/year) this is what
+        keeps per-commit metadata cost flat in table age. Returns None
+        for tables that pre-date checkpointing or have < INTERVAL
+        commits — every consumer falls back to the full walk."""
+        try:
+            with open(self._ckpt_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+        except (json.JSONDecodeError, OSError):
+            # a torn/unreadable checkpoint must never fail a read —
+            # it is derivable state; the full walk answers instead
+            return None
+
+    def latest_version(self) -> int | None:
+        """The newest committed version, in O(commits since the last
+        checkpoint): start at the checkpointed version (guaranteed
+        committed; versions are allocated contiguously and vacuum only
+        retires a prefix, so everything newer is present) and probe
+        upward with os.path.exists. Falls back to the full
+        :meth:`versions` listing when there is no checkpoint or its
+        manifest was itself vacuumed."""
+        ck = self.checkpoint()
+        if ck is not None:
+            base = int(ck["version"])
+            if os.path.exists(os.path.join(self._versions, str(base))):
+                v = base
+                nxt = base + 1
+                while os.path.exists(
+                    os.path.join(self._versions, str(nxt))
+                ):
+                    v = nxt
+                    nxt += 1
+                return v
+        committed = self.versions()
+        return committed[-1] if committed else None
+
+    def _tail_versions_desc(self) -> "tuple[list[int], dict | None]":
+        """(versions newer than the checkpoint, newest first; the
+        checkpoint) — the bounded walk every carry scan uses. With no
+        checkpoint the 'tail' is the whole log (legacy fallback)."""
+        ck = self.checkpoint()
+        if ck is None:
+            return list(reversed(self.versions())), None
+        base = int(ck["version"])
+        latest = self.latest_version()
+        out: list[int] = []
+        v = latest if latest is not None else 0
+        while v > base:
+            if os.path.exists(os.path.join(self._versions, str(v))):
+                out.append(v)
+            v -= 1
+        return out, ck
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Refresh the checkpoint after publishing ``version`` when it
+        is :data:`CHECKPOINT_INTERVAL` past the previous one. The
+        idhwm/sbatch state comes straight from the just-published
+        manifest (the carry is TOTAL per publish — every manifest
+        re-emits the newest idhwm line and every app's newest #sbatch
+        marker — so the newest manifest alone is authoritative); the
+        colmap id set is the previous checkpoint's union plus the tail.
+        Best-effort and atomic (tmp+fsync+replace): a lost write or a
+        racing slower writer costs walk length, never correctness."""
+        prev = self.checkpoint()
+        base = int(prev["version"]) if prev else 0
+        if version - base < CHECKPOINT_INTERVAL:
+            return
+        self._write_checkpoint(version, prev)
+
+    def _write_checkpoint(self, version: int, prev: dict | None) -> None:
+        """Unconditionally build and atomically publish the checkpoint
+        at ``version`` (the interval gate lives in
+        :meth:`_maybe_checkpoint`; vacuum calls this directly to re-home
+        a checkpoint whose version it is about to retire)."""
+        import time as _time
+
+        base = int(prev["version"]) if prev else 0
+        try:
+            parsed = self._parsed(version)
+        except (FileNotFoundError, OSError):
+            return
+        sbatch: dict[str, str] = dict(prev["sbatch"]) if prev else {}
+        for line in parsed["sbatch"]:
+            app, sep, _bid = line[len("#sbatch="):].rpartition(":")
+            if sep:
+                sbatch[app] = line
+        idhwm = parsed["idhwm"] or (prev["idhwm"] if prev else None)
+        used: set[str] = set(prev.get("colmap_used") or []) if prev else set()
+        for v in range(base + 1, version + 1):
+            try:
+                cm = self._parsed(v)["colmap"]
+            except (FileNotFoundError, OSError):
+                continue  # vacuumed mid-walk: its ids live in a newer map
+            if cm:
+                used.update(cm.values())
+        state = {
+            "version": version,
+            "ts": _time.time(),
+            "idhwm": idhwm,
+            "sbatch": sbatch,
+            "colmap_used": sorted(used) if used else None,
+        }
+        cur = self.checkpoint()
+        if cur is not None and int(cur["version"]) >= version:
+            return  # a racing writer checkpointed further ahead
+        tmp = f"{self._ckpt_path}.tmp.{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._ckpt_path)
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+    def _parsed(self, version: int) -> dict:
+        """The version's manifest, parsed once per (file, stamp) — see
+        :data:`_MANIFEST_CACHE`. Raises FileNotFoundError exactly like
+        the direct open did when the manifest does not exist. Callers
+        must treat the returned containers as read-only; the public
+        accessors copy."""
+        path = os.path.join(self._versions, str(version))
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+        key = (self._versions_key, version)
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None and hit["stamp"] == stamp:
+            return hit
+        parsed = _parse_manifest(path)
+        parsed["stamp"] = stamp
+        parsed["mtime"] = st.st_mtime
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[key] = parsed
+        return parsed
 
     def set_constraints(self, exprs: list[str]) -> None:
         """Declare table-level CHECK constraints (Delta's ``ALTER TABLE
@@ -496,13 +740,7 @@ class VersionedTable:
         enc|None, "nulls": n, "rows": n}}}``. Dirs without a line have no
         stats (reads must keep them); ``lo``/``hi`` of None with
         ``nulls == rows`` means the column is entirely NULL in that dir."""
-        out: dict[str, dict] = {}
-        with open(os.path.join(self._versions, str(version))) as f:
-            for line in f:
-                if line.startswith("#stats="):
-                    rec = json.loads(line[len("#stats="):])
-                    out[rec["dir"]] = rec["cols"]
-        return out
+        return dict(self._parsed(version)["stats"])
 
     def _collect_dir_stats(
         self, dirs: list[str], colmap: dict | None = None
@@ -596,12 +834,7 @@ class VersionedTable:
         return sorted(int(f) for f in os.listdir(self._versions) if f.isdigit())
 
     def _manifest(self, version: int) -> list[str]:
-        with open(os.path.join(self._versions, str(version))) as f:
-            return [
-                line.strip()
-                for line in f
-                if line.strip() and not line.startswith("#")
-            ]
+        return list(self._parsed(version)["dirs"])
 
     def snapshot_schema(self, version: int):
         """The snapshot's LOGICAL schema as recorded in the version's
@@ -609,14 +842,9 @@ class VersionedTable:
         published before schema tracking. Delta's schema-in-log
         approach: the reader gets the schema from one metadata line
         instead of a ``mergeSchema`` footer scan over every file — at
-        100 TB the difference between O(1) and O(files) planning."""
-        from pyspark.sql.types import StructType
-
-        with open(os.path.join(self._versions, str(version))) as f:
-            for line in f:
-                if line.startswith("#schema="):
-                    return StructType.fromJson(json.loads(line[len("#schema="):]))
-        return None
+        100 TB the difference between O(1) and O(files) planning.
+        Returned StructType is the cached shared instance — read-only."""
+        return self._parsed(version)["schema"]
 
     def enable_column_mapping(self) -> None:
         """Opt the table into COLUMN MAPPING (Delta's
@@ -677,11 +905,7 @@ class VersionedTable:
         """The version's materialized change-data dir (``#cdf=`` manifest
         header), or None (pure appends and pre-CDF commits record
         none)."""
-        with open(os.path.join(self._versions, str(version))) as f:
-            for line in f:
-                if line.startswith("#cdf="):
-                    return line[len("#cdf="):].strip()
-        return None
+        return self._parsed(version)["cdf"]
 
     def _stage_cdf(self, change_df: DataFrame, version: int) -> str:
         """Stage a commit's change rows (logical column names +
@@ -698,11 +922,8 @@ class VersionedTable:
     def column_mapping(self, version: int) -> dict[str, str] | None:
         """The version's logical→physical column map (``#colmap=``
         manifest header), or None for unmapped tables."""
-        with open(os.path.join(self._versions, str(version))) as f:
-            for line in f:
-                if line.startswith("#colmap="):
-                    return json.loads(line[len("#colmap="):])
-        return None
+        colmap = self._parsed(version)["colmap"]
+        return dict(colmap) if colmap is not None else None
 
     def _next_colmap(self, df_columns: list[str], base_version: int | None):
         """The colmap for a commit introducing ``df_columns``: carried
@@ -720,11 +941,19 @@ class VersionedTable:
         # "never reused" must survive DROP COLUMN: the dropped entry left
         # the current map, but its physical id still holds old data in
         # immutable files — reassigning it would resurrect that data
-        # under the new logical name. Collect ids from EVERY version's
-        # map (O(versions) metadata reads, the manifest contract).
+        # under the new logical name. The checkpoint aggregates every
+        # id ever used up to its version (and, unlike the raw manifest
+        # walk, REMEMBERS ids whose manifests vacuum retired), so the
+        # scan is checkpoint-set + O(tail) instead of O(all versions).
         used = set(prev.values())
-        for v in self.versions():
-            used.update((self.column_mapping(v) or {}).values())
+        tail, ck = self._tail_versions_desc()
+        if ck and ck.get("colmap_used"):
+            used.update(ck["colmap_used"])
+            scan = tail
+        else:
+            scan = self.versions()
+        for v in scan:
+            used.update((self._parsed(v)["colmap"] or {}).values())
         next_id = 1
         out = dict(prev)
         for c in df_columns:
@@ -740,11 +969,8 @@ class VersionedTable:
         """The version's recorded operation (``#op=`` header) — Delta's
         DESCRIBE HISTORY operation column. Pre-tracking manifests answer
         'unknown'."""
-        with open(os.path.join(self._versions, str(version))) as f:
-            for line in f:
-                if line.startswith("#op="):
-                    return line[len("#op="):].strip()
-        return "unknown"
+        op = self._parsed(version)["op"]
+        return op if op is not None else "unknown"
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY in miniature: one record per committed
@@ -775,16 +1001,13 @@ class VersionedTable:
         the carry, a vacuum that drops the marker's manifest would let
         a crash-redelivered micro-batch append twice."""
         seen: dict[str, str] = {}
-        for v in reversed(self.versions()):
-            with open(os.path.join(self._versions, str(v))) as f:
-                for line in f:
-                    if line.startswith("#sbatch="):
-                        body = line[len("#sbatch="):].strip()
-                        app, sep, _bid = body.rpartition(":")
-                        if sep and app not in seen:
-                            seen[app] = line.strip()
-                    elif not line.startswith("#"):
-                        break
+        tail, ck = self._tail_versions_desc()
+        for v in tail:
+            for line in self._parsed(v)["sbatch"]:
+                body = line[len("#sbatch="):]
+                app, sep, _bid = body.rpartition(":")
+                if sep and app not in seen:
+                    seen[app] = line
             if seen:
                 # the carry is TRANSITIVE: any marker-bearing manifest
                 # re-emitted every app's newest marker when it was
@@ -792,29 +1015,29 @@ class VersionedTable:
                 # the walk is O(commits since the last stream write),
                 # not O(all versions), on every publish
                 break
+        if not seen and ck:
+            # tail had no markers: the checkpoint's aggregated state is
+            # authoritative for everything at or before its version
+            seen = dict(ck.get("sbatch") or {})
         return list(seen.values())
 
     def _latest_idhwm_line(self) -> str | None:
         """The newest ``#idhwm=`` header across all manifests (or None):
         carried forward by every publish so vacuum can never retire the
         identity watermark."""
-        for v in reversed(self.versions()):
-            with open(os.path.join(self._versions, str(v))) as f:
-                for line in f:
-                    if line.startswith("#idhwm="):
-                        return line.strip()
-        return None
+        tail, ck = self._tail_versions_desc()
+        for v in tail:
+            line = self._parsed(v)["idhwm"]
+            if line is not None:
+                return line
+        return ck.get("idhwm") if ck else None
 
     def commit_timestamp(self, version: int) -> float:
         """The version's commit wall-clock (``#ts=`` manifest header).
         Pre-tracking manifests fall back to the manifest file's mtime —
         the same fallback Delta applies to pre-ICT commits."""
-        path = os.path.join(self._versions, str(version))
-        with open(path) as f:
-            for line in f:
-                if line.startswith("#ts="):
-                    return float(line[len("#ts="):])
-        return os.path.getmtime(path)
+        parsed = self._parsed(version)
+        return parsed["ts"] if parsed["ts"] is not None else parsed["mtime"]
 
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the LATEST version whose commit
@@ -844,13 +1067,10 @@ class VersionedTable:
         created is what gives merge-on-read deletes SQL semantics: a key
         deleted by a DV and later re-inserted lands in a NEW (uncovered)
         dir and is visible again, exactly like Delta's per-file DVs."""
-        out = []
-        with open(os.path.join(self._versions, str(version))) as f:
-            for line in f:
-                if line.startswith("#dv="):
-                    parts = line[len("#dv="):].strip().split("::")
-                    out.append({"path": parts[0], "covers": parts[1:]})
-        return out
+        return [
+            {"path": dv["path"], "covers": list(dv["covers"])}
+            for dv in self._parsed(version)["dvs"]
+        ]
 
     def position_dvs(self, version: int) -> list[dict]:
         """The version's active POSITION deletion vectors (``#pdv=``
@@ -865,13 +1085,10 @@ class VersionedTable:
         Column-agnostic (no keys), so renames never block on it. Same
         scoping rule as key DVs: covers only the dirs existing at
         creation — later appends are untouched."""
-        out = []
-        with open(os.path.join(self._versions, str(version))) as f:
-            for line in f:
-                if line.startswith("#pdv="):
-                    parts = line[len("#pdv="):].strip().split("::")
-                    out.append({"path": parts[0], "covers": parts[1:]})
-        return out
+        return [
+            {"path": dv["path"], "covers": list(dv["covers"])}
+            for dv in self._parsed(version)["pdvs"]
+        ]
 
     def commit(
         self,
@@ -925,7 +1142,10 @@ class VersionedTable:
         manifests have no recorded schema; the next commit records one."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        existing = self.versions()
+        # latest-only resolution (checkpoint-bounded): commits never
+        # need the full version listing
+        head = self.latest_version()
+        existing = [head] if head is not None else []
         if existing:
             prev_schema = self.snapshot_schema(existing[-1])
             if prev_schema is not None:
@@ -1053,7 +1273,7 @@ class VersionedTable:
                 if mode != "append" or expected_base_version is not None:
                     raise
                 last_err = e
-                latest = self.versions()[-1]
+                latest = self.latest_version()
                 cur_schema = self.snapshot_schema(latest)
                 if cur_schema is not None and {
                     (f.name, f.dataType) for f in cur_schema.fields
@@ -1276,6 +1496,9 @@ class VersionedTable:
                 "vacuumed)"
             ) from None
         os.remove(tmp)
+        # log checkpoint (round 14): every INTERVAL commits, summarize
+        # the log so metadata walks stay flat in commit count
+        self._maybe_checkpoint(version)
         # Durability caveat: the MANIFEST is fsynced before the rename,
         # but the batch parquet underneath rides the filesystem's own
         # durability (Spark does not fsync local-FS data files) — after a
@@ -1299,14 +1522,26 @@ class VersionedTable:
             if version is not None:
                 raise ValueError("pass version= OR timestamp=, not both")
             version = self.version_at_timestamp(timestamp)
-        committed = self.versions()
-        if not committed:
-            raise ValueError(f"versioned table at {self.dir} has no commits")
-        v = committed[-1] if version is None else version
-        if v not in committed:
-            raise ValueError(
-                f"version {v} not committed at {self.dir} (have {committed})"
-            )
+        if version is None:
+            # checkpoint-bounded latest resolution: O(commits since the
+            # checkpoint), never an O(all-commits) listing
+            v = self.latest_version()
+            if v is None:
+                raise ValueError(
+                    f"versioned table at {self.dir} has no commits"
+                )
+        else:
+            v = version
+            if not os.path.exists(os.path.join(self._versions, str(v))):
+                committed = self.versions()
+                if not committed:
+                    raise ValueError(
+                        f"versioned table at {self.dir} has no commits"
+                    )
+                raise ValueError(
+                    f"version {v} not committed at {self.dir} "
+                    f"(have {committed})"
+                )
         return self._read_dirs(self._manifest(v), v)
 
     def _read_dirs(self, dirs: list[str], version: int) -> DataFrame:
@@ -1517,13 +1752,13 @@ class VersionedTable:
         Returns ``(DataFrame, report)`` where the report carries
         ``total_dirs`` / ``scanned_dirs`` / ``pruned_dirs``."""
         dnf, cond = _normalize_predicates(predicates)
-        committed = self.versions()
-        if not committed:
+        v = self.latest_version() if version is None else version
+        if v is None:
             raise ValueError(f"versioned table at {self.dir} has no commits")
-        v = committed[-1] if version is None else version
-        if v not in committed:
+        if not os.path.exists(os.path.join(self._versions, str(v))):
             raise ValueError(
-                f"version {v} not committed at {self.dir} (have {committed})"
+                f"version {v} not committed at {self.dir} "
+                f"(have {self.versions()})"
             )
         dirs = self._manifest(v)
         stats = self.dir_stats(v)
@@ -2432,6 +2667,15 @@ def vacuum(
                 _reclaim(full)
 
     if not dry_run:
+        # re-home the log checkpoint BEFORE dropping manifests: if its
+        # version is about to be retired, rebuild it at the newest
+        # retained version while the full state is still readable (a
+        # checkpoint pointing at a vacuumed manifest only degrades to
+        # the full-listing fallback, but re-homing keeps latest-version
+        # resolution O(tail) across retention cycles)
+        ck = table.checkpoint()
+        if drop and ck is not None and int(ck["version"]) in set(drop):
+            table._write_checkpoint(keep[-1], ck)
         for v in drop:
             os.remove(os.path.join(table._versions, str(v)))
     data_root = table._data
@@ -3574,13 +3818,15 @@ def _delete_where_positions(
 ) -> int:
     """Stage and publish a POSITION deletion vector for the rows in
     ``scope`` matching ``cond`` (see :func:`delete_where`
-    ``merge_on_read=True``). The matching scan reads RAW files (prior
-    DVs not applied — re-masking an already-deleted position is
-    idempotent, and skipping the DV application keeps this one plain
-    recorded-schema scan); positions come from Spark's
-    ``_metadata.row_index`` hidden column, file identity from
-    ``_metadata.file_path`` with the ``file:`` URI prefix stripped to
-    match the manifest's plain paths."""
+    ``merge_on_read=True``). The matching scan applies the base
+    version's prior vectors of BOTH kinds (key-set anti-joins and
+    per-file position masks, grouped by coverage exactly like
+    ``_read_dirs``), so the recorded positions cover only rows VISIBLE
+    at ``base_version`` — the change feed and manifest-CDC legs emit no
+    phantom deletes for rows an earlier vector already hid. Positions
+    come from Spark's ``_metadata.row_index`` hidden column, file
+    identity from ``_metadata.file_path`` with the ``file:`` URI prefix
+    stripped to match the manifest's plain paths."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 

@@ -3529,3 +3529,72 @@ def s54_vanilla_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+@query(
+    "s55_checkpointed_log",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("S55", "S20", "S29"),
+)
+def s55_checkpointed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-log CHECKPOINTING (round 14 —
+    operators/versioned.VersionedTable.checkpoint, Delta's
+    ``_last_checkpoint`` in miniature): orders lands as TWELVE append
+    commits (o_orderkey % 12 slices), crossing the CHECKPOINT_INTERVAL
+    so the publisher summarizes the log; a retention vacuum then
+    retires everything but the two newest manifests, which RE-HOMES the
+    checkpoint at the newest retained version before the drop. The
+    engine asserts the lifecycle (checkpoint published at the interval,
+    re-homed by vacuum to the latest version, latest-version resolution
+    answering without a full log listing) and the query returns the
+    final snapshot's per-status rollup — the oracle restates it from
+    the source table, proving twelve checkpointed commits reassemble
+    orders exactly. Why it matters at 100 TB: a streaming sink at a
+    2-minute cadence accretes ~263k commits/year, and without the
+    checkpoint every read, poll, and publish pays an O(total-commits)
+    manifest walk — the checkpoint bounds all of them to O(commits
+    since the last summary), the same reason Delta checkpoints its
+    log every 10 commits."""
+    import os as _os
+
+    from ..operators.versioned import (
+        CHECKPOINT_INTERVAL,
+        VersionedTable,
+        vacuum,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t = VersionedTable(spark, _os.path.join(scratch_dir("vckpt_"), "orders_v"))
+    for s in range(12):
+        t.commit(o.filter(F.col("o_orderkey") % 12 == s), mode="append")
+    ck = t.checkpoint()
+    if ck is None or ck["version"] != CHECKPOINT_INTERVAL:
+        raise AssertionError(
+            f"expected a checkpoint at v{CHECKPOINT_INTERVAL}, got {ck}"
+        )
+    vacuum(t, retain_versions=2, staged_grace_seconds=0)
+    ck2 = t.checkpoint()
+    if ck2 is None or ck2["version"] != 12:
+        raise AssertionError(
+            f"vacuum did not re-home the checkpoint at v12: {ck2}"
+        )
+    if t.latest_version() != 12 or t.versions() != [11, 12]:
+        raise AssertionError("retention lifecycle broke latest resolution")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -520,18 +520,28 @@ class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamArrowWrit
     def _newest_stream_batch_id(self, table: VersionedTable) -> int | None:
         """Newest batchId recorded for THIS txn app — other queries'
         (differently-scoped) lines are invisible, so their id sequences
-        never collide with ours."""
+        never collide with ours. Scans EVERY ``#sbatch=`` line of a
+        manifest, not just the first: a manifest published by app B
+        carries app A's newest marker as a later header line
+        (``_publish_manifest`` re-emits every app's watermark on every
+        publish), and once vacuum retires A's own marker-bearing
+        manifest that carried line is the only surviving copy — breaking
+        on B's line would lose A's watermark and double-append a
+        crash-redelivered micro-batch. A manifest bearing ANY marker is
+        transitively complete (the carry is total per publish), so if it
+        holds none for this app, this app has never committed — stop."""
         for v in reversed(table.versions()):
-            with open(os.path.join(table._versions, str(v))) as f:
-                for line in f:
-                    if line.startswith("#sbatch="):
-                        body = line[len("#sbatch="):].strip()
-                        app, sep, bid = body.rpartition(":")
-                        if sep and app == self._txn_app:
-                            return int(bid)
-                        break  # a different app's commit: keep walking
-                    if not line.startswith("#"):
-                        break
+            lines = table._parsed(v)["sbatch"]
+            best = None
+            for line in lines:
+                app, sep, bid = line[len("#sbatch="):].rpartition(":")
+                if sep and app == self._txn_app:
+                    b = int(bid)
+                    best = b if best is None or b > best else best
+            if best is not None:
+                return best
+            if lines:
+                return None
         return None
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803

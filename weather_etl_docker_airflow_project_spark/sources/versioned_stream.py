@@ -97,9 +97,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # declared schema is logical. Physical ids are stable across
         # renames, so the map captured at plan time reads every commit
         # in the range correctly even if logical names evolved.
-        committed = self._table.versions()
+        head = self._table.latest_version()
         self._phys = (
-            self._table.column_mapping(committed[-1]) if committed else None
+            self._table.column_mapping(head) if head is not None else None
         ) or {}
 
     @staticmethod
@@ -117,7 +117,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def _succ(self, v: int) -> int | None:
         """The smallest committed version above ``v`` (the split-commit
-        identity for a mid-commit offset)."""
+        identity for a mid-commit offset). Versions are allocated
+        contiguously, so v+1 existing answers in one stat — the full
+        listing only runs when v+1 was vacuumed from under the
+        offset."""
+        if os.path.exists(
+            os.path.join(self._table._versions, str(v + 1))
+        ):
+            return v + 1
         later = [c for c in self._table.versions() if c > v]
         return later[0] if later else None
 
@@ -151,8 +158,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         os.replace(tmp, os.path.join(self._pace_dir, "floor"))
 
     def latestOffset(self) -> dict:
-        committed = self._table.versions()
-        latest = committed[-1] if committed else self._start
+        # per-trigger poll: checkpoint-bounded latest resolution keeps
+        # this O(commits since the log checkpoint) at any table age —
+        # the call that would otherwise list 10^5 manifests per trigger
+        # on a year-old 2-minute-cadence table
+        head = self._table.latest_version()
+        latest = head if head is not None else self._start
         latest = max(latest, self._start)
         paced = self._per_batch > 0 or self._per_batch_files > 0
         if not paced:
