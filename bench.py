@@ -234,6 +234,9 @@ HEADLINE = [
     # value — flat metadata cost at 10^3+ commits — is gated by
     # tests/test_round14_checkpoint.py's counted-parse test, and its
     # read data path is the s20/s22 family, which is headline via s22.
+    # s56_sql_insert_ctas likewise: a 4-commit + DELETE refusal-path
+    # lifecycle fixture; its write data path IS commit()'s (headline
+    # via the upsert gate and s49), the SQL front adds only parsing.
 ]
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise

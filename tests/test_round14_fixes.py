@@ -174,3 +174,70 @@ def test_manifest_cache_eviction_keeps_serving(spark, tmp_path):
         assert len(V._MANIFEST_CACHE) <= 1
     finally:
         V._MANIFEST_CACHE_MAX = old_max
+
+
+def test_sql_insert_and_ctas(spark, tmp_path):
+    """Round-14 verdict item 6: the SQL statement front's write half —
+    CREATE VERSIONED TABLE AS / INSERT INTO / INSERT OVERWRITE lower
+    onto the commit protocol (constraints, CAS, history all apply)."""
+    from weather_etl_docker_airflow_project_spark.operators.dml_sql import (
+        engine_sql,
+    )
+
+    tdir = str(tmp_path / "t")
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id * 2 AS STRING) AS v"
+    ).createOrReplaceTempView("src14")
+    # INSERT into a never-created table refuses loudly
+    with pytest.raises(ValueError, match="has no commits"):
+        engine_sql(spark, f"INSERT INTO VERSIONED '{tdir}' SELECT * FROM src14")
+    r = engine_sql(
+        spark,
+        f"CREATE VERSIONED TABLE '{tdir}' AS SELECT * FROM src14 WHERE k < 5",
+    ).collect()[0]
+    assert (r.op, r.version) == ("create_table_as", 1)
+    t = VersionedTable(spark, tdir)
+    assert t.read().count() == 5
+    # CTAS on an existing table refuses
+    with pytest.raises(ValueError, match="already has commits"):
+        engine_sql(spark, f"CREATE VERSIONED TABLE '{tdir}' AS SELECT 1 AS k")
+    r = engine_sql(
+        spark,
+        f"INSERT INTO VERSIONED '{tdir}' SELECT * FROM src14 WHERE k >= :lo",
+        params={"lo": 5},
+    ).collect()[0]
+    assert (r.op, r.version) == ("insert_append", 2)
+    assert t.read().count() == 10
+    # injection safety (P12): a hostile string param stays a literal —
+    # it can never splice a second statement or a path
+    evil = "x' ; DELETE FROM '" + tdir
+    r = engine_sql(
+        spark,
+        f"INSERT INTO VERSIONED '{tdir}' "
+        "SELECT CAST(99 AS BIGINT) AS k, :tag AS v",
+        params={"tag": evil},
+    ).collect()[0]
+    assert r.op == "insert_append"
+    got = t.read().filter("k = 99").collect()
+    assert len(got) == 1 and got[0].v == evil
+    assert t.read().count() == 11  # nothing was deleted
+    # INSERT OVERWRITE replaces the snapshot; history stays readable
+    r = engine_sql(
+        spark,
+        f"INSERT OVERWRITE VERSIONED '{tdir}' SELECT * FROM src14 WHERE k = 0",
+    ).collect()[0]
+    assert r.op == "insert_overwrite"
+    assert t.read().count() == 1
+    assert t.read(version=2).count() == 10  # time travel intact
+    # commit-protocol integration: constraints gate SQL inserts too
+    t.set_constraints(["k >= 0"])
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        engine_sql(
+            spark,
+            f"INSERT INTO VERSIONED '{tdir}' "
+            "SELECT CAST(-1 AS BIGINT) AS k, 'z' AS v",
+        )

@@ -22,6 +22,19 @@ path — the versioned format's identity is its directory):
     ALTER TABLE '<dir>' DROP COLUMN <col>
     CREATE [OR REPLACE] TEMP VIEW <name> AS VERSIONED '<dir>'
                      [VERSION AS OF <n>]
+    INSERT INTO VERSIONED '<dir>' <select-statement>
+    INSERT OVERWRITE VERSIONED '<dir>' <select-statement>
+    CREATE VERSIONED TABLE '<dir>' AS <select-statement>
+
+The write statements (round-14 verdict item 6 — the last non-SQL step
+for a pure-SQL user) evaluate the SELECT through ``spark.sql`` (views,
+joins, every builtin — Catalyst plans it; nothing re-implemented) and
+commit the result through :meth:`VersionedTable.commit`, so constraints,
+bucket layout, schema checks, CAS publication, and the change feed all
+apply exactly as for API writes. INSERT INTO requires an EXISTING table
+(Delta's contract — CREATE ... AS is the creation statement, and a
+typo'd path failing loudly beats silently minting a new table); CREATE
+VERSIONED TABLE refuses a path that already has commits.
 
 Safety model, deliberately layered:
 
@@ -239,6 +252,16 @@ _CREATE_VIEW = re.compile(
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*$",
     re.IGNORECASE,
 )
+_INSERT = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+VERSIONED\s+"
+    r"'(?P<path>[^']+)'\s+(?P<select>(?:SELECT|WITH|VALUES|TABLE)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS = re.compile(
+    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+'(?P<path>[^']+)'\s+AS\s+"
+    r"(?P<select>(?:SELECT|WITH|VALUES|TABLE)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ON_EQ = re.compile(
     r"^\s*(?:[A-Za-z_][A-Za-z_0-9]*\.)?(?P<l>[A-Za-z_][A-Za-z_0-9]*)\s*=\s*"
     r"(?:[A-Za-z_][A-Za-z_0-9]*\.)?(?P<r>[A-Za-z_][A-Za-z_0-9]*)\s*$"
@@ -385,10 +408,42 @@ def engine_sql(
             int(version) if version is not None else committed[-1],
         )
 
+    m = _INSERT.match(stmt)
+    if m:
+        # the SELECT body runs through Spark's OWN parser/planner —
+        # params were already rendered as quoted literals by _bind, so
+        # user values reach Catalyst only as literals (P12 safety)
+        t = VersionedTable(spark, m.group("path"))
+        if t.latest_version() is None:
+            raise ValueError(
+                f"INSERT target {t.dir} has no commits; CREATE VERSIONED "
+                "TABLE '<dir>' AS SELECT ... creates it (a typo'd path "
+                "failing loudly beats silently minting a new table)"
+            )
+        mode = (
+            "overwrite"
+            if m.group("mode").upper() == "OVERWRITE"
+            else "append"
+        )
+        v = t.commit(spark.sql(m.group("select")), mode=mode, op=f"insert {mode}")
+        return _result(spark, f"insert_{mode}", t.dir, v)
+
+    m = _CTAS.match(stmt)
+    if m:
+        t = VersionedTable(spark, m.group("path"))
+        if t.latest_version() is not None:
+            raise ValueError(
+                f"CREATE VERSIONED TABLE target {t.dir} already has "
+                "commits; INSERT INTO appends, INSERT OVERWRITE replaces"
+            )
+        v = t.commit(spark.sql(m.group("select")), op="create table as")
+        return _result(spark, "create_table_as", t.dir, v)
+
     raise ValueError(
         f"unrecognized statement {statement[:80]!r}; supported: UPDATE / "
         "DELETE FROM / MERGE INTO / OPTIMIZE / VACUUM / RESTORE / "
         "ALTER TABLE (ADD CONSTRAINT CHECK, RENAME COLUMN, DROP COLUMN) / "
-        "CREATE [OR REPLACE] TEMP VIEW ... AS VERSIONED — all over a "
-        "quoted versioned-table path"
+        "CREATE [OR REPLACE] TEMP VIEW ... AS VERSIONED / INSERT "
+        "INTO|OVERWRITE VERSIONED ... SELECT / CREATE VERSIONED TABLE "
+        "... AS SELECT — all over a quoted versioned-table path"
     )

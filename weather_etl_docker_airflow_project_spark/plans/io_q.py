@@ -3598,3 +3598,97 @@ def s55_checkpointed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "s56_sql_insert_ctas",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("S56", "S53", "P12"),
+)
+def s56_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL WRITE statements for the versioned format (round-14 verdict
+    item 6 — operators/dml_sql: ``CREATE VERSIONED TABLE ... AS
+    SELECT`` / ``INSERT INTO|OVERWRITE VERSIONED ... SELECT``): the
+    last non-SQL step for a pure-SQL user closed — the SELECT body runs
+    through Spark's own parser (views/joins/builtins, Catalyst plans
+    it) and the result commits through the normal protocol, so
+    constraints, CAS publication, history, and the change feed apply
+    exactly as for API writes. Lifecycle here: CTAS creates the table
+    from the %3==0 orders slice, a param-bound INSERT INTO appends the
+    rest, a HOSTILE string parameter (embedded quote + DELETE text) is
+    inserted as a sentinel row and asserted to land as a LITERAL (P12
+    injection safety — it can neither splice a second statement nor
+    escape its quoting), then a param-bound SQL DELETE removes the
+    sentinel. The oracle restates the final snapshot (= orders exactly)
+    from the source table. Engine asserts: INSERT INTO a non-existent
+    path refuses; CTAS over an existing table refuses; the sentinel
+    landed verbatim and only the sentinel was deleted."""
+    import os as _os
+
+    from ..operators.dml_sql import engine_sql
+    from ..operators.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    o.createOrReplaceTempView("s56_orders_src")
+    tdir = _os.path.join(scratch_dir("vsql_"), "orders_v")
+    try:
+        engine_sql(
+            spark,
+            f"INSERT INTO VERSIONED '{tdir}' SELECT * FROM s56_orders_src",
+        )
+        raise AssertionError("INSERT INTO a never-created table must refuse")
+    except ValueError:
+        pass
+    engine_sql(
+        spark,
+        f"CREATE VERSIONED TABLE '{tdir}' AS "
+        "SELECT * FROM s56_orders_src WHERE o_orderkey % 3 = 0",
+    )
+    try:
+        engine_sql(
+            spark, f"CREATE VERSIONED TABLE '{tdir}' AS SELECT 1 AS x"
+        )
+        raise AssertionError("CTAS over an existing table must refuse")
+    except ValueError:
+        pass
+    engine_sql(
+        spark,
+        f"INSERT INTO VERSIONED '{tdir}' "
+        "SELECT * FROM s56_orders_src WHERE o_orderkey % 3 <> :rem",
+        params={"rem": 0},
+    )
+    # P12 injection probe: the hostile value lands as ONE literal row
+    evil = "X' ; DELETE FROM '" + tdir
+    engine_sql(
+        spark,
+        f"INSERT INTO VERSIONED '{tdir}' "
+        "SELECT CAST(:k AS BIGINT) AS o_orderkey, :tag AS o_orderstatus",
+        params={"k": -1, "tag": evil},
+    )
+    t = VersionedTable(spark, tdir)
+    sentinel = t.read().filter(F.col("o_orderkey") == -1).collect()
+    if len(sentinel) != 1 or sentinel[0].o_orderstatus != evil:
+        raise AssertionError("hostile parameter did not land as a literal")
+    engine_sql(
+        spark,
+        f"DELETE FROM '{tdir}' WHERE o_orderkey = :k",
+        params={"k": -1},
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
