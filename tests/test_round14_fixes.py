@@ -241,3 +241,65 @@ def test_sql_insert_and_ctas(spark, tmp_path):
             f"INSERT INTO VERSIONED '{tdir}' "
             "SELECT CAST(-1 AS BIGINT) AS k, 'z' AS v",
         )
+
+
+def test_two_streams_one_table_exactly_once(spark, tmp_path):
+    """Round-14 verdict item 7, end-to-end: TWO independent writeStream
+    queries (distinct txnAppIds) feed ONE versioned table, then one of
+    them restarts from its checkpoint with more input — both sequences
+    stay exactly-once (no replays, no cross-app dedupe) even though
+    their #sbatch watermarks interleave in the commit log."""
+    import json as _json
+    import os as _os
+
+    from weather_etl_docker_airflow_project_spark.sources import (
+        versioned_stream,
+    )
+
+    versioned_stream.register(spark)
+
+    def _drop(srcdir, name, lo, hi):
+        with open(_os.path.join(srcdir, name), "w") as f:
+            for k in range(lo, hi):
+                f.write(_json.dumps({"k": k, "v": float(k)}) + "\n")
+
+    def _stream(srcdir, tdir, ck, app):
+        return (
+            spark.readStream.schema("k bigint, v double")
+            .option("maxFilesPerTrigger", "1")
+            .json(srcdir)
+            .writeStream.format("versioned_table")
+            .option("tableDir", tdir)
+            .option("checkpointLocation", ck)
+            .option("txnAppId", app)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    src_a, src_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    _os.makedirs(src_a), _os.makedirs(src_b)
+    tdir = str(tmp_path / "t")
+    ck_a, ck_b = str(tmp_path / "cka"), str(tmp_path / "ckb")
+    for i in range(2):
+        _drop(src_a, f"a{i}.json", i * 10, (i + 1) * 10)  # keys 0..19
+        _drop(src_b, f"b{i}.json", 100 + i * 10, 100 + (i + 1) * 10)
+    qa = _stream(src_a, tdir, ck_a, "appA")
+    assert qa.awaitTermination(180)
+    qb = _stream(src_b, tdir, ck_b, "appB")
+    assert qb.awaitTermination(180)
+    t = VersionedTable(spark, tdir)
+    assert t.read().count() == 40
+    # restart ONLY stream A with one more file: B's interleaved markers
+    # must not hide A's watermark, and A's batches 0-1 must not replay
+    _drop(src_a, "a2.json", 20, 30)
+    qa2 = _stream(src_a, tdir, ck_a, "appA")
+    assert qa2.awaitTermination(180)
+    got = sorted(r.k for r in t.read().collect())
+    assert got == list(range(30)) + list(range(100, 120))
+    # and B restarts clean too (no new input -> no new commit)
+    before = t.latest_version()
+    qb2 = _stream(src_b, tdir, ck_b, "appB")
+    assert qb2.awaitTermination(180)
+    assert t.latest_version() == before
+    assert t.read().count() == 50

@@ -451,16 +451,34 @@ class VersionedTable:
         a streaming sink's cadence (10^5 commits/year) this is what
         keeps per-commit metadata cost flat in table age. Returns None
         for tables that pre-date checkpointing or have < INTERVAL
-        commits — every consumer falls back to the full walk."""
+        commits — every consumer falls back to the full walk.
+
+        Stamp-cached like the manifests (one os.stat per access; the
+        file is re-parsed only when its (mtime_ns, size) changes):
+        ``latest_version()`` consults it on every read/commit and the
+        stream source on every trigger."""
+        try:
+            st = os.stat(self._ckpt_path)
+        except OSError:
+            return None
+        stamp = (st.st_mtime_ns, st.st_size)
+        key = (self._versions_key, -1)  # versions are >= 1: no clash
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None and hit["stamp"] == stamp:
+            return hit["state"]
         try:
             with open(self._ckpt_path) as f:
-                return json.load(f)
+                state = json.load(f)
         except FileNotFoundError:
             return None
         except (json.JSONDecodeError, OSError):
             # a torn/unreadable checkpoint must never fail a read —
             # it is derivable state; the full walk answers instead
             return None
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[key] = {"stamp": stamp, "state": state}
+        return state
 
     def latest_version(self) -> int | None:
         """The newest committed version, in O(commits since the last
@@ -1250,7 +1268,16 @@ class VersionedTable:
             dirs, dvs, pdvs = new_dirs, [], []
             stats = self._stats_for_commit(new_dirs, None, dirs, colmap=colmap)
         last_err: ConcurrentCommitError | None = None
-        for attempt in range(5):
+        for attempt in range(10):
+            if attempt:
+                # linear backoff under contention: a loser re-reading
+                # metadata in lockstep with the winner's next publish
+                # can starve inside the cap (seen as a rare test flake
+                # at 2 writers x 7 commits); a few ms of skew breaks
+                # the lockstep at zero cost to the uncontended path
+                import time as _time
+
+                _time.sleep(0.005 * attempt)
             try:
                 self._publish_manifest(
                     dirs, version, schema=df.schema, dvs=dvs, stats=stats,

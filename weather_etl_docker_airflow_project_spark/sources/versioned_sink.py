@@ -375,7 +375,11 @@ class VersionedTableWriter(DataSourceArrowWriter):
         INSIDE the CAS loop: a zombie driver losing the race to its
         replacement's identical batch must skip, not rebase-append)."""
         last_err: ConcurrentCommitError | None = None
-        for _attempt in range(5):
+        for _attempt in range(10):
+            if _attempt:
+                import time as _time
+
+                _time.sleep(0.005 * _attempt)  # break CAS-loss lockstep
             if pre_attempt is not None and pre_attempt(table):
                 return False
             committed = table.versions()

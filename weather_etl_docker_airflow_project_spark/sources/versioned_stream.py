@@ -226,8 +226,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     def _delta_dirs(self, v_from: int, v_to: int) -> list[tuple[int, list[str]]]:
         """Per-commit added dirs in ``(v_from, v_to]`` — the append-
         stream contract: raises on non-append commits (removed dirs or
-        changed deletion vectors) unless ``ignoreChanges``."""
-        committed = set(self._table.versions())
+        changed deletion vectors) unless ``ignoreChanges``. Planning
+        cost is O(range), never O(table age): versions are allocated
+        contiguously and retention retires only a prefix, so membership
+        over [v_from, v_to] is per-version existence probes — no full
+        commit-log listing per micro-batch."""
+        committed = {
+            v
+            for v in range(max(v_from, 1), v_to + 1)
+            if os.path.exists(
+                os.path.join(self._table._versions, str(v))
+            )
+        }
         if v_from != 0 and v_from not in committed:
             # the stream's last committed offset was VACUUMED out of the
             # commit log: prev_dirs is unknowable, and defaulting it to
@@ -375,12 +385,12 @@ class VersionedTableStreamSource(DataSource):
                 "versioned_table_stream needs .option('tableDir', ...)"
             )
         t = VersionedTable(None, table_dir)
-        committed = t.versions()
-        if not committed:
+        head = t.latest_version()  # checkpoint-bounded, O(tail)
+        if head is None:
             raise ValueError(
                 f"versioned table at {table_dir} has no commits to stream"
             )
-        schema = t.snapshot_schema(committed[-1])
+        schema = t.snapshot_schema(head)
         if schema is None:
             raise ValueError(
                 f"versioned table at {table_dir} has no recorded manifest "
@@ -429,26 +439,45 @@ class VersionedCDFStreamReader(VersionedTableStreamReader):
     def _delta_slices(
         self, v_from: int, v_to: int
     ) -> list[tuple[int, list[InputPartition]]]:
-        committed = self._table.versions()
-        if v_from != 0 and v_from not in committed:
-            raise ValueError(
-                f"stream offset version {v_from} is no longer in the "
-                f"commit log at {self._table.dir} (vacuumed under an "
-                "active stream?) — raise retention above the stream's "
-                "lag and restart from a fresh startingVersion"
-            )
-        if v_from == 0 and committed and committed[0] != 1:
-            # unlike the append stream (whose first surviving manifest
-            # IS a complete snapshot), a cdf-from-the-beginning needs
-            # every commit's feed: history vacuumed before
-            # committed[0] means the replica would silently bootstrap
-            # incomplete — Delta's "cannot read version" CDF error
-            raise ValueError(
-                f"change feed from version 0 at {self._table.dir} is "
-                f"incomplete: history before version {committed[0]} was "
-                "vacuumed; start from a version whose manifest survives "
-                "and bootstrap the replica from a snapshot read"
-            )
+        if v_from == 0:
+            # bootstrap replay: needs the EARLIEST surviving version
+            # (a full-history read is O(all commits) of work anyway,
+            # so the full listing is proportional here)
+            committed = self._table.versions()
+            if committed and committed[0] != 1:
+                # unlike the append stream (whose first surviving
+                # manifest IS a complete snapshot), a cdf-from-the-
+                # beginning needs every commit's feed: history vacuumed
+                # before committed[0] means the replica would silently
+                # bootstrap incomplete — Delta's "cannot read version"
+                # CDF error
+                raise ValueError(
+                    f"change feed from version 0 at {self._table.dir} "
+                    "is incomplete: history before version "
+                    f"{committed[0]} was vacuumed; start from a version "
+                    "whose manifest survives and bootstrap the replica "
+                    "from a snapshot read"
+                )
+            committed = set(committed)
+        else:
+            # steady-state trigger: O(range) existence probes, never a
+            # full commit-log listing (versions are contiguous and
+            # retention retires only a prefix)
+            committed = {
+                v
+                for v in range(v_from, v_to + 1)
+                if os.path.exists(
+                    os.path.join(self._table._versions, str(v))
+                )
+            }
+            if v_from not in committed:
+                raise ValueError(
+                    f"stream offset version {v_from} is no longer in "
+                    f"the commit log at {self._table.dir} (vacuumed "
+                    "under an active stream?) — raise retention above "
+                    "the stream's lag and restart from a fresh "
+                    "startingVersion"
+                )
         prev_dirs = (
             set(self._table._manifest(v_from))
             if v_from in committed
@@ -561,12 +590,12 @@ class VersionedCDFStreamSource(DataSource):
                 "versioned_cdf_stream needs .option('tableDir', ...)"
             )
         t = VersionedTable(None, table_dir)
-        committed = t.versions()
-        if not committed:
+        head = t.latest_version()  # checkpoint-bounded, O(tail)
+        if head is None:
             raise ValueError(
                 f"versioned table at {table_dir} has no commits to stream"
             )
-        schema = t.snapshot_schema(committed[-1])
+        schema = t.snapshot_schema(head)
         if schema is None:
             raise ValueError(
                 f"versioned table at {table_dir} has no recorded manifest "
@@ -601,9 +630,10 @@ class VersionedTableBatchReader(DataSourceReader):
     task reads the O(deleted keys) key file, never another data file)."""
 
     def __init__(self, schema, options):
+        import os as _os
+
         table_dir = options.get("tabledir") or options.get("path")
         self._table = VersionedTable(None, table_dir)
-        committed = self._table.versions()
         v = options.get("versionasof")
         ts = options.get("timestampasof")
         if v is not None and ts is not None:
@@ -612,13 +642,21 @@ class VersionedTableBatchReader(DataSourceReader):
             self._version = self._table.version_at_timestamp(float(ts))
         elif v is not None:
             self._version = int(v)
-            if self._version not in committed:
+            if not _os.path.exists(
+                _os.path.join(self._table._versions, str(self._version))
+            ):
                 raise ValueError(
                     f"version {self._version} not committed at {table_dir} "
-                    f"(have {committed})"
+                    f"(have {self._table.versions()})"
                 )
         else:
-            self._version = committed[-1]
+            # checkpoint-bounded latest resolution (O(tail), the
+            # default plan path)
+            self._version = self._table.latest_version()
+            if self._version is None:
+                raise ValueError(
+                    f"versioned table at {table_dir} has no commits"
+                )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
@@ -777,14 +815,14 @@ class VersionedCDFBatchReader(DataSourceReader):
 
     def __init__(self, schema, options):
         self._inner = VersionedCDFStreamReader(schema, options)
-        committed = self._inner._table.versions()
-        if not committed:
+        head = self._inner._table.latest_version()
+        if head is None:
             raise ValueError(
                 f"versioned table at {self._inner._table.dir} has no commits"
             )
         self._v_from = int(options.get("startingversion", 0))
         ev = options.get("endingversion")
-        self._v_to = int(ev) if ev is not None else committed[-1]
+        self._v_to = int(ev) if ev is not None else head
 
     def partitions(self):
         slices = self._inner._delta_slices(self._v_from, self._v_to)
@@ -831,8 +869,8 @@ class VersionedTableBatchSource(DataSource):
         if not table_dir:
             raise ValueError("versioned_table needs .option('tableDir', ...)")
         t = VersionedTable(None, table_dir)
-        committed = t.versions()
-        if not committed:
+        head = t.latest_version()  # checkpoint-bounded, O(tail)
+        if head is None:
             raise ValueError(
                 f"versioned table at {table_dir} has no commits"
             )
@@ -852,7 +890,7 @@ class VersionedTableBatchSource(DataSource):
                 StructType,
             )
 
-            schema = t.snapshot_schema(committed[-1])
+            schema = t.snapshot_schema(head)
             if schema is None:
                 raise ValueError(
                     f"versioned table at {table_dir} has no recorded "
@@ -869,13 +907,15 @@ class VersionedTableBatchSource(DataSource):
             version = t.version_at_timestamp(float(ts))
         elif v is not None:
             version = int(v)
-            if version not in committed:
+            if not os.path.exists(
+                os.path.join(t._versions, str(version))
+            ):
                 raise ValueError(
                     f"version {version} not committed at {table_dir} "
-                    f"(have {committed})"
+                    f"(have {t.versions()})"
                 )
         else:
-            version = committed[-1]
+            version = head
         schema = t.snapshot_schema(version)
         if schema is None:
             raise ValueError(
