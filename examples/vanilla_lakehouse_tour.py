@@ -99,7 +99,27 @@ def main() -> None:
         "_commit_version"
     ).show()
 
-    # 6. Maintenance, still SQL: cluster + retention.
+    # 6. SQL WRITES (S56, round 14): CTAS a derived table and append a
+    #    SELECT — a pure-SQL user never leaves engine_sql.
+    hot = os.path.join(root, "hot_obs")
+    engine_sql(
+        spark,
+        f"CREATE VERSIONED TABLE '{hot}' AS "
+        "SELECT obs_id, station, temp_c FROM obs WHERE temp_c >= :warm",
+        {"warm": 100.0},
+    )
+    engine_sql(
+        spark,
+        f"INSERT INTO VERSIONED '{hot}' "
+        "SELECT obs_id, station, temp_c FROM obs WHERE station = :s",
+        {"s": 3},
+    )
+
+    # 7. Maintenance, still SQL: audit, pre-flight, cluster, retention.
+    engine_sql(spark, f"DESCRIBE HISTORY '{table}'").show(truncate=False)
+    engine_sql(spark, f"VACUUM '{table}' RETAIN 2 VERSIONS DRY RUN").show(
+        truncate=False
+    )
     engine_sql(spark, f"OPTIMIZE '{table}' ZORDER BY (station, obs_id)")
     engine_sql(spark, f"VACUUM '{table}' RETAIN 2 VERSIONS")
     print("done — table at", table)

@@ -303,3 +303,32 @@ def test_two_streams_one_table_exactly_once(spark, tmp_path):
     assert qb2.awaitTermination(180)
     assert t.latest_version() == before
     assert t.read().count() == 50
+
+
+def test_sql_vacuum_dry_run_and_describe_history(spark, tmp_path):
+    """SQL-front utilities: VACUUM ... DRY RUN reports without touching
+    anything; DESCRIBE HISTORY returns one row per commit."""
+    from weather_etl_docker_airflow_project_spark.operators.dml_sql import (
+        engine_sql,
+    )
+
+    tdir = str(tmp_path / "t")
+    t = VersionedTable(spark, tdir)
+    t.commit(spark.range(5).select(F.col("id").alias("k")))
+    t.commit(spark.range(5).select(F.col("id").alias("k")), mode="append")
+    t.commit(spark.range(2).select(F.col("id").alias("k")), mode="overwrite")
+    dry = engine_sql(
+        spark, f"VACUUM '{tdir}' RETAIN 1 VERSIONS DRY RUN"
+    ).collect()
+    actions = {r.action for r in dry}
+    assert "would_drop_version" in actions and "would_remove_dir" in actions
+    assert t.versions() == [1, 2, 3]  # nothing touched
+    hist = engine_sql(spark, f"DESCRIBE HISTORY '{tdir}'").collect()
+    assert [r.version for r in hist] == [1, 2, 3]
+    assert [r.op for r in hist] == ["append", "append", "overwrite"]
+    # the real vacuum afterwards
+    res = engine_sql(spark, f"VACUUM '{tdir}' RETAIN 1 VERSIONS").collect()[0]
+    assert res.op == "vacuum"
+    assert t.versions() == [3]
+    with pytest.raises(ValueError, match="no commits"):
+        engine_sql(spark, f"DESCRIBE HISTORY '{tmp_path / 'missing'}'")

@@ -14,8 +14,9 @@ path — the versioned format's identity is its directory):
     MERGE INTO '<dir>' USING <view> ON t.k1 = s.k1 [AND ...]
     OPTIMIZE '<dir>' [WHERE <predicate>] [ZORDER BY (c1[, ...])]
                      [INCREMENTAL]
-    VACUUM '<dir>' [RETAIN <n> VERSIONS]
+    VACUUM '<dir>' [RETAIN <n> VERSIONS] [DRY RUN]
     RESTORE '<dir>' TO VERSION AS OF <n>
+    DESCRIBE HISTORY '<dir>'
     ALTER TABLE '<dir>' ADD CONSTRAINT CHECK (<expr>)
     ALTER TABLE '<dir>' ENABLE CHANGE DATA FEED
     ALTER TABLE '<dir>' RENAME COLUMN <old> TO <new>
@@ -217,7 +218,12 @@ _OPTIMIZE = re.compile(
 )
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+'(?P<path>[^']+)'"
-    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*$",
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+'(?P<path>[^']+)'\s*$",
     re.IGNORECASE,
 )
 _RESTORE = re.compile(
@@ -335,9 +341,48 @@ def engine_sql(
     if m:
         t = VersionedTable(spark, m.group("path"))
         n = int(m.group("n")) if m.group("n") else 1
-        vacuum(t, retain_versions=n)
-        committed = t.versions()
-        return _result(spark, "vacuum", t.dir, committed[-1] if committed else 0)
+        rep = vacuum(t, retain_versions=n, dry_run=bool(m.group("dry")))
+        head = t.latest_version()
+        if m.group("dry"):
+            # the pre-flight report, not the uniform (op, table,
+            # version) row: what WOULD be dropped/removed, nothing
+            # touched (Delta's VACUUM ... DRY RUN shape)
+            rows = [
+                ("would_drop_version", str(v)) for v in rep.dropped_versions
+            ] + [("would_remove_dir", d) for d in rep.removed_dirs] + [
+                ("deferred_staging", d) for d in rep.deferred_dirs
+            ]
+            return spark.createDataFrame(
+                rows or [("nothing_to_vacuum", t.dir)],
+                "action string, target string",
+            )
+        return _result(spark, "vacuum", t.dir, head if head else 0)
+
+    m = _DESCRIBE_HISTORY.match(stmt)
+    if m:
+        # DESCRIBE HISTORY as SQL (the s39 library surface for SQL-first
+        # users): one row per commit, pure manifest metadata
+        t = VersionedTable(spark, m.group("path"))
+        hist = t.history()
+        if not hist:
+            raise ValueError(
+                f"versioned table at {t.dir} has no commits"
+            )
+        return spark.createDataFrame(
+            [
+                (
+                    h["version"],
+                    float(h["ts"]),
+                    h["op"],
+                    h["n_dirs"],
+                    h["n_dvs"],
+                    h["n_cols"],
+                )
+                for h in hist
+            ],
+            "version bigint, ts double, op string, n_dirs bigint, "
+            "n_dvs bigint, n_cols bigint",
+        )
 
     m = _RESTORE.match(stmt)
     if m:
@@ -445,5 +490,6 @@ def engine_sql(
         "ALTER TABLE (ADD CONSTRAINT CHECK, RENAME COLUMN, DROP COLUMN) / "
         "CREATE [OR REPLACE] TEMP VIEW ... AS VERSIONED / INSERT "
         "INTO|OVERWRITE VERSIONED ... SELECT / CREATE VERSIONED TABLE "
-        "... AS SELECT — all over a quoted versioned-table path"
+        "... AS SELECT / DESCRIBE HISTORY — all over a quoted "
+        "versioned-table path"
     )
