@@ -274,11 +274,61 @@ _ON_EQ = re.compile(
 )
 
 
+def _run_spark_sql_write(
+    spark: SparkSession, statement: str, m, params: dict | None
+) -> DataFrame:
+    """INSERT INTO/OVERWRITE VERSIONED and CREATE VERSIONED TABLE AS:
+    the SELECT body is evaluated by ``spark.sql`` with the caller's
+    params bound NATIVELY (``args=`` named-parameter binding, Spark
+    3.4+) — values reach Catalyst as typed literals, so no textual
+    escaping dialect is involved at all (P12 safety; r14 ADVICE: the
+    quote-doubling renderer corrupts backslashes under Spark's default
+    escapedStringLiterals=false, and plain-decimal float expansion
+    parses as DECIMAL past 38 digits)."""
+    select = m.group("select")
+    df = spark.sql(select, args=params) if params is not None else spark.sql(select)
+    t = VersionedTable(spark, m.group("path"))
+    if "mode" in m.re.groupindex:  # INSERT
+        if t.latest_version() is None:
+            raise ValueError(
+                f"INSERT target {t.dir} has no commits; CREATE VERSIONED "
+                "TABLE '<dir>' AS SELECT ... creates it (a typo'd path "
+                "failing loudly beats silently minting a new table)"
+            )
+        mode = (
+            "overwrite"
+            if m.group("mode").upper() == "OVERWRITE"
+            else "append"
+        )
+        v = t.commit(df, mode=mode, op=f"insert {mode}")
+        return _result(spark, f"insert_{mode}", t.dir, v)
+    if t.latest_version() is not None:
+        raise ValueError(
+            f"CREATE VERSIONED TABLE target {t.dir} already has "
+            "commits; INSERT INTO appends, INSERT OVERWRITE replaces"
+        )
+    v = t.commit(df, op="create table as")
+    return _result(spark, "create_table_as", t.dir, v)
+
+
 def engine_sql(
     spark: SparkSession, statement: str, params: dict | None = None
 ) -> DataFrame:
     """Execute one lakehouse DML/maintenance statement (grammar in the
     module docstring); returns ``(op, table, version)``."""
+    # INSERT/CTAS select bodies run through Spark's OWN parser, where
+    # backslash is an escape character (escapedStringLiterals=false) and
+    # plain-decimal float literals parse as DECIMAL — so the textual
+    # rendering below (quote-doubling + decimal expansion, correct for
+    # the internal predicate grammar) would corrupt values containing
+    # backslashes and reject wide-magnitude floats on this path. Route
+    # those statements' params through spark.sql's NATIVE named-parameter
+    # binding instead (:name markers — values reach Catalyst as typed
+    # literals, never as text).
+    m = _INSERT.match(statement) or _CTAS.match(statement)
+    if m:
+        return _run_spark_sql_write(spark, statement, m, params)
+
     stmt = _bind(statement, params)
 
     m = _UPDATE.match(stmt)
@@ -452,37 +502,6 @@ def engine_sql(
             t.dir,
             int(version) if version is not None else committed[-1],
         )
-
-    m = _INSERT.match(stmt)
-    if m:
-        # the SELECT body runs through Spark's OWN parser/planner —
-        # params were already rendered as quoted literals by _bind, so
-        # user values reach Catalyst only as literals (P12 safety)
-        t = VersionedTable(spark, m.group("path"))
-        if t.latest_version() is None:
-            raise ValueError(
-                f"INSERT target {t.dir} has no commits; CREATE VERSIONED "
-                "TABLE '<dir>' AS SELECT ... creates it (a typo'd path "
-                "failing loudly beats silently minting a new table)"
-            )
-        mode = (
-            "overwrite"
-            if m.group("mode").upper() == "OVERWRITE"
-            else "append"
-        )
-        v = t.commit(spark.sql(m.group("select")), mode=mode, op=f"insert {mode}")
-        return _result(spark, f"insert_{mode}", t.dir, v)
-
-    m = _CTAS.match(stmt)
-    if m:
-        t = VersionedTable(spark, m.group("path"))
-        if t.latest_version() is not None:
-            raise ValueError(
-                f"CREATE VERSIONED TABLE target {t.dir} already has "
-                "commits; INSERT INTO appends, INSERT OVERWRITE replaces"
-            )
-        v = t.commit(spark.sql(m.group("select")), op="create table as")
-        return _result(spark, "create_table_as", t.dir, v)
 
     raise ValueError(
         f"unrecognized statement {statement[:80]!r}; supported: UPDATE / "

@@ -757,8 +757,15 @@ class VersionedTable:
         manifest header lines): ``{dir: {col: {"lo": enc|None, "hi":
         enc|None, "nulls": n, "rows": n}}}``. Dirs without a line have no
         stats (reads must keep them); ``lo``/``hi`` of None with
-        ``nulls == rows`` means the column is entirely NULL in that dir."""
-        return dict(self._parsed(version)["stats"])
+        ``nulls == rows`` means the column is entirely NULL in that dir.
+
+        Returns a per-call copy down to the per-column stat dicts (r14
+        ADVICE: the cache-shared inner dicts leaked to callers, so one
+        caller's mutation poisoned every later reader in the process)."""
+        return {
+            d: {c: dict(s) for c, s in cols.items()}
+            for d, cols in self._parsed(version)["stats"].items()
+        }
 
     def _collect_dir_stats(
         self, dirs: list[str], colmap: dict | None = None
@@ -861,8 +868,15 @@ class VersionedTable:
         approach: the reader gets the schema from one metadata line
         instead of a ``mergeSchema`` footer scan over every file — at
         100 TB the difference between O(1) and O(files) planning.
-        Returned StructType is the cached shared instance — read-only."""
-        return self._parsed(version)["schema"]
+        Returns a fresh StructType per call (r14 ADVICE: handing out the
+        cache-shared instance let an external ``.add()`` poison every
+        later reader in the process)."""
+        cached = self._parsed(version)["schema"]
+        if cached is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(cached.jsonValue())
 
     def enable_column_mapping(self) -> None:
         """Opt the table into COLUMN MAPPING (Delta's
@@ -2592,10 +2606,18 @@ def vacuum(
     keep = committed[-retain_versions:]
     if retain_hours is not None:
         cutoff = _time.time() - retain_hours * 3600.0
-        keep = sorted(
-            set(keep)
-            | {v for v in committed if table.commit_timestamp(v) >= cutoff}
-        )
+        kept = set(keep) | {
+            v for v in committed if table.commit_timestamp(v) >= cutoff
+        }
+        # CONTIGUOUS keep suffix (r14 ADVICE): commit timestamps are not
+        # monotone across skewed writers, so the timestamp window alone
+        # can retain a mid-log version while dropping a higher-numbered
+        # one whose clock ran behind — leaving a GAP that would make
+        # latest_version()'s probe-upward stop early (stale reads, and a
+        # re-allocated version number silently rewriting history).
+        # Extending retention down to the oldest timestamp-kept version
+        # keeps the committed sequence gap-free.
+        keep = [v for v in committed if v >= min(kept)]
     drop = [v for v in committed if v not in keep]
     referenced = set()
     ever_referenced: set[str] = set()  # by ANY manifest, kept or dropped
