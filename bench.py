@@ -241,6 +241,32 @@ HEADLINE = [
 
 RUNS_PER_QUERY = 2  # report min-of-N: isolates query cost from host noise
 
+# Outlier re-run rule (r15, the r14 verdict's bench item): min-of-2 does
+# not absorb a SUSTAINED host stall (r14 recorded a 3x-inflated t17 and
+# cost the round a forensic session). If a query's min-of-2 wall exceeds
+# OUTLIER_FACTOR x its previous run's calibration-normalized wall (the
+# prior BENCH_DETAIL.json ships in-repo), run it once more and take the
+# min; every trigger is logged to stderr and recorded in the detail
+# JSON's "reruns" map. This changes NO timing methodology for
+# non-outliers — it only adds a third sample where the first two
+# disagree wildly with history.
+OUTLIER_FACTOR = 2.0
+
+
+def _load_prior_detail() -> tuple[dict, float | None]:
+    """(prior per-query walls, prior calibration) from the repo's last
+    BENCH_DETAIL.json — empty when absent/corrupt (first run)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        q = dict(prior.get("queries") or {})
+        return q, float(q.get("calibration") or 0) or None
+    except (OSError, ValueError):
+        return {}, None
+
 
 def _warmup(spark) -> None:
     """Warm the JVM (codegen paths) and the Python worker pool (Arrow/
@@ -302,8 +328,13 @@ def main() -> None:
     timings["calibration"] = round(_calibration(spark), 3)
     print(f"# calibration: {timings['calibration']:.2f}s", file=sys.stderr)
 
+    prior_q, prior_cal = _load_prior_detail()
+    cal_ratio = (
+        timings["calibration"] / prior_cal if prior_cal else None
+    )
     total = 0.0
     errors: dict[str, str] = {}
+    reruns: dict[str, list[float]] = {}
     for name in headline:
         spec = catalog.REGISTRY[name]
         best, n = None, 0
@@ -313,6 +344,23 @@ def main() -> None:
                 n = spec.fn(spark, SF_DIR).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+            prior = prior_q.get(name)
+            if (
+                cal_ratio
+                and isinstance(prior, (int, float))
+                and best > OUTLIER_FACTOR * prior * cal_ratio
+            ):
+                # sustained-stall suspect: one more sample
+                t0 = time.time()
+                n = spec.fn(spark, SF_DIR).count()
+                dt = time.time() - t0
+                print(
+                    f"# {name}: OUTLIER rerun (min2={best:.2f}s vs prior "
+                    f"{prior:.2f}s x cal {cal_ratio:.2f}) -> {dt:.2f}s",
+                    file=sys.stderr,
+                )
+                reruns[name] = [round(best, 3), round(dt, 3)]
+                best = min(best, dt)
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # lose the whole round's headline line (learned at sf1: a18's
             # capacity certificate refusal killed the run at query 54/122)
@@ -389,6 +437,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "errors": errors,
+                "reruns": reruns,  # outlier third samples: [min2, third]
                 "sf": float(sf),
             },
             f,

@@ -46,9 +46,11 @@ def test_spark_bpe_matches_python_reference(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = bpe_train(docs, "text", n_merges=8)
     want = _py_bpe(texts, 8)
-    assert got == want
+    # driver-local fit (vocab under the cap)
+    assert bpe_train(docs, "text", n_merges=8) == want
+    # distributed rounds (cap 0 forces the cluster loop)
+    assert bpe_train(docs, "text", n_merges=8, max_driver_vocab=0) == want
 
 
 def test_merge_word_leftmost_non_overlapping():
@@ -109,7 +111,10 @@ def test_multi_merge_parity_self_pair_regression(spark):
     want = _py_bpe(texts, 3)
     assert [m[1:3] for m in want] == [("z", "z"), ("zz", "z"), ("c", "d")]
     for width in (1, 2, 4, 8, 32):
-        got = bpe_train(docs, "text", n_merges=3, max_merges_per_round=width)
+        got = bpe_train(
+            docs, "text", n_merges=3, max_merges_per_round=width,
+            max_driver_vocab=0,  # force the distributed batching rule
+        )
         assert got == want, f"width={width}"
 
 
@@ -134,7 +139,13 @@ def test_multi_merge_parity_randomized(spark):
         )
         want = _py_bpe(texts, 10)
         for width in (1, 4, 8, 32):
-            got = bpe_train(docs, "text", n_merges=10, max_merges_per_round=width)
+            # max_driver_vocab=0 forces the DISTRIBUTED multi-merge loop
+            # (the driver-local fit would otherwise absorb these tiny
+            # corpora and leave the batching rule untested)
+            got = bpe_train(
+                docs, "text", n_merges=10, max_merges_per_round=width,
+                max_driver_vocab=0,
+            )
             assert got == want, f"seed={seed} width={width}"
 
 

@@ -91,11 +91,41 @@ def _safe_merge_batch(
     return [p for p in batch if p[2] > stop_n] or ranked[:1]
 
 
+def _train_local(
+    vocab: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Sequential BPE over a driver-resident (symbols, freq) vocabulary —
+    byte-identical to the distributed loop by definition (one merge at a
+    time, exact counts, (left, right) tie-break): the distributed
+    multi-merge batching is PROVEN equal to this (``_safe_merge_batch``),
+    so equality is transitive."""
+    merges: list[tuple[int, str, str, int]] = []
+    from collections import Counter
+
+    for rank in range(1, n_merges + 1):
+        cnt: Counter = Counter()
+        for syms, freq in vocab:
+            for pair in zip(syms, syms[1:]):
+                cnt[pair] += freq
+        if not cnt:
+            break
+        (left, right), n = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, int(n)))
+        vocab = [
+            (merge_word(s, left, right) if left in s else s, f)
+            for s, f in vocab
+        ]
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
     n_merges: int,
     max_merges_per_round: int = 32,
+    max_driver_vocab: int = 100_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from a document corpus.
 
@@ -128,12 +158,31 @@ def bpe_train(
     spark = docs.sparkSession
     # corpus -> deduplicated (word, freq): everything after this is
     # vocabulary-sized
+    # eager=False: lineage still truncates (the requirement — plans must
+    # not accrete across rounds) but materialization rides the NEXT
+    # action (each round's pair-count collect) instead of a dedicated
+    # job — halves the per-round job count of the driver-paced loop
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(F.expr("transform(split(w, ''), c -> c)").alias("syms"), "freq")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+
+    # DRIVER-LOCAL fit when the deduplicated vocabulary fits (r15): the
+    # corpus pass above is the distributed work — everything after is
+    # |vocab|-sized, and a vocabulary under the cap trains in
+    # milliseconds on the driver vs ~0.3s of job latency PER MERGE ROUND
+    # in the cluster loop (a driver-paced loop is round-trip-bound, not
+    # data-bound; the broadcast-join small-side principle applied to the
+    # fit). limit(cap+1) bounds the probe: an over-cap vocabulary
+    # collects at most cap+1 rows and falls through to the distributed
+    # rounds. Byte-exact either way (pytest parity gate).
+    probe = words.limit(max_driver_vocab + 1).collect()
+    if len(probe) <= max_driver_vocab:
+        return _train_local(
+            [(list(r["syms"]), int(r["freq"])) for r in probe], n_merges
+        )
 
     merges: list[tuple[int, str, str, int]] = []
     window = max(1, max_merges_per_round)
@@ -174,7 +223,7 @@ def bpe_train(
 
         words = words.mapInPandas(
             apply_merges, "syms array<string>, freq long"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # materializes under next collect
     return merges
 
 

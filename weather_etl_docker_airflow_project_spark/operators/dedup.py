@@ -313,7 +313,7 @@ def lsh_candidate_pairs(
     buckets.count()
     left = buckets.alias("l")
     right = buckets.alias("r")
-    return (
+    out = (
         left.join(
             right,
             (F.col(f"l.band") == F.col(f"r.band"))
@@ -324,7 +324,15 @@ def lsh_candidate_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
+        # materialize the (rare-tail-sized) pair table so the
+        # corpus-sized bucket cache frees NOW instead of pinning for the
+        # session — the ngram_jaccard_pairs cache-hygiene rule (leaked
+        # persists from every invocation evict longer-lived caches and
+        # drag every later query in the session)
+        .localCheckpoint()
     )
+    buckets.unpersist()
+    return out
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -458,7 +466,7 @@ def simhash_neardup_pairs(
     # (skewed corpora produce huge buckets), and the filter is a cheap
     # map-side expression — the distinct shuffle then sees only true
     # near-dups instead of every candidate.
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -472,7 +480,11 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+        # checkpoint-then-unpersist: see lsh_candidate_pairs
+        .localCheckpoint()
     )
+    buckets.unpersist()
+    return out
 
 
 def _drop_hot_shingles(

@@ -192,24 +192,35 @@ def triangle_counts(
     e = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    n_edges = e.count()  # ~free: reads the checkpoint block index
     nodes = e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
     keyed = deg.select("n", F.expr("d * 4294967296 + n").alias("key"))
     ka, kb = keyed.alias("ka"), keyed.alias("kb")
-    # merge hints (r9 — the 30x decade run caught it): past the explode
-    # + distinct, the EDGE table's static size estimate collapses and
-    # the planner broadcast e itself (a ~600 MB hashed relation at 36M
-    # edges — broadcast-build OOM). Sort-merge is spillable either way
-    # round; AQE's measured runtime stats keep small graphs cheap.
+    # Orientation join strategy, gated on the MEASURED edge count (the
+    # checkpoint makes it exact, not an estimate): the keyed table is
+    # |V|-sized (|V| <= 2|E|, 16 B/row), so below the same threshold
+    # that gates the adjacency broadcast it broadcasts safely and both
+    # attaches become map joins — the |E|-sized edge table never
+    # shuffles or sorts here (guide §3.1; measured -0.8 s at sf0.1).
+    # Past the threshold: merge hints (r9 — the 30x decade run caught
+    # it): past the explode + distinct, the EDGE table's static size
+    # estimate collapses and the planner broadcast e itself (a ~600 MB
+    # hashed relation at 36M edges — broadcast-build OOM). Sort-merge is
+    # spillable either way round; AQE's measured runtime stats keep
+    # small graphs cheap.
+    if n_edges <= max_broadcast_edges:
+        lhs, ka, kb = e, F.broadcast(ka), F.broadcast(kb)
+    else:
+        lhs = e.hint("merge")
     oriented = (
-        e.hint("merge").join(ka, F.col("a") == F.col("ka.n"))
+        lhs.join(ka, F.col("a") == F.col("ka.n"))
         .join(kb, F.col("b") == F.col("kb.n"))
         .select(
             F.when(F.col("ka.key") < F.col("kb.key"), F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(F.col("ka.key") < F.col("kb.key"), F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    n_edges = oriented.count()  # ~free: reads the checkpoint block index
     if n_edges > max_attach_edges:
         return _triangle_counts_wedge_stream(
             e, oriented, n_edges, kernel_task_factor, wedge_slice
@@ -229,23 +240,34 @@ def triangle_counts(
         .filter(F.size("closers") > 0)
     )
     # a triangle (u, v, w) found at edge (u, v) credits u and v once per
-    # closer and each closer w once — integer sums, order-free
-    counts = (
-        tri_e.select(
-            F.col("src").alias("node"), F.size("closers").cast("long").alias("c")
-        )
-        .unionAll(
-            tri_e.select(
-                F.col("dst").alias("node"), F.size("closers").cast("long").alias("c")
+    # closer and each closer w once — integer sums, order-free. ONE pass
+    # over tri_e (r15): the old three-way unionAll re-executed the
+    # adjacency-attach + array_intersect subtree once per branch — the
+    # dominant compute, paid 3x; a single explode of the per-edge
+    # contribution array emits the identical (node, c) multiset.
+    contrib = tri_e.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.size("closers").cast("long").alias("c"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.size("closers").cast("long").alias("c"),
+                    ),
+                ),
+                F.transform(
+                    "closers",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
             )
-        )
-        .unionAll(
-            tri_e.select(
-                F.explode("closers").alias("node"), F.lit(1).cast("long").alias("c")
-            )
-        )
-    )
-    return counts.groupBy("node").agg(F.sum("c").cast("long").alias("n_triangles"))
+        ).alias("p")
+    ).select("p.node", "p.c")
+    return contrib.groupBy("node").agg(F.sum("c").cast("long").alias("n_triangles"))
 
 
 def _triangle_counts_wedge_stream(
@@ -431,10 +453,11 @@ def _triangle_counts_wedge_stream(
     cand = adj.mapInPandas(_wedge_survivors, "u long, v long, w long")
     closing = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
     tri = cand.join(closing.hint("shuffle_hash"), ["v", "w"], "left_semi")
-    counts = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+    # ONE pass over tri (r15, same argument as the attach path): the
+    # three-way unionAll re-executed the Python wedge kernel + semi-join
+    # subtree per branch — explode the corner array instead.
+    counts = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     return counts.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")

@@ -117,10 +117,31 @@ class JoinView:
             .unionByName(delta_r.join(delta_s, self.on))
         )
         # STAGE: batch-scoped overwrite — a torn earlier attempt of this
-        # id is replaced wholesale, never accreted onto
-        m_new.write.mode("overwrite").parquet(self._batch_path("m_acc", batch_id))
-        delta_r.write.mode("overwrite").parquet(self._batch_path("r_acc", batch_id))
-        delta_s.write.mode("overwrite").parquet(self._batch_path("s_acc", batch_id))
+        # id is replaced wholesale, never accreted onto. The three writes
+        # are independent jobs over already-materialized inputs (the
+        # deltas are checkpointed above), so they run CONCURRENTLY from a
+        # small thread pool: each job's straggler tail back-fills with
+        # the next job's tasks instead of idling the cluster (guide
+        # §2.6); the manifest marker still lands strictly after all
+        # three futures resolve, so commit semantics are unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        stage = [
+            (m_new, self._batch_path("m_acc", batch_id)),
+            (delta_r, self._batch_path("r_acc", batch_id)),
+            (delta_s, self._batch_path("s_acc", batch_id)),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(
+                    lambda df=df, path=path: df.write.mode(
+                        "overwrite"
+                    ).parquet(path)
+                )
+                for df, path in stage
+            ]
+            for fut in futures:
+                fut.result()  # re-raises: a failed write aborts the batch
         # MANIFEST: the batch exists only once this marker lands. Written
         # tmp-then-rename (the HDFSMetadataLog/streaming CommitLog
         # pattern) with an fsync before the rename: an in-place open()/

@@ -2792,6 +2792,18 @@ def merge_upsert(
     if not committed:
         raise ValueError(f"versioned table at {table.dir} has no commits")
     base_version = committed[-1]
+    # Materialize the source ONCE (r15): the merge consumes it up to
+    # five times (granular bucket split, duplicate-key validation, CDF
+    # matched-key broadcast, change-row staging, the merged union), and
+    # each consumer re-executed the caller's full source plan through
+    # lineage. One disk-backed checkpoint turns that into one execution
+    # + four block reads — at any scale the source moves once (and the
+    # pin also freezes read-modify-write sources derived from this very
+    # table). DISK_ONLY: tiny sources pay ~nothing, corpus-sized ones
+    # must not park deserialized in the executors' heap (r10 lesson).
+    from pyspark.storagelevel import StorageLevel
+
+    source = source.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     target = table.read(version=base_version)
     split = _granular_split(table, base_version, source, keys)
     if split is not None:
@@ -3203,6 +3215,14 @@ def delete_by_keys(
     if not committed:
         raise ValueError(f"versioned table at {table.dir} has no commits")
     base_version = committed[-1]
+    # materialize the key feed once — it feeds the bucket split, the
+    # anti-join, the CDF semi-join (and the MOR distinct) through
+    # lineage otherwise; same rationale/level as merge_upsert's source
+    from pyspark.storagelevel import StorageLevel
+
+    delete_keys = delete_keys.localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
 
     def _delete_cdf_headers(deleted: DataFrame) -> list[str] | None:
         # CHANGE DATA FEED: the delete's cdf rows are the rows ACTUALLY

@@ -1405,7 +1405,8 @@ def _curriculum_plan(spark: SparkSession, sf_dir: str):
     bucketed = tiered.withColumn(
         "bkt",
         (F.col("tier").cast("long") * 64 + F.shiftright(F.col("hv"), 26)).cast("int"),
-    ).persist()
+    ).localCheckpoint()  # eager per-invocation materialization (was a
+    # session-pinned persist — see tpch_q15's cache-hygiene note)
     pos = bucketed_row_number(bucketed, "bkt", ["hv", "doc_id"], out_col="train_pos")
     return bucketed, pos.select("doc_id", "tier", "train_pos")
 

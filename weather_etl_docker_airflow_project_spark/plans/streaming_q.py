@@ -623,7 +623,11 @@ def t17_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of how the files were batched — the correctness property incremental
     state maintenance promises at any scale."""
     agg = windows.multibatch_event_agg(spark, sf_dir, user_cap=100)
-    return windows.run_available_now(agg, output_mode="complete")
+    # state keyed by event_type (a handful of keys): size the state
+    # store to the KEY SPACE, not the core count (run_available_now doc)
+    return windows.run_available_now(
+        agg, output_mode="complete", state_partitions=8
+    )
 
 
 @query(
@@ -668,7 +672,10 @@ def t18_stream_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("id_checksum"),
         F.max("user_id").cast("long").alias("max_user"),
     )
-    return windows.run_available_now(agg, output_mode="complete")
+    # state keyed by feed (2 keys): state partitions track key space
+    return windows.run_available_now(
+        agg, output_mode="complete", state_partitions=8
+    )
 
 
 @query(

@@ -276,7 +276,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price()).alias("total_rev")
-    ).persist()
+    ).localCheckpoint()  # eager per-invocation materialization: a bare
+    # persist() pinned one CacheManager entry per plan for the whole
+    # session (cache hygiene) and let a re-run read the cache instead of
+    # computing (dishonest re-measurement); checkpoint blocks free on GC
     best = revenue.agg(F.max("total_rev").alias("best_rev"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -570,7 +573,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_cost_cents")
-        .persist()
+        .localCheckpoint()  # see tpch_q15: per-invocation, GC-freed
     )
     min_cost = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
         F.min("ps_cost_cents").alias("min_cents")
@@ -650,7 +653,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_partkey",
             (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents"),
         )
-        .persist()
+        .localCheckpoint()  # see tpch_q15: per-invocation, GC-freed
     )
     grouped = natsupply.groupBy("ps_partkey").agg(
         F.sum("value_cents").alias("part_value_cents")

@@ -61,6 +61,15 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas_udf / applyInPandas / mapInPandas paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Generated-class cache (static conf, default 100 entries): an
+        # application that plans many DISTINCT queries (this engine's
+        # registry is ~280) evicts constantly at the default, so every
+        # re-run re-pays Janino compilation — measured 2-6s per
+        # expression-heavy query (16-aggregate minhash, quantized-vector
+        # dots) once the cache thrashes. Generated classes are KBs;
+        # 5000 entries bounds the cache at tens of MB of driver
+        # metaspace at any cluster scale.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # testdata events.parquet stores TIMESTAMP(NANOS) — read as long.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep broadcast joins available for dimension tables.

@@ -71,27 +71,49 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def run_available_now(stream: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_available_now(
+    stream: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain a streaming DataFrame to a memory sink with availableNow and
     return the result as a batch DataFrame. Checkpoint + sink name are
-    throwaway uniques (each call is an independent query)."""
+    throwaway uniques (each call is an independent query).
+
+    ``state_partitions`` sizes the query's shuffle — and therefore its
+    STATE-STORE instance count, pinned at first start via the checkpoint
+    — to the stream's keyed-state cardinality. Every micro-batch commits
+    one state-store delta per partition per stateful operator, so a
+    5-key aggregation under core-count partitions pays ~cores x batches
+    tiny-file commits for state that fits in one; this is a property of
+    the KEY SPACE, not the cluster size (guide §2.2: fewer, larger
+    partitions — the same dial a production job sets per stream). None
+    keeps the session default (wide keyed state wants the session's
+    scale-out width)."""
     name = f"msink_{uuid.uuid4().hex}"
     ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "availableNow drain did not finish within 300s — refusing to "
-            "read a partially-written sink"
-        )
     spark = stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow drain did not finish within 300s — refusing to "
+                "read a partially-written sink"
+            )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
