@@ -292,13 +292,21 @@ def test_tpch_completion_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
-    # Q2/Q15: the reused intermediate is cached, so each query's executed
-    # plan reads InMemory scans instead of re-aggregating the fact
+    # Q2/Q15: the reused intermediate is materialized once (r15: an
+    # eager per-invocation localCheckpoint — reads appear as Scan
+    # ExistingRDD — replacing the session-pinned persist whose
+    # InMemoryTableScan this used to assert), so each query's executed
+    # plan reads the materialized table instead of re-aggregating the
+    # fact
     for name in ("tpch_q2_min_cost_supplier", "tpch_q15_top_supplier"):
         df = catalog.REGISTRY[name].fn(spark, SF)
         df.collect()
         executed = df._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in executed or "TableCacheQueryStage" in executed
+        assert (
+            "InMemoryTableScan" in executed
+            or "TableCacheQueryStage" in executed
+            or "ExistingRDD" in executed
+        )
         assert "CartesianProduct" not in executed
 
     # Q9: the derived-supply join is an equi hash/merge join on the

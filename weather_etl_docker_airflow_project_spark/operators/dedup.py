@@ -103,10 +103,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
     """Distinct word k-gram shingles per document, exploded to
-    (id, shingle) rows. Documents shorter than k tokens contribute their
-    whole token sequence as one shingle.
+    (id, shingle) rows — plus ``carry_cols`` carried through the explode
+    (joining a small attribute back onto the EXPLODED table costs a
+    corpus-sized shuffle; carrying it through costs bytes-per-row).
 
     The input is spread BEFORE the explode: a document scan often arrives
     in file-granularity partitions (one small file = one task), which
@@ -123,7 +130,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> D
         ),
     )
     return spread.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+        F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 
 
@@ -536,30 +545,65 @@ def ngram_jaccard_pairs(
     d documents yields d*(d-1)/2 join rows. The other 100 TB posture is
     unchanged: run this as the *verify* stage on LSH candidate pairs
     (see ``l2_neardup_pipeline``), where the join is per-candidate."""
-    sh = _drop_hot_shingles(
-        shingles(df, id_col, text_col, k), id_col, max_shingle_df
-    )
-    # One shingle table feeds three consumers (sizes + both self-join
-    # sides): materialize it once, or every consumer recomputes the whole
-    # tokenize->shingle->cap pipeline.
-    sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    l, r = sh.alias("l"), sh.alias("r")
-    # merge hints on every corpus-derived join side: the shingle table's
-    # static size estimate is unreliable past the cap aggregate, and a
-    # planner-chosen broadcast of a corpus-sized side is the one plan
-    # shape that cannot survive scale (see _drop_hot_shingles)
-    inter = (
-        l.join(
-            r.hint("merge"),
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    sh = shingles(df, id_col, text_col, k)
+    if max_shingle_df is None:
+        # uncapped: keep the distributed self-join (a grouped pair
+        # expansion would materialize df^2 pairs of one hot shingle
+        # inside a single task; the join at least spreads them)
+        sh = _drop_hot_shingles(sh, id_col, max_shingle_df).persist()
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        l, r = sh.alias("l"), sh.alias("r")
+        # merge hints on every corpus-derived join side: the shingle
+        # table's static size estimate is unreliable past the cap
+        # aggregate, and a planner-chosen broadcast of a corpus-sized
+        # side is the one plan shape that cannot survive scale
+        inter = (
+            l.join(
+                r.hint("merge"),
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("inter"))
         )
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        release = sh
+    else:
+        # CAPPED (the declared scale path): ONE groupBy collapses each
+        # shingle to its sorted id set — the cap filter rides the same
+        # aggregate — and the (a < b) pair expansion is a map-side
+        # nested transform bounded by cap^2/2 per shingle. This replaces
+        # the shingle SELF-JOIN (two corpus-sized sort-merge sides + the
+        # hot-cap semi-join's two more sorts) with one exchange and zero
+        # sorts — the g2 edge-build pattern ("no basket self-join"),
+        # measured ~2x on the containment/jaccard family at sf0.1.
+        grouped = (
+            sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+            .filter(F.size("ids") <= max_shingle_df)
+            .persist()
         )
-        .agg(F.count("*").alias("inter"))
-    )
+        sizes = (
+            grouped.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_sh"))
+        )
+        inter = (
+            grouped.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        release = grouped
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -574,7 +618,7 @@ def ngram_jaccard_pairs(
         # longer-lived persisted tables)
         .localCheckpoint()
     )
-    sh.unpersist()
+    release.unpersist()
     return out
 
 
@@ -636,24 +680,68 @@ def containment_pairs(
     pair-generating self-join; documents below ``min_shingles`` are
     excluded (trivially contained). Integer threshold arithmetic
     (100*inter >= t*n_sub) — hash-exact."""
-    # persist: the capped shingle table feeds three consumers (sizes +
-    # both self-join sides) — same materialize-once rule as the Jaccard
-    # twin. merge hints on every corpus-derived join side: the r9 sf10
-    # run OOMed here when the planner BROADCAST the entire right shingle
-    # table (512 MB hashed relation) off a static post-aggregate
-    # misestimate; sort-merge spills, and AQE keeps it cheap when small.
-    sh = _drop_hot_shingles(
-        shingles(df, id_col, text_col), id_col, max_shingle_df
-    ).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    left = sh.select(F.col(id_col).alias("id_sub"), "shingle")
-    right = sh.select(F.col(id_col).alias("id_sup"), "shingle")
-    inter = (
-        left.join(right.hint("merge"), "shingle")
-        .filter(F.col("id_sub") != F.col("id_sup"))
-        .groupBy("id_sub", "id_sup")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
+    sh = shingles(df, id_col, text_col)
+    if max_shingle_df is None:
+        # uncapped fallback: distributed self-join (see ngram_jaccard)
+        sh = _drop_hot_shingles(sh, id_col, max_shingle_df).persist()
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        left = sh.select(F.col(id_col).alias("id_sub"), "shingle")
+        right = sh.select(F.col(id_col).alias("id_sup"), "shingle")
+        inter = (
+            left.join(right.hint("merge"), "shingle")
+            .filter(F.col("id_sub") != F.col("id_sup"))
+            .groupBy("id_sub", "id_sup")
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
+        release = sh
+    else:
+        # CAPPED: grouped pair expansion — one groupBy + map-side
+        # nested transform replaces the self-join's two corpus-sized
+        # sort-merge sides and the hot-cap semi-join (ngram_jaccard's
+        # rewrite, r15). Intersection counts are SYMMETRIC, so unordered
+        # (a < b) pairs are counted once and each emits both directed
+        # (sub, sup) rows via one tiny explode.
+        grouped = (
+            sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+            .filter(F.size("ids") <= max_shingle_df)
+            .persist()
+        )
+        sizes = (
+            grouped.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        inter_u = (
+            grouped.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS a, y AS b))))"
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
+        inter = inter_u.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("id_sub"),
+                        F.col("b").alias("id_sup"),
+                        F.col("inter"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("id_sub"),
+                        F.col("a").alias("id_sup"),
+                        F.col("inter"),
+                    ),
+                )
+            ).alias("d")
+        ).select("d.id_sub", "d.id_sup", "d.inter")
+        release = grouped
     sub_sz = sizes.select(F.col(id_col).alias("id_sub"), F.col("n_sh").alias("n_sub"))
     out = (
         inter.join(sub_sz.hint("merge"), "id_sub")
@@ -666,7 +754,7 @@ def containment_pairs(
         # corpus-sized shingle cache frees per-invocation
         .localCheckpoint()
     )
-    sh.unpersist()
+    release.unpersist()
     return out
 
 

@@ -163,10 +163,19 @@ def boilerplate_shingles(
     shingles against this table to strip boilerplate."""
     from ..operators.dedup import shingles
 
-    sh = shingles(df.select(id_col, text_col), id_col, text_col)
-    with_group = sh.join(df.select(id_col, group_col), id_col)
+    # group_col rides THROUGH the explode (r15): the old join-back
+    # attached it by shuffling the corpus-sized EXPLODED shingle table
+    # on id — carrying one small column per row removes that
+    # join/shuffle outright (guide §3.3: explode before a join
+    # multiplies the shuffle)
+    sh = shingles(
+        df.select(id_col, group_col, text_col),
+        id_col,
+        text_col,
+        carry_cols=[group_col],
+    )
     return (
-        with_group.groupBy(group_col, "shingle")
+        sh.groupBy(group_col, "shingle")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )

@@ -1336,7 +1336,12 @@ def cdc3_replicate_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         replicate_changes,
     )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # sliced by three commits (and v3's derivation) — materialize once
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .localCheckpoint()
+    )
     src = VersionedTable(spark, _os.path.join(scratch_dir("vrep_"), "src_v"))
     src.commit(o.filter(F.col("o_orderkey") % 3 != 2))
     src.commit(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")
@@ -2428,7 +2433,7 @@ def s42_clustered_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    ).localCheckpoint()  # sliced by the commit + the merge source below
     t = VersionedTable(spark, _os.path.join(scratch_dir("vzbkt_"), "orders_v"))
     t.set_layout(["o_orderkey"], 32)
     t.set_stats_columns(["o_totalprice"])
@@ -2715,7 +2720,12 @@ def s44_change_feed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_upsert,
     )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # sliced five ways below — materialize the projection once
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .localCheckpoint()
+    )
     t = VersionedTable(spark, _os.path.join(scratch_dir("vcdfb_"), "orders_v"))
     t.enable_change_data_feed()
     t.set_layout(["o_orderkey"], 32)
@@ -3369,7 +3379,7 @@ def s53_sql_statement_front(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-    )
+    ).localCheckpoint()  # sliced by 3 date commits + the merge source
     t = VersionedTable(spark, _os.path.join(scratch_dir("vsql_"), "orders_v"))
     t.set_stats_columns(["o_orderdate"])
     import datetime as _dt

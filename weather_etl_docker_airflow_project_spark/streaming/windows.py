@@ -433,8 +433,14 @@ def stream_countmin_cells(
     cells = os.path.join(base, "cells")
 
     def _append_partial(batch_df, _batch_id):
+        # the partial sketch is ≤ depth x width rows BY CONSTRUCTION
+        # (bounded state is the operator's whole point), so it lands as
+        # ONE file per micro-batch — at the session's shuffle width each
+        # batch wrote ~cores tiny files and the merged read paid
+        # batches x cores file opens (guide §6 output sizing; true at
+        # any scale because the sketch, not the batch, bounds the rows)
         countmin_sketch(batch_df.select("user_id"), "user_id", depth, width)\
-            .write.mode("append").parquet(cells)
+            .coalesce(1).write.mode("append").parquet(cells)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
@@ -669,7 +675,10 @@ def drain_versioned_source(
                         break
             if q.exception() is not None:
                 raise q.exception()
-            _time.sleep(0.2)
+            # 50ms poll: the loop only detects COMPLETION (batches run
+            # back-to-back under the 0s trigger); 200ms added up to a
+            # fifth of a 4-batch drain's wall in pure wait
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 f"versioned stream did not reach version {target} in "
@@ -815,7 +824,10 @@ def stream_replicate_cdf(
                         break
             if q.exception() is not None:
                 raise q.exception()
-            _time.sleep(0.2)
+            # 50ms poll: the loop only detects COMPLETION (batches run
+            # back-to-back under the 0s trigger); 200ms added up to a
+            # fifth of a 4-batch drain's wall in pure wait
+            _time.sleep(0.05)
         else:
             raise TimeoutError(
                 f"cdf replication did not reach version {latest} in "
@@ -854,6 +866,10 @@ def stream_versioned_source_replay(
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < user_cap)
         .select("event_id", "user_id", "event_type")
+        # the feed is sliced four ways below (3 commits + the delete
+        # keys); materialize the filtered projection once instead of
+        # re-scanning events per slice
+        .localCheckpoint()
     )
     table = VersionedTable(spark, os.path.join(base, "table"))
     for part in range(3):
