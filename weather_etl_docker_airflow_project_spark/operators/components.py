@@ -175,8 +175,11 @@ def connected_components_star(
     for _ in range(max_iterations):
         # localCheckpoint per round: iterative plans must cut lineage or
         # driver-side re-analysis of the accreting tree OOMs (NOTES.md)
+        # lazy checkpoint: lineage truncates per round (the requirement)
+        # but materialization rides the round's own count() instead of a
+        # dedicated job — one job per round, not two
         new_edges = _small_star(_large_star(edges)).localCheckpoint(
-            storageLevel=StorageLevel.DISK_ONLY
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
         )
         same_count = new_edges.count() == edges.count()
         if same_count and new_edges.exceptAll(edges).isEmpty():

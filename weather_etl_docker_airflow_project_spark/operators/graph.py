@@ -81,7 +81,15 @@ def pagerank_fixed_point(
     # expensive stage by n_iter (same per-round policy as
     # operators/components.py's star-contraction loop).
     adj = edges.join(deg, "src").localCheckpoint()
-    deg = adj.select(F.col("src"), F.col("outdeg")).distinct()
+    # |V|-sized, consumed by every iteration's node frame AND the rank
+    # seed — materialize the distinct once instead of re-running an
+    # |E|-sized exchange per iteration (lazy: the seed job below
+    # materializes it)
+    deg = (
+        adj.select(F.col("src"), F.col("outdeg"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("r"))
     for _ in range(n_iter):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks

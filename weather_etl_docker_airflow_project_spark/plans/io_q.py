@@ -2219,7 +2219,7 @@ def s39_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    ).localCheckpoint()  # sliced by 2 commits + merge + delete feeds
     t = VersionedTable(spark, _os.path.join(scratch_dir("vhist_"), "orders_v"))
     t.enable_column_mapping()
     t.commit(o.filter(F.col("o_orderkey") % 2 == 0))
