@@ -1389,7 +1389,17 @@ def ivf_delete(
     affected_ids = {r["cell"] for r in affected.collect()}
     if not affected_ids:
         return
-    all_cells = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    # cell inventory from the PARTITION LISTING, not a data scan: the
+    # cell set IS the directory set, so a distinct over the whole index
+    # (O(index) read) carried zero extra information (r15; same FS API
+    # the emptied-dir cleanup below already uses)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(cells_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    all_cells = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith("cell=")
+    }
     # survivors via a LITERAL cell filter, not a join: the isin predicate
     # statically prunes the scan to the affected partition dirs (a
     # join-derived dim is not guaranteed DPP), matching the "deletion
