@@ -572,15 +572,36 @@ def ngram_jaccard_pairs(
         release = sh
     else:
         # CAPPED (the declared scale path): ONE groupBy collapses each
-        # shingle to its sorted id set — the cap filter rides the same
-        # aggregate — and the (a < b) pair expansion is a map-side
-        # nested transform bounded by cap^2/2 per shingle. This replaces
-        # the shingle SELF-JOIN (two corpus-sized sort-merge sides + the
-        # hot-cap semi-join's two more sorts) with one exchange and zero
-        # sorts — the g2 edge-build pattern ("no basket self-join"),
-        # measured ~2x on the containment/jaccard family at sf0.1.
-        grouped = (
+        # shingle to its sorted id set — and the (a < b) pair expansion
+        # is a map-side nested transform bounded by cap^2/2 per shingle.
+        # This replaces the shingle SELF-JOIN (two corpus-sized
+        # sort-merge sides + the hot-cap semi-join's two more sorts)
+        # with one stream exchange and zero sorts — the g2 edge-build
+        # pattern ("no basket self-join"), measured ~2x on the
+        # containment/jaccard family at sf0.1.
+        #
+        # Hot shingles are dropped BEFORE the id lists are built (r16,
+        # ADVICE): a boilerplate shingle shared by millions of documents
+        # — the exact case the cap exists for — would otherwise
+        # materialize an unbounded collect_list buffer in ONE
+        # aggregation task. The hot set comes from a constant-buffer
+        # count aggregate (map-side combined, narrow rows); the
+        # anti-join is hinted shuffled-hash so (a) no side ever sorts,
+        # (b) the build side is the hot TAIL (per-partition slices of a
+        # hash-uniform key — bounded even for adversarial corpora where
+        # the hot set itself is large), and (c) the probe stream leaves
+        # the join hash-partitioned by shingle, which the grouped
+        # collect below REUSES — the skew bound costs one narrow count
+        # exchange, never a second pass over the stream.
+        hot = (
             sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        grouped = (
+            sh.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
+            .groupBy("shingle")
             .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
             .filter(F.size("ids") <= max_shingle_df)
             .persist()
@@ -700,9 +721,20 @@ def containment_pairs(
         # sort-merge sides and the hot-cap semi-join (ngram_jaccard's
         # rewrite, r15). Intersection counts are SYMMETRIC, so unordered
         # (a < b) pairs are counted once and each emits both directed
-        # (sub, sup) rows via one tiny explode.
-        grouped = (
+        # (sub, sup) rows via one tiny explode. Hot shingles are
+        # anti-joined out BEFORE any id list builds (r16 — see
+        # ngram_jaccard_pairs: bounds the collect_list buffer under
+        # boilerplate skew; the shuffled-hash probe side re-feeds the
+        # grouped collect without a second exchange).
+        hot = (
             sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        grouped = (
+            sh.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
+            .groupBy("shingle")
             .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
             .filter(F.size("ids") <= max_shingle_df)
             .persist()

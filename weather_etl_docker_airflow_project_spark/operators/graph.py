@@ -130,6 +130,7 @@ def triangle_counts(
     max_attach_edges: int = 16_000_000,
     kernel_task_factor: int = 0,
     wedge_slice: int | None = None,
+    max_broadcast_vertices: int = 4_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
@@ -202,22 +203,34 @@ def triangle_counts(
     ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     n_edges = e.count()  # ~free: reads the checkpoint block index
     nodes = e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
-    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # |V|-sized, consumed by BOTH orientation sides: checkpointed lazily
+    # so the exact-|V| count below materializes it once and the two
+    # broadcast builds (or merge-join sides) read blocks instead of each
+    # re-running the 2|E|-row degree aggregation (r16)
+    deg = (
+        nodes.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    n_vertices = deg.count()
     keyed = deg.select("n", F.expr("d * 4294967296 + n").alias("key"))
     ka, kb = keyed.alias("ka"), keyed.alias("kb")
-    # Orientation join strategy, gated on the MEASURED edge count (the
-    # checkpoint makes it exact, not an estimate): the keyed table is
-    # |V|-sized (|V| <= 2|E|, 16 B/row), so below the same threshold
-    # that gates the adjacency broadcast it broadcasts safely and both
-    # attaches become map joins — the |E|-sized edge table never
-    # shuffles or sorts here (guide §3.1; measured -0.8 s at sf0.1).
-    # Past the threshold: merge hints (r9 — the 30x decade run caught
-    # it): past the explode + distinct, the EDGE table's static size
-    # estimate collapses and the planner broadcast e itself (a ~600 MB
-    # hashed relation at 36M edges — broadcast-build OOM). Sort-merge is
+    # Orientation join strategy, gated on the MEASURED vertex count
+    # (r16, ADVICE — the old gate reused the 8M EDGE threshold, but the
+    # keyed table is |V|-sized and |V| can reach 2|E| = 16M rows there:
+    # with HashedRelation per-row overhead that broadcast build is
+    # several hundred MB, far past the 64 MB rationale the constant was
+    # sized for; the deg checkpoint makes the vertex count exact and
+    # ~free). Below max_broadcast_vertices (4M keyed rows ≈ 64 MB of
+    # payload) both attaches become map joins — the |E|-sized edge
+    # table never shuffles or sorts here (guide §3.1). Past the
+    # threshold: merge hints (r9 — the 30x decade run caught it): past
+    # the explode + distinct, the EDGE table's static size estimate
+    # collapses and the planner broadcast e itself (a ~600 MB hashed
+    # relation at 36M edges — broadcast-build OOM). Sort-merge is
     # spillable either way round; AQE's measured runtime stats keep
     # small graphs cheap.
-    if n_edges <= max_broadcast_edges:
+    if n_vertices <= max_broadcast_vertices:
         lhs, ka, kb = e, F.broadcast(ka), F.broadcast(kb)
     else:
         lhs = e.hint("merge")
@@ -233,7 +246,16 @@ def triangle_counts(
         return _triangle_counts_wedge_stream(
             e, oriented, n_edges, kernel_task_factor, wedge_slice
         )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # materialized ONCE (r16): adj feeds BOTH attach sides, and the two
+    # broadcast builds (or co-shuffled join sides) are planned as
+    # separate exchanges over non-identical projections — without the
+    # checkpoint each re-runs the |E|-row adjacency aggregation from the
+    # oriented table (same self-join policy as `e`/`oriented` above)
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
     adj_u = adj.select(F.col("src"), F.col("nbrs").alias("u_nbrs"))
     adj_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("v_nbrs"))
     if broadcast_adj and n_edges <= max_broadcast_edges:

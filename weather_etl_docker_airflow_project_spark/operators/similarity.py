@@ -1267,8 +1267,14 @@ def build_ivf_index(
     celled data). Closes the loop SCALE.md documents for IVF: index once,
     prune per probe — same shape as the LSH index."""
     cells = ivf_cells(embeddings, seed_modulus, id_col, vec_col)
+    # REBALANCE, not a fixed-width repartition (r16, guide §6): AQE sizes
+    # the write by DATA — tiny cells coalesce into few tasks (a small
+    # index stops paying shuffle-partition-count task commits), a
+    # skew-hot cell may split across tasks (several right-sized files in
+    # its partition dir instead of one giant one). Every cell row still
+    # lands under its own cell= dir, so probes prune identically.
     (
-        cells.repartition("cell")
+        cells.hint("rebalance", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path + "/cells")
@@ -1348,8 +1354,10 @@ def ivf_add(
     qdf = new_vectors.select(F.col(id_col), quantize(F.col(vec_col)).alias("qv"))
     _cell = _cell_assign_udf(seed_rows)
     celled = qdf.select(id_col, "qv", _cell(F.col("qv")).alias("cell"))
+    # rebalance: size the append by the increment's data, not the session
+    # shuffle width (see build_ivf_index)
     (
-        celled.repartition("cell")
+        celled.hint("rebalance", "cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(index_path + "/cells")
@@ -1421,7 +1429,10 @@ def ivf_delete(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            keep.repartition("cell")
+            # rebalance: the survivors of a sparse delete are usually a
+            # handful of cells — size the rewrite by them, not by the
+            # session shuffle width (see build_ivf_index)
+            keep.hint("rebalance", "cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(cells_path)

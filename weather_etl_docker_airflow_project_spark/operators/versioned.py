@@ -1268,6 +1268,11 @@ class VersionedTable:
             df.columns, existing[-1] if existing else None
         )
         new_dirs = self._write_batch(df, version, colmap=colmap)
+        if callable(extra_headers):
+            # deferred header staging (a CDF dir written concurrently
+            # with the batch write — guide §2.6): resolve ONCE, after
+            # our own write, before any publish attempt
+            extra_headers = extra_headers()
         if existing and mode == "append":
             dirs = self._manifest(existing[-1]) + new_dirs
             # active deletion vectors (both kinds) ride along unchanged:
@@ -1356,7 +1361,11 @@ class VersionedTable:
         return merged or None
 
     def _write_batch(
-        self, df: DataFrame, version: int, colmap: dict | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        colmap: dict | None = None,
+        write_partitions: int | None = None,
     ) -> list[str]:
         """Stage ``df`` as a new immutable batch; return the manifest
         dirs it contributes (the batch dir, or its per-bucket subdirs
@@ -1372,6 +1381,11 @@ class VersionedTable:
         file per touched bucket per commit (without it, P tasks x B
         buckets small files). The trade — write parallelism capped at
         the number of touched buckets — is the set_layout sizing note.
+        ``write_partitions`` (granular rewrites pass their touched-
+        bucket count) caps the shuffle at the buckets actually present:
+        hash-partitioning any k>=1 ways keeps every bucket whole in one
+        task, so the invariant holds while a 2-bucket sparse merge stops
+        paying n_buckets write tasks (guide §6 output sizing).
 
         ``colmap`` (column mapping enabled): data lands under PHYSICAL
         column names; everything upstream of this method stays
@@ -1415,8 +1429,11 @@ class VersionedTable:
                     *[F.col(c).alias(colmap[c]) for c in df.columns],
                     BUCKET_COL,
                 )
+            n_parts = layout["n_buckets"]
+            if write_partitions is not None:
+                n_parts = max(1, min(n_parts, write_partitions))
             (
-                staged.repartition(layout["n_buckets"], BUCKET_COL)
+                staged.repartition(n_parts, BUCKET_COL)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(batch)
@@ -1843,7 +1860,7 @@ class VersionedTable:
             )
         split = _granular_split(self, v, keys_df, keys)
         if split is not None:
-            _carry, touched_dirs = split
+            _carry, touched_dirs = split[0], split[1]
             if not touched_dirs:
                 return self.read(version=v).limit(0)
             base = self._read_dirs(touched_dirs, v)
@@ -2382,7 +2399,8 @@ def compact_incremental(
             return _CompactReport(base_version, n_files_before, n_files_before)
         rewritten = table._read_dirs(scope, base_version)
         version = _commit_granular(
-            table, rewritten, carry, base_version, op="compact"
+            table, rewritten, carry, base_version, op="compact",
+            write_partitions=len(touched_buckets),
         )
     else:
         # z-order chunk dirs are NEVER compaction candidates, whatever
@@ -2805,9 +2823,30 @@ def merge_upsert(
 
     source = source.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     target = table.read(version=base_version)
-    split = _granular_split(table, base_version, source, keys)
+    val_aggs = None
+    if validate_source_keys:
+        from pyspark.sql import functions as F
+
+        # duplicate-key validation aggregates, piggybacked on the
+        # granular split's bucket job when a layout applies (r16 — one
+        # pass over the source instead of two). COUNT(DISTINCT k1..kn)
+        # skips any-NULL rows by SQL semantics, so only the plain count
+        # needs the explicit non-NULL guard (NULL merge keys never
+        # equi-match and are legal — see the validation comment below).
+        nn = F.lit(True)
+        for k in keys:
+            nn = nn & F.col(k).isNotNull()
+        val_aggs = [
+            F.count(F.when(nn, F.lit(1))).alias("_n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("_nd"),
+        ]
+    split = _granular_split(
+        table, base_version, source, keys, extra_aggs=val_aggs
+    )
+    val_counts = None
+    n_touched_buckets = None
     if split is not None:
-        carry, touched_dirs = split
+        carry, touched_dirs, val_counts, n_touched_buckets = split
         # the merge target shrinks to the touched buckets; everything
         # else rides into the new manifest by reference below
         target_side = (
@@ -2852,12 +2891,16 @@ def merge_upsert(
         # target row (standard SQL MERGE: NOT MATCHED -> plain insert),
         # so NULL-key source rows are legal and must not trip the
         # ambiguity error — only true key collisions are ambiguous.
-        nonnull = source
-        for k in keys:
-            nonnull = nonnull.filter(F.col(k).isNotNull())
-        n, nd = nonnull.agg(
-            F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
-        ).first()
+        if val_counts is not None:
+            n, nd = val_counts  # rode the granular split's bucket job
+        else:
+            nonnull = source
+            for k in keys:
+                nonnull = nonnull.filter(F.col(k).isNotNull())
+            n, nd = nonnull.agg(
+                F.count(F.lit(1)),
+                F.count_distinct(*[F.col(k) for k in keys]),
+            ).first()
         if n != nd:
             raise ValueError(
                 f"merge source has {n - nd} duplicate merge-key rows: a "
@@ -2900,6 +2943,7 @@ def merge_upsert(
             .unionByName(ins.select(*out_cols))
         )
     cdf_headers = None
+    cdf_pool = None
     if table.change_data_feed_enabled():
         # CHANGE DATA FEED: tag each source row update-vs-insert and
         # stage the result as this commit's cdf rows — ONE extra job:
@@ -2951,18 +2995,35 @@ def merge_upsert(
                     "_change_type", F.lit("insert")
                 )
             )
-        cdf_headers = [
-            f"#cdf={table._stage_cdf(change_df, base_version + 1)}"
-        ]
-    if split is not None:
-        return _commit_granular(
-            table, merged, carry, base_version, extra_headers=cdf_headers
+        # Stage the feed CONCURRENTLY with the merged-batch write (guide
+        # §2.6 — the two writes are independent: both read only the
+        # checkpointed source and the base version's immutable dirs).
+        # commit/_commit_granular resolve the callable right before the
+        # manifest publish, so the feed still lands atomically with the
+        # commit or not at all (a failure on either side leaves only
+        # unreferenced staging — vacuum bait, the torn-commit contract).
+        from concurrent.futures import ThreadPoolExecutor
+
+        cdf_pool = ThreadPoolExecutor(max_workers=1)
+        cdf_fut = cdf_pool.submit(
+            table._stage_cdf, change_df, base_version + 1
         )
-    return table.commit(
-        merged, mode="overwrite", expected_base_version=base_version,
-        op="merge", allow_schema_evolution=bool(extra),
-        extra_headers=cdf_headers,
-    )
+        cdf_headers = lambda: [f"#cdf={cdf_fut.result()}"]  # noqa: E731
+    try:
+        if split is not None:
+            return _commit_granular(
+                table, merged, carry, base_version, extra_headers=cdf_headers,
+                write_partitions=n_touched_buckets,
+            )
+        return table.commit(
+            merged, mode="overwrite", expected_base_version=base_version,
+            op="merge", allow_schema_evolution=bool(extra),
+            extra_headers=cdf_headers,
+        )
+    finally:
+        if cdf_pool is not None:
+            # an abort path must not leak the staging job past this call
+            cdf_pool.shutdown(wait=True)
 
 
 def _granular_split(
@@ -2970,7 +3031,8 @@ def _granular_split(
     base_version: int,
     keyed: DataFrame,
     keys: list[str],
-) -> tuple[list[str], list[str]] | None:
+    extra_aggs: list | None = None,
+) -> tuple[list[str], list[str], tuple | None, int] | None:
     """Decide whether a keyed rewrite (merge/delete) can be
     bucket-granular against ``base_version``, and split the manifest:
     returns ``(carry_dirs, touched_dirs)`` — untouched bucket dirs to
@@ -2987,7 +3049,13 @@ def _granular_split(
     match lives in a bucket the source touches, by construction.
 
     The touched set comes from ONE small job: the distinct bucket ids of
-    ``keyed`` (bounded by n_buckets — never O(rows) on the driver)."""
+    ``keyed`` (bounded by n_buckets — never O(rows) on the driver).
+    ``extra_aggs`` lets the caller piggyback additional aggregate
+    columns on that same job (r16 — merge_upsert folds its duplicate-key
+    validation in, one pass over the keyed feed instead of two); their
+    values come back as the third tuple element (None when no extras
+    were requested — including when the split itself returns None, in
+    which case the caller must run them separately)."""
     layout = table.layout()
     if layout is None or not set(layout["bucket_keys"]) <= set(keys):
         return None
@@ -3008,19 +3076,23 @@ def _granular_split(
     dirs = table._manifest(base_version)
     if any(_dir_bucket(d) is None for d in dirs):
         return None
-    touched = {
-        r["b"]
-        for r in keyed.select(
-            _bucket_column(layout["bucket_keys"], layout["n_buckets"]).alias(
-                "b"
-            )
-        )
-        .distinct()
-        .collect()
-    }
+    from pyspark.sql import functions as F
+
+    bcol = _bucket_column(layout["bucket_keys"], layout["n_buckets"])
+    row = keyed.agg(
+        F.collect_set(bcol).alias("_touched_buckets"),
+        *(extra_aggs or []),
+    ).first()
+    touched = set(row["_touched_buckets"])
+    extra = tuple(row[1:]) if extra_aggs else None
     carry = [d for d in dirs if _dir_bucket(d) not in touched]
     touched_dirs = [d for d in dirs if _dir_bucket(d) in touched]
-    return carry, touched_dirs
+    # len(touched) rides along so the rewrite's writer can size its
+    # shuffle to the buckets actually touched (r16, guide §6): a sparse
+    # merge/delete over a 32-bucket table otherwise schedules 32 write
+    # tasks for 2 buckets of data — at any scale one task per touched
+    # bucket is the layout-preserving minimum
+    return carry, touched_dirs, extra, len(touched)
 
 
 def _commit_headers(table: VersionedTable, version: int) -> tuple:
@@ -3110,6 +3182,7 @@ def _commit_granular(
     base_version: int,
     op: str = "merge",
     extra_headers: list[str] | None = None,
+    write_partitions: int | None = None,
 ) -> int:
     """Publish a bucket-granular rewrite: stage the rewritten buckets as
     a new batch (layout-aware writer -> per-bucket dirs) and publish
@@ -3134,7 +3207,13 @@ def _commit_granular(
     # in _write_batch and, worse, publish a #colmap= line missing the
     # evolved column)
     colmap = table._next_colmap(rewritten.columns, base_version)
-    new_dirs = table._write_batch(rewritten, version, colmap=colmap)
+    new_dirs = table._write_batch(
+        rewritten, version, colmap=colmap, write_partitions=write_partitions
+    )
+    if callable(extra_headers):
+        # deferred header staging (see commit()): resolve once, after
+        # our own batch write, before any publish attempt
+        extra_headers = extra_headers()
     touched_dirs = [
         d
         for d in table._manifest(base_version)
@@ -3224,36 +3303,52 @@ def delete_by_keys(
         storageLevel=StorageLevel.DISK_ONLY
     )
 
-    def _delete_cdf_headers(deleted: DataFrame) -> list[str] | None:
+    def _delete_cdf_async(deleted: DataFrame):
         # CHANGE DATA FEED: the delete's cdf rows are the rows ACTUALLY
         # removed (feed keys semi-joined to the snapshot — a key absent
-        # from the table emits no phantom delete), full rows + type
+        # from the table emits no phantom delete), full rows + type.
+        # Staged from a 1-thread pool (guide §2.6) so the feed write
+        # overlaps the commit's own write (kept-rows rewrite or DV key
+        # file — independent jobs over immutable inputs); returns
+        # ``(headers_callable|None, pool|None)`` — the caller resolves
+        # the callable at publish time and joins the pool on every exit.
         if not table.change_data_feed_enabled():
-            return None
+            return None, None
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import functions as F
 
         change_df = deleted.withColumn("_change_type", F.lit("delete"))
-        return [f"#cdf={table._stage_cdf(change_df, base_version + 1)}"]
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(table._stage_cdf, change_df, base_version + 1)
+        return (lambda: [f"#cdf={fut.result()}"]), pool
 
     if merge_on_read:
         version = base_version + 1
         dv_dir = os.path.join(
             table._data, f"dv_{version}_{uuid.uuid4().hex[:8]}"
         )
-        delete_keys.select(*keys).distinct().write.mode("overwrite").parquet(
-            dv_dir
-        )
         # bucket-pruned presence join — O(touched buckets), and only
-        # when the feed is enabled
-        cdf_headers = (
-            _delete_cdf_headers(
+        # when the feed is enabled; staged concurrently with the DV key
+        # write below (independent jobs — guide §2.6)
+        cdf_headers, cdf_pool = (
+            _delete_cdf_async(
                 table.read_at_keys(
                     delete_keys.select(*keys), keys=keys, version=base_version
                 )
             )
             if table.change_data_feed_enabled()
-            else None
+            else (None, None)
         )
+        try:
+            delete_keys.select(*keys).distinct().write.mode(
+                "overwrite"
+            ).parquet(dv_dir)
+            if callable(cdf_headers):
+                cdf_headers = cdf_headers()
+        finally:
+            if cdf_pool is not None:
+                cdf_pool.shutdown(wait=True)
         base_dirs = table._manifest(base_version)
         for _attempt in range(5):
             dirs = table._manifest(base_version)
@@ -3303,28 +3398,37 @@ def delete_by_keys(
         )
     split = _granular_split(table, base_version, delete_keys, keys)
     if split is not None:
-        carry, touched_dirs = split
+        carry, touched_dirs, _, n_touched = split
         if not touched_dirs:  # no bucket holds any of these keys
             base = table.read(version=base_version).limit(0)
         else:
             base = table._read_dirs(touched_dirs, base_version)
         kept = base.join(delete_keys.select(*keys), keys, "left_anti")
-        cdf_headers = _delete_cdf_headers(
+        cdf_headers, cdf_pool = _delete_cdf_async(
             base.join(delete_keys.select(*keys), keys, "left_semi")
         )
-        return _commit_granular(
-            table, kept, carry, base_version, op="delete",
-            extra_headers=cdf_headers,
-        )
+        try:
+            return _commit_granular(
+                table, kept, carry, base_version, op="delete",
+                extra_headers=cdf_headers,
+                write_partitions=n_touched,
+            )
+        finally:
+            if cdf_pool is not None:
+                cdf_pool.shutdown(wait=True)
     base = table.read(version=base_version)
     kept = base.join(delete_keys.select(*keys), keys, "left_anti")
-    cdf_headers = _delete_cdf_headers(
+    cdf_headers, cdf_pool = _delete_cdf_async(
         base.join(delete_keys.select(*keys), keys, "left_semi")
     )
-    return table.commit(
-        kept, mode="overwrite", expected_base_version=base_version,
-        op="delete", extra_headers=cdf_headers,
-    )
+    try:
+        return table.commit(
+            kept, mode="overwrite", expected_base_version=base_version,
+            op="delete", extra_headers=cdf_headers,
+        )
+    finally:
+        if cdf_pool is not None:
+            cdf_pool.shutdown(wait=True)
 
 
 def _dir_zchunk(path: str) -> bool:

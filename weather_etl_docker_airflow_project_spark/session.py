@@ -74,15 +74,21 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep broadcast joins available for dimension tables.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Join strategy (guide §3.1/§9): let the planner pick shuffled
-        # hash join when its size conditions hold (no sort of either
-        # side; measured -25% on the snowflake joins), and let AQE
-        # convert a planned sort-merge to shuffled-hash at runtime when
-        # every MEASURED post-shuffle partition fits locally — the
-        # runtime gate makes this scale-safe. The corpus-derived
-        # self-joins whose static estimates are unreliable keep their
-        # explicit merge hints (operators/dedup.py) and are unaffected.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Join strategy (guide §3.1): AQE converts a planned sort-merge
+        # join to shuffled-hash at runtime when every MEASURED
+        # post-shuffle partition fits locally — the runtime gate is what
+        # makes the conversion scale-safe. The r15 STATIC half
+        # (preferSortMergeJoin=false) is REVERTED this round (r15
+        # verdict item 1 / ADVICE): sf1 A/B plans show ZERO
+        # ShuffledHashJoin or SortMergeJoin with the flag either way on
+        # the queries it claimed to speed up (q9/a19/q8/q17/j13 are
+        # all-broadcast; plans/r16/shj_sf1_*), so the flag bought
+        # nothing measurable while letting the planner pick a
+        # non-spillable hash build off the same static size estimates
+        # the repo documents as broken on corpus-derived frames (the r9
+        # broadcast-OOM lesson). Spark's default preferSortMergeJoin=
+        # true therefore stands; the AQE threshold below carries the
+        # measured-size conversion.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),

@@ -90,9 +90,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._per_batch_files = int(options.get("maxfilesperbatch", 0))
         self._pace_dir = options.get("pacestatedir")
         self._last_end: tuple[int, int] | None = None
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        self._arrow_schema = to_arrow_schema(schema)
+        # arrow schema is derived LAZILY (r16): __init__ also runs in the
+        # long-lived offsets/partitions runner process, which never reads
+        # data — deferring to_arrow_schema keeps pyarrow (~0.2s import)
+        # out of that process entirely; executor read() tasks compute it
+        # once per unpickled reader instance
+        self._schema = schema
+        self._arrow_schema_cache = None
         # column mapping: files carry PHYSICAL names; the stream's
         # declared schema is logical. Physical ids are stable across
         # renames, so the map captured at plan time reads every commit
@@ -101,6 +105,25 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._phys = (
             self._table.column_mapping(head) if head is not None else None
         ) or {}
+
+    @property
+    def _arrow_schema(self):
+        # defensive getattr: a property getter's internal AttributeError
+        # is masked by the descriptor protocol into "object has no
+        # attribute '_arrow_schema'" — surface real failures instead,
+        # and tolerate an instance snapshot pickled by a pre-lazy
+        # version of this class (its __dict__ carries the eager field,
+        # shadowed by this data descriptor)
+        cached = getattr(self, "_arrow_schema_cache", None)
+        if cached is None:
+            schema = getattr(self, "_schema", None)
+            if schema is None:
+                return self.__dict__["_arrow_schema"]
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            cached = to_arrow_schema(schema)
+            self._arrow_schema_cache = cached
+        return cached
 
     @staticmethod
     def _off_tuple(offset: dict) -> tuple[int, int]:
@@ -657,11 +680,27 @@ class VersionedTableBatchReader(DataSourceReader):
                 raise ValueError(
                     f"versioned table at {table_dir} has no commits"
                 )
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        self._arrow_schema = to_arrow_schema(schema)
+        # lazy arrow schema: partitions() planning runs in a worker that
+        # never touches data (see the stream reader's note)
+        self._schema = schema
+        self._arrow_schema_cache = None
         self._phys = self._table.column_mapping(self._version) or {}
         self._preds: list[tuple] = []
+
+    @property
+    def _arrow_schema(self):
+        # see VersionedTableStreamReader._arrow_schema for the
+        # defensive-getattr rationale
+        cached = getattr(self, "_arrow_schema_cache", None)
+        if cached is None:
+            schema = getattr(self, "_schema", None)
+            if schema is None:
+                return self.__dict__["_arrow_schema"]
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            cached = to_arrow_schema(schema)
+            self._arrow_schema_cache = cached
+        return cached
 
     def pushFilters(self, filters):
         """Record prunable predicates for MANIFEST-STATS dir pruning at

@@ -89,7 +89,17 @@ def run_available_now(
     the KEY SPACE, not the cluster size (guide §2.2: fewer, larger
     partitions — the same dial a production job sets per stream). None
     keeps the session default (wide keyed state wants the session's
-    scale-out width)."""
+    scale-out width).
+
+    Concurrency note (r16, ADVICE): ``state_partitions`` is applied by
+    mutating the session conf around ``start()``. Spark clones the
+    session conf synchronously inside ``start()`` (StreamExecution runs
+    on a cloned session), so the conf is restored as soon as ``start()``
+    returns — the mutation is no longer held across the whole drain.
+    The remaining window is the set→start gap itself: two THREADS calling this
+    helper concurrently on one session could still plan under each
+    other's value, so concurrent callers must serialize query STARTS
+    (every in-repo caller drains sequentially)."""
     name = f"msink_{uuid.uuid4().hex}"
     ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "ck")
     spark = stream.sparkSession
@@ -105,15 +115,18 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "availableNow drain did not finish within 300s — refusing to "
-                "read a partially-written sink"
-            )
     finally:
+        # restore immediately: the query's conf snapshot was taken inside
+        # start(); holding the session-global mutation for the whole
+        # drain (the old shape) widened the cross-thread race for nothing
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain did not finish within 300s — refusing to "
+            "read a partially-written sink"
+        )
     return spark.table(name)
 
 
