@@ -52,6 +52,40 @@ def test_capped_grouped_expansion_prefilters_hot_without_sorts(spark):
     assert "Exchange" not in plan[agg_pos:join_pos]
 
 
+def test_deferred_merge_validation_publishes_nothing(spark, tmp_path):
+    """r16: on the full-rewrite merge path the duplicate-key validation
+    runs concurrently with the batch write and is checked before the
+    manifest publish — an ambiguous merge must still raise the Delta
+    error AND publish no version (the staged batch stays unreferenced),
+    on both the plain and the CDF-enabled path; NULL-key source rows
+    stay legal."""
+    from pyspark.sql import Row
+
+    from weather_etl_docker_airflow_project_spark.operators.versioned import (
+        VersionedTable,
+        merge_upsert,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    dup = spark.createDataFrame([Row(k=1, v="x"), Row(k=1, v="y")])
+    with pytest.raises(ValueError, match="duplicate merge-key"):
+        merge_upsert(t, dup, keys=["k"])
+    assert t.versions() == [1]
+    assert t.read().count() == 2
+    # NULL merge keys never match and must not trip the ambiguity error
+    ok = spark.createDataFrame([Row(k=None, v="n"), Row(k=3, v="c")])
+    assert merge_upsert(t, ok, keys=["k"]) == 2
+    assert t.read().count() == 4
+
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.enable_change_data_feed()
+    t2.commit(spark.createDataFrame([Row(k=1, v="a")]))
+    with pytest.raises(ValueError, match="duplicate merge-key"):
+        merge_upsert(t2, dup, keys=["k"])
+    assert t2.versions() == [1]  # the concurrent CDF staging is torn too
+
+
 def test_capped_jaccard_prefilter_result_identical(spark):
     """The pre-filter is semantics-preserving: same pairs, same counts as
     the declared capped contract (hot shingles out of the universe)."""

@@ -2824,6 +2824,8 @@ def merge_upsert(
     source = source.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     target = table.read(version=base_version)
     val_aggs = None
+    val_fut = None
+    val_pool = None
     if validate_source_keys:
         from pyspark.sql import functions as F
 
@@ -2893,20 +2895,33 @@ def merge_upsert(
         # ambiguity error — only true key collisions are ambiguous.
         if val_counts is not None:
             n, nd = val_counts  # rode the granular split's bucket job
+            if n != nd:
+                raise ValueError(
+                    f"merge source has {n - nd} duplicate merge-key rows: "
+                    "a target row would match multiple source rows "
+                    "(ambiguous merge, the Delta error contract)"
+                )
         else:
+            # full-rewrite path (no bucket job to ride): run the
+            # validation aggregate CONCURRENTLY with the merged-batch
+            # write and check it right before the manifest publish (r16,
+            # guide §2.6) — the checkpointed source makes the two jobs
+            # independent. A duplicate-key source still publishes
+            # NOTHING: the check raises before _publish_manifest, so the
+            # staged batch stays unreferenced (torn-commit rollback, the
+            # same contract CHECK constraints use — they too validate
+            # during the write, not before it).
+            from concurrent.futures import ThreadPoolExecutor
+
             nonnull = source
             for k in keys:
                 nonnull = nonnull.filter(F.col(k).isNotNull())
-            n, nd = nonnull.agg(
+            val_agg = nonnull.agg(
                 F.count(F.lit(1)),
                 F.count_distinct(*[F.col(k) for k in keys]),
-            ).first()
-        if n != nd:
-            raise ValueError(
-                f"merge source has {n - nd} duplicate merge-key rows: a "
-                "target row would match multiple source rows (ambiguous "
-                "merge, the Delta error contract)"
             )
+            val_pool = ThreadPoolExecutor(max_workers=1)
+            val_fut = val_pool.submit(val_agg.first)
     if when_matched_condition is None:
         survivors = target_side.join(source.select(*keys), keys, "left_anti")
         merged = source.select(*out_cols).unionByName(survivors)
@@ -3009,21 +3024,43 @@ def merge_upsert(
             table._stage_cdf, change_df, base_version + 1
         )
         cdf_headers = lambda: [f"#cdf={cdf_fut.result()}"]  # noqa: E731
+    headers_cb = cdf_headers
+    if val_fut is not None:
+        # fold the deferred duplicate-key check into the pre-publish
+        # callable: commit resolves it after its own batch write and
+        # before any publish attempt, so an ambiguous merge still
+        # publishes nothing (the staged batch is vacuum bait)
+        _base_headers = cdf_headers
+
+        def headers_cb():
+            n, nd = val_fut.result()
+            if n != nd:
+                raise ValueError(
+                    f"merge source has {n - nd} duplicate merge-key rows: "
+                    "a target row would match multiple source rows "
+                    "(ambiguous merge, the Delta error contract)"
+                )
+            if callable(_base_headers):
+                return _base_headers()
+            return _base_headers or []
+
     try:
         if split is not None:
             return _commit_granular(
-                table, merged, carry, base_version, extra_headers=cdf_headers,
+                table, merged, carry, base_version, extra_headers=headers_cb,
                 write_partitions=n_touched_buckets,
             )
         return table.commit(
             merged, mode="overwrite", expected_base_version=base_version,
             op="merge", allow_schema_evolution=bool(extra),
-            extra_headers=cdf_headers,
+            extra_headers=headers_cb,
         )
     finally:
+        # an abort path must not leak staging/validation jobs past this call
         if cdf_pool is not None:
-            # an abort path must not leak the staging job past this call
             cdf_pool.shutdown(wait=True)
+        if val_pool is not None:
+            val_pool.shutdown(wait=True)
 
 
 def _granular_split(
